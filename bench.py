@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via a noop sink (no driver collect, no
+short-circuit count) — the number is end-to-end plan execution time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family, weighted toward shuffle-heavy
+# shapes (joins, aggs, windows) where scale behavior is decided.
+HEADLINE = [
+    "q_agg_group",
+    "q_join_inner",
+    "q_join_3way",
+    "q_window_rank",
+    "q_window_tumbling_batch",
+    "q_topk",
+    "q_json_get",
+    "q_dedup_exact",
+    "q_text_tokens",
+    "q_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM + parquet footers once so timings measure query
+    # execution, not session bootstrap.
+    REGISTRY["q_scan_project"].spark_fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].spark_fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

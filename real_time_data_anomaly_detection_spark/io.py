@@ -1,0 +1,65 @@
+"""Batch table loaders for the driver fixtures (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Everything is a plain ``spark.read.parquet`` scan so Catalyst gets full
+predicate pushdown / column pruning / partition pruning; loaders add no
+caching or materialization (at 100 TB the scan must stream).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H
+# sizing: region=5 rows, nation=25 rows always; supplier/part/customer
+# grow with sf but stay dimension-ish vs lineitem/orders facts).
+BROADCASTABLE = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
+        # natively (PARQUET_TYPE_ILLEGAL); read nanos as long and convert
+        # with integer division (ns > 2^53, so float division would lose
+        # precision). DuckDB truncates ns->us identically, keeping oracle
+        # parity.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql()."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

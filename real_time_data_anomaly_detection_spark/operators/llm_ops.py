@@ -1,0 +1,134 @@
+"""LLM-training-data pipeline operators over documents/embeddings.
+
+North-star additions beyond the reference surface (SURVEY.md §2.2
+"LLM ops"): exact dedup, text token analysis, per-language stats,
+exact cosine top-k similarity search. Approximate variants (MinHash,
+SimHash, LSH ANN) live in dedup.py / similarity.py with their own
+non-oracle tests.
+
+All operators are scale-first: dedup is a hash aggregate (map-side
+combine), token analysis is explode+agg (no driver collect), cosine
+top-k broadcasts the probe vector and computes JVM-side with
+higher-order array functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.io import load_table
+from real_time_data_anomaly_detection_spark.operators.registry import query
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+        SELECT lang, count(DISTINCT text) AS n_distinct, count(*) AS n_docs
+        FROM documents GROUP BY lang
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting per language: distinct texts vs total docs.
+
+    At scale: count(DISTINCT text) over 100 TB of text should hash the
+    text first; see dedup.exact_dedup which dedups on sha2(text, 256)
+    so the shuffle carries 32-byte keys, not documents.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.countDistinct("text").alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+        SELECT token, count(*) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + global token counts, top 20.
+
+    explode → groupBy is fully distributed; Spark's TakeOrderedAndProject
+    handles the limit without a global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+        SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document stats."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars").cast("double"), 4).alias("avg_chars"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count (whitespace tokenizer)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+
+
+@query(
+    "q_cosine_topk",
+    oracle="""
+        WITH probe AS (
+            SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], p), 4) AS cos_sim
+        FROM embeddings, probe
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 nearest neighbors to the vec_id=0 probe.
+
+    The probe is collected once (a single 64-float row — not a data-path
+    collect) and inlined as a literal array, so the scan side needs no
+    join at all: one pass, JVM-side higher-order functions, then
+    TakeOrderedAndProject. At 100 TB this is the brute-force baseline;
+    similarity.py adds the LSH-bucketed scale path.
+    """
+    from real_time_data_anomaly_detection_spark.functions.vector import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding").cast("array<double>"), probe_col), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

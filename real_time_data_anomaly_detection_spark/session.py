@@ -1,0 +1,55 @@
+"""SparkSession construction with scale-aware defaults.
+
+Local mode is a correctness proxy only; every config below is chosen to
+also be the right call on a 1000-executor cluster: AQE for runtime
+re-planning (skew joins, partition coalescing), Arrow for any
+Python-exchange path, UTC session time zone so timestamp semantics match
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "real_time_data_anomaly_detection_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    At real cluster scale the same knobs apply; only ``master`` and the
+    shuffle-partition count (sized ~2-3x total cores, with AQE coalescing
+    the excess) change.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # AQE: runtime re-planning — coalesce small shuffle partitions,
+        # convert SMJ->broadcast when runtime stats allow, split skewed
+        # partitions. Essential at 100 TB, harmless at sf0.01.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batches for any pandas_udf / applyInPandas / toPandas path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp semantics (oracle parity).
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
