@@ -1,0 +1,140 @@
+"""Streaming replay tests (SURVEY.md §5.2.2): file-source replay with
+pinned trigger boundaries; streaming results must equal batch twins /
+a pure-Python deque simulation of the reference (app/app3_ML.py:129-130)."""
+
+from __future__ import annotations
+
+import collections
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.streaming.generator import energy_batch
+from real_time_data_anomaly_detection_spark.streaming.source import (
+    file_replay_source,
+    parse_energy_json,
+)
+from real_time_data_anomaly_detection_spark.streaming.stateful import last_n_window
+from real_time_data_anomaly_detection_spark.streaming.windows import tumbling_agg
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    """Energy fixture written as 4 parquet files = 4 deterministic
+    micro-batches (maxFilesPerTrigger=1)."""
+    path = str(tmp_path_factory.mktemp("replay"))
+    df = energy_batch(spark, n_rows=3000, seed=9).orderBy("timestamp")
+    # One file per quarter of the stream, preserving time order.
+    pdf = df.toPandas()
+    # tz-localize so parquet gets isAdjustedToUTC=true -> Spark reads
+    # TimestampType (watermarks reject TIMESTAMP_NTZ).
+    pdf["timestamp"] = pdf["timestamp"].dt.tz_localize("UTC")
+    for i in range(4):
+        chunk = pdf.iloc[i * 750 : (i + 1) * 750]
+        chunk.to_parquet(
+            os.path.join(path, f"part-{i:02d}.parquet"),
+            index=False,
+            coerce_timestamps="us",  # Spark can't scan TIMESTAMP(NANOS)
+        )
+    return path
+
+
+def _run_to_memory(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_stream_equals_batch_twin(spark, replay_dir):
+    batch_df = spark.read.parquet(replay_dir)
+    stream_df = file_replay_source(spark, replay_dir, batch_df.schema)
+
+    streamed = _run_to_memory(
+        spark,
+        tumbling_agg(stream_df, duration="1 minute", watermark="2 minutes"),
+        "t_tumbling",
+    )
+    expected = tumbling_agg(batch_df, duration="1 minute", watermark=None)
+
+    import datetime
+
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    # Exactly the windows closed by the final watermark are emitted:
+    # append mode holds back any window with end > (max_ts - delay).
+    max_ts = batch_df.agg(F.max("timestamp")).head()[0]
+    final_wm = max_ts - datetime.timedelta(minutes=2)
+    closed = {t for t in want if t[1] <= final_wm}
+    assert got == closed
+    assert len(got) > 0
+
+
+def test_last_n_window_matches_deque_simulation(spark, replay_dir):
+    batch_df = spark.read.parquet(replay_dir)
+    stream_df = file_replay_source(spark, replay_dir, batch_df.schema)
+
+    out = _run_to_memory(
+        spark,
+        last_n_window(stream_df, n=100, emit="window"),
+        "t_lastn",
+    )
+    # The memory table accumulates every trigger's emission; the final
+    # trigger's window is the last 100 rows per group. Reconstruct the
+    # final state: for each group take the newest 100 timestamps emitted.
+    got_final = {}
+    for r in out.collect():
+        got_final.setdefault(r.plant_type, []).append(r.timestamp)
+
+    # Deque simulation of the reference (app/app3_ML.py:39-45, 129-130).
+    sim: dict[str, collections.deque] = {}
+    for r in sorted(batch_df.collect(), key=lambda r: r.timestamp):
+        sim.setdefault(r.plant_type, collections.deque(maxlen=100)).append(r.timestamp)
+
+    for plant, want_ts in sim.items():
+        got_ts = sorted(set(got_final[plant]))[-100:]
+        assert got_ts == sorted(want_ts), plant
+
+
+def test_stateful_outlier_stream_runs(spark, replay_dir):
+    batch_df = spark.read.parquet(replay_dir)
+    stream_df = file_replay_source(spark, replay_dir, batch_df.schema)
+    out = _run_to_memory(
+        spark,
+        last_n_window(stream_df, n=500, emit="outliers", min_rows=50),
+        "t_outliers",
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {"score"} <= set(out.columns)
+    # Emitted outliers are rows of the stream, enriched in injected anomalies.
+    true_rate = sum(1 for r in rows if r.is_anomaly) / len(rows)
+    assert true_rate >= 0.3
+
+
+def test_json_roundtrip_parse(spark):
+    """Kafka-path parse parity: to_json → parse_energy_json restores
+    typed rows (reference app/app3_ML.py:89-93)."""
+    df = energy_batch(spark, n_rows=50).drop("is_anomaly")
+    as_json = df.select(
+        F.to_json(
+            F.struct(
+                F.date_format(
+                    "timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+                ).alias("timestamp"),
+                *[F.col(c) for c in df.columns if c != "timestamp"],
+            )
+        ).alias("value")
+    )
+    parsed = parse_energy_json(as_json)
+    assert parsed.schema.simpleString() == df.schema.simpleString()
+    assert parsed.count() == 50
+    # Malformed rows are dropped, not crashed on.
+    bad = spark.createDataFrame([("{not json",), ("{}",)], "value string")
+    assert parse_energy_json(bad).count() == 0
