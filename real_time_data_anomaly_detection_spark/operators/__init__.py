@@ -17,6 +17,8 @@ from real_time_data_anomaly_detection_spark.operators.registry import (
 from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F401
     relational,
     llm_ops,
+    dedup,
+    textops,
 )
 
 __all__ = ["REGISTRY", "Query", "query"]

@@ -1,0 +1,97 @@
+"""Similarity search over embedding columns.
+
+Two paths:
+- brute-force exact cosine top-k (llm_ops.q_cosine_topk): one scan,
+  JVM-side math, TakeOrderedAndProject — the correctness baseline and
+  perfectly scalable for single-probe lookups (it's a map + top-k, no
+  shuffle of the vectors).
+- random-hyperplane LSH (this module): deterministic seeded
+  hyperplanes; vectors bucketed by sign-pattern; probes search only
+  matching buckets (multi-probe over Hamming-adjacent buckets for
+  recall). At 100 TB the bucket column is a partition/bucketing key, so
+  a probe touches a handful of partitions instead of the full corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.functions.vector import cosine_similarity
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_expr(vec_col, planes: np.ndarray):
+    """Sign-pattern bucket id: bit i set iff dot(vec, plane_i) > 0."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(vec_col, lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Add a deterministic LSH ``bucket`` column (2^n_planes buckets).
+
+    At scale, write the table partitioned/bucketed by this column so
+    probe queries prune to matching files.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn("bucket", _bucket_expr(v, planes))
+
+
+def ann_topk(
+    df: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe_hamming: int = 2,
+) -> DataFrame:
+    """Approximate top-k by cosine: search only LSH buckets within
+    ``multiprobe_hamming`` bit-flips of the probe's bucket.
+
+    Candidate fraction ≈ sum_{i<=h} C(p,i)/2^p (h=2, p=8 → ~14%), with
+    recall measured against the exact scan in tests/test_similarity.py.
+    """
+    planes = _hyperplanes(len(probe), n_planes, seed)
+    probe_bucket = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, probe)) > 0))
+
+    bucketed = with_lsh_buckets(df, vec_col, len(probe), n_planes, seed)
+    hamming = F.bit_count(
+        F.col("bucket").cast("bigint").bitwiseXOR(F.lit(probe_bucket).cast("bigint"))
+    )
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        bucketed.filter(hamming <= multiprobe_hamming)
+        .select(
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col).cast("array<double>"), probe_col), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,82 @@
+"""Dedup operator tests: exact, MinHash-LSH recall vs exact Jaccard,
+SimHash behavior on near-identical docs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_neardup_pairs,
+    shingles,
+    simhash_fingerprints,
+    simhash_pairs,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near-dup of 0
+        (3, "completely different words about spark shuffles and partitions here"),
+        (4, "another unrelated document mentioning catalyst optimizer and codegen"),
+        (5, base + " extra trailing tokens added"),  # near-dup, longer
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    d = _docs(spark)
+    out = exact_dedup(d, ["text"], "doc_id").collect()
+    kept = sorted(r.doc_id for r in out)
+    assert kept == [0, 2, 3, 4, 5]  # doc 1 removed, doc 0 kept (min id)
+
+
+def test_jaccard_pairs_finds_neardups(spark):
+    d = _docs(spark)
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(shingles(d), threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical
+    assert (0, 5) in pairs and pairs[(0, 5)] > 0.5  # superset doc
+    assert (0, 2) in pairs  # one-token edit
+    assert (3, 4) not in pairs  # unrelated
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH candidates must recover every exact pair with J >= 0.5
+    (S-curve at b=8, r=4 makes misses at 0.5+ essentially impossible)."""
+    d = _docs(spark)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(shingles(d), threshold=0.5).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_neardup_pairs(d, threshold=0.5).collect()
+    }
+    assert exact, "fixture must contain high-similarity pairs"
+    assert exact <= approx | exact and approx <= exact  # verified pairs == exact on candidates
+    assert exact & approx == exact, f"missed: {exact - approx}"
+
+
+def test_simhash_hamming_orders_similarity(spark):
+    d = _docs(spark)
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(d).collect()}
+    assert fps[0] == fps[1]  # identical docs → identical fingerprints
+    ham = lambda a, b: bin(fps[a] ^ fps[b]).count("1")  # noqa: E731
+    assert ham(0, 2) < ham(0, 3)  # near-dup closer than unrelated
+
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(d, max_hamming=10).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_deterministic(spark):
+    d = _docs(spark)
+    a = sorted(map(tuple, minhash_neardup_pairs(d).collect()))
+    b = sorted(map(tuple, minhash_neardup_pairs(d).collect()))
+    assert a == b

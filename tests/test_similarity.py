@@ -1,0 +1,74 @@
+"""ANN (LSH-bucketed) similarity search: recall vs the exact scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.functions.vector import cosine_similarity
+from real_time_data_anomaly_detection_spark.io import load_table
+from real_time_data_anomaly_detection_spark.operators.similarity import (
+    ann_topk,
+    with_lsh_buckets,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _probe(spark):
+    e = load_table(spark, SF_DIR, "embeddings")
+    return [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+
+def test_buckets_are_deterministic_and_bounded(spark):
+    e = load_table(spark, SF_DIR, "embeddings")
+    b1 = with_lsh_buckets(e).select("vec_id", "bucket")
+    b2 = with_lsh_buckets(e).select("vec_id", "bucket")
+    assert sorted(map(tuple, b1.collect())) == sorted(map(tuple, b2.collect()))
+    stats = b1.agg(F.min("bucket"), F.max("bucket"), F.countDistinct("bucket")).head()
+    assert 0 <= stats[0] and stats[1] < 256
+    assert stats[2] > 16  # random vectors spread over many buckets
+
+
+def test_ann_recall_vs_exact(spark):
+    e = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    probe = _probe(spark)
+    probe_col = F.array(*[F.lit(x) for x in probe])
+    exact = [
+        r.vec_id
+        for r in e.select(
+            "vec_id",
+            cosine_similarity(F.col("embedding").cast("array<double>"), probe_col).alias(
+                "cs"
+            ),
+        )
+        .orderBy(F.desc("cs"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    approx = [r.vec_id for r in ann_topk(e, probe, k=10).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    # Random 64-dim vectors are a worst case for hyperplane LSH; with
+    # multiprobe hamming<=2 we still demand clearly-better-than-random
+    # candidate quality on ~14% of the corpus.
+    assert recall >= 0.3, f"recall {recall}: exact={exact} approx={approx}"
+
+
+def test_ann_searches_fraction_of_corpus(spark):
+    e = load_table(spark, SF_DIR, "embeddings")
+    probe = _probe(spark)
+    bucketed = with_lsh_buckets(e)
+    # candidates = rows within hamming<=2 of probe bucket; must be well
+    # under the full corpus (that's the point of the index).
+    from real_time_data_anomaly_detection_spark.operators.similarity import (
+        _hyperplanes,
+    )
+    import numpy as np
+
+    planes = _hyperplanes(64, 8, 42)
+    pb = int(sum((1 << i) for i, p in enumerate(planes) if float(np.dot(p, probe)) > 0))
+    n_cand = bucketed.filter(
+        F.bit_count(F.col("bucket").cast("bigint").bitwiseXOR(F.lit(pb).cast("bigint")))
+        <= 2
+    ).count()
+    n_total = bucketed.count()
+    assert n_cand < 0.5 * n_total
