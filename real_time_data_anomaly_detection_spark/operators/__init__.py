@@ -19,6 +19,7 @@ from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F40
     llm_ops,
     dedup,
     textops,
+    asof,
 )
 
 __all__ = ["REGISTRY", "Query", "query"]

@@ -727,6 +727,110 @@ def q_window_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pivot",
+    oracle="""
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')    AS click,
+               count(*) FILTER (WHERE event_type = 'error')    AS error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+               count(*) FILTER (WHERE event_type = 'view')     AS view
+        FROM events GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type.
+
+    Values are enumerated explicitly — a values-less pivot triggers an
+    extra distinct scan to discover them (avoid at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = ev.groupBy("user_id").pivot("event_type", types).count()
+    # Spark pivot yields NULL for absent combos; oracle's FILTER count
+    # yields 0 — normalize.
+    return pivoted.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@query("q_approx_distinct")  # approximate (HLL) → no oracle; ±5% vs exact in tests
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event type — the
+    constant-memory cardinality path for 100 TB (exact distinct
+    shuffles every key)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+        SELECT event_type, round(sum(value * value), 4) AS sum_sq
+        FROM events GROUP BY event_type
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via GROUPED_AGG pandas_udf (Arrow-batched partial
+    aggregation per group) — semantics chosen SQL-expressible so the
+    mechanism itself is oracle-checked."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _sum_sq(v):
+        return float((v * v).sum())
+
+    sum_sq = pandas_udf(_sum_sq, "double", F.PandasUDFType.GROUPED_AGG)
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(sum_sq("value"), 4).alias("sum_sq")
+    )
+
+
+@query(
+    "q_regexp",
+    oracle="""
+        SELECT event_id,
+               regexp_extract(props, '[0-9]+')          AS first_num,
+               regexp_matches(props, '"k"')             AS has_k
+        FROM events WHERE props IS NOT NULL
+    """,
+)
+def q_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar functions (extract + boolean match)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("props").isNotNull()).select(
+        "event_id",
+        F.regexp_extract("props", "[0-9]+", 0).alias("first_num"),
+        F.col("props").rlike('"k"').alias("has_k"),
+    )
+
+
+@query(
+    "q_null_funcs",
+    oracle="""
+        SELECT event_id,
+               coalesce(value, 0.0)                  AS v,
+               CASE WHEN value = 0 THEN NULL ELSE value END AS nz,
+               round(greatest(value, 50.0), 4)       AS hi,
+               round(least(value, 50.0), 4)          AS lo
+        FROM events
+    """,
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalars: coalesce / nullif / greatest / least."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("v"),
+        F.nullif(F.col("value"), F.lit(0.0)).alias("nz"),
+        _r(F.greatest(F.col("value"), F.lit(50.0))).alias("hi"),
+        _r(F.least(F.col("value"), F.lit(50.0))).alias("lo"),
+    )
+
+
+@query(
     "q_udf_scalar",
     oracle="""
         SELECT event_id, round(least(greatest(value / 100, 0), 1), 4) AS clamped01

@@ -1,0 +1,98 @@
+"""Physical-plan regression tests: the scale properties that make
+queries viable at 100 TB, asserted via explain() (SURVEY.md §5.2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.io import load_table
+from real_time_data_anomaly_detection_spark.operators import REGISTRY
+from real_time_data_anomaly_detection_spark.plans import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    has_pushed_filters,
+    scan_read_schema,
+)
+from tests.conftest import SF_DIR
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = REGISTRY["q_filter_range"].spark_fn(spark, SF_DIR)
+    assert has_pushed_filters(
+        df, "GreaterThanOrEqual(l_quantity", "LessThanOrEqual(l_quantity"
+    ), formatted_plan(df)
+
+
+def test_column_pruning_reaches_reader(spark):
+    df = REGISTRY["q_scan_project"].spark_fn(spark, SF_DIR)
+    cols = scan_read_schema(df)
+    assert set(cols) == {"event_id", "event_type", "value"}, cols
+
+
+def test_dim_join_broadcasts(spark):
+    df = REGISTRY["q_join_broadcast"].spark_fn(spark, SF_DIR)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) == 0  # broadcast ⇒ no shuffle exchange
+
+
+def test_fact_join_broadcasts_small_side_under_aqe(spark):
+    # orders ⋈ customer at small SF: AQE should pick broadcast at
+    # runtime; statically we at least require no more than one shuffle
+    # pair. Materialize to let AQE finalize, then check the final plan.
+    df = REGISTRY["q_join_inner"].spark_fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "AdaptiveSparkPlan" in plan
+
+
+def test_agg_has_partial_aggregation(spark):
+    """groupBy must plan partial (map-side) HashAggregate before the
+    exchange — the thing that makes 100 TB aggregation feasible."""
+    df = REGISTRY["q_agg_group"].spark_fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert count_exchanges(df) == 1
+
+
+def test_topk_avoids_global_sort(spark):
+    df = REGISTRY["q_topk"].spark_fn(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_whole_stage_codegen_in_hot_paths(spark):
+    df = REGISTRY["q_project_compute"].spark_fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    # formatted mode marks codegen'd operators with a leading '*'
+    assert any(
+        ln.strip().startswith("* ") for ln in plan.splitlines()
+    ), plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-trick as-of join must cost one shuffle (the window
+    partitionBy), not a join + sort cascade."""
+    df = REGISTRY["q_asof_join"].spark_fn(spark, SF_DIR)
+    assert count_exchanges(df) <= 1, formatted_plan(df)
+
+
+def test_cosine_topk_is_scan_plus_topk(spark):
+    """Brute-force cosine top-k: no exchange except the final top-k
+    gather — the probe is inlined, not joined."""
+    df = REGISTRY["q_cosine_topk"].spark_fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_events_ts_filter_prunes(spark):
+    """Predicate on converted-ts events still prunes other columns."""
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("event_type") == "error"
+    ).select("event_id")
+    assert has_pushed_filters(ev, "EqualTo(event_type,error)")
+    cols = scan_read_schema(ev)
+    assert "props" not in cols and "value" not in cols
