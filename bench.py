@@ -39,11 +39,13 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
-    # Warm the JVM + parquet footers once so timings measure query
-    # execution, not session bootstrap.
-    REGISTRY["q_scan_project"].spark_fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # Warm-up pass: JIT/codegen compilation + parquet footer reads are
+    # one-time costs a long-lived engine doesn't pay per query; timings
+    # below measure steady-state execution.
+    for name in HEADLINE:
+        REGISTRY[name].spark_fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:

@@ -727,6 +727,30 @@ def q_window_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_struct_map",
+    oracle="""
+        SELECT event_id,
+               struct_pack(t := event_type, u := user_id).t        AS stype,
+               map_extract(map([event_type], [value]), event_type)[1] AS mval_raw,
+               round(map_extract(map([event_type], [value]), event_type)[1], 4) AS mval
+        FROM events
+    """,
+)
+def q_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field access, map construction + key
+    lookup (output scalars so hashes compare engine-neutrally)."""
+    ev = load_table(spark, sf_dir, "events")
+    st = F.struct(F.col("event_type").alias("t"), F.col("user_id").alias("u"))
+    mp = F.create_map(F.col("event_type"), F.col("value"))
+    return ev.select(
+        "event_id",
+        st.getField("t").alias("stype"),
+        F.element_at(mp, F.col("event_type")).alias("mval_raw"),
+        _r(F.element_at(mp, F.col("event_type"))).alias("mval"),
+    )
+
+
+@query(
     "q_pivot",
     oracle="""
         SELECT user_id,
