@@ -20,6 +20,7 @@ from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F40
     dedup,
     textops,
     asof,
+    tpch,
 )
 
 __all__ = ["REGISTRY", "Query", "query"]

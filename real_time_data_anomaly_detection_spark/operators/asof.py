@@ -50,10 +50,16 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
     # right rows (side=0) sort before left rows at equal times → equal
-    # timestamps match, per ASOF >= semantics.
+    # timestamps match, per ASOF >= semantics. Trailing value-col sort
+    # keys break ties among right rows sharing a timestamp (the max
+    # value tuple wins), making results partition-order independent.
     w = (
         W.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(
+            F.col(on).asc(),
+            F.col("_side").asc(),
+            *[F.col(f"_r_{c}").asc_nulls_first() for c in value_cols],
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = unioned.select(

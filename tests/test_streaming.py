@@ -118,6 +118,47 @@ def test_stateful_outlier_stream_runs(spark, replay_dir):
     assert true_rate >= 0.3
 
 
+def test_session_window_batch(spark):
+    """Gap-based sessionization: rows <gap apart merge, larger gaps
+    split sessions."""
+    import datetime
+
+    from real_time_data_anomaly_detection_spark.streaming.windows import session_agg
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("A", base),
+        ("A", base + datetime.timedelta(minutes=1)),
+        ("A", base + datetime.timedelta(minutes=20)),  # new session
+        ("B", base),
+    ]
+    df = spark.createDataFrame(rows, "plant_type string, timestamp timestamp")
+    out = session_agg(df, gap="5 minutes").collect()
+    sessions = {(r.plant_type, r.window_start, r.n) for r in out}
+    assert ("A", base, 2) in sessions
+    assert ("A", base + datetime.timedelta(minutes=20), 1) in sessions
+    assert ("B", base, 1) in sessions
+    assert len(out) == 3
+
+
+def test_detection_pipeline_end_to_end(spark, replay_dir):
+    """Full pipeline module: file-replay source → stateful window →
+    scoring → memory sink."""
+    from real_time_data_anomaly_detection_spark.streaming.pipeline import (
+        run_detection_pipeline,
+    )
+
+    batch_df = spark.read.parquet(replay_dir)
+    stream_df = file_replay_source(spark, replay_dir, batch_df.schema)
+    q = run_detection_pipeline(
+        spark, stream_df, sink_table="pipe_outliers", trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    out = spark.table("pipe_outliers")
+    assert out.count() > 0
+    assert "score" in out.columns
+
+
 def test_json_roundtrip_parse(spark):
     """Kafka-path parse parity: to_json → parse_energy_json restores
     typed rows (reference app/app3_ML.py:89-93)."""
