@@ -68,6 +68,29 @@ def to_kafka(
     )
 
 
+def stop_gracefully(query: StreamingQuery, timeout_sec: float = 60.0) -> None:
+    """Drain-then-stop: wait for the current trigger to finish before
+    stopping, so no in-flight state-store commit is aborted (a bare
+    ``stop()`` interrupts mid-commit and logs CANNOT_WRITE_STATE_STORE
+    errors).
+
+    Works by polling query status until the trigger is idle; for
+    always-busy sources (high-rate), falls back to a hard stop at
+    ``timeout_sec``.
+    """
+    import time
+
+    deadline = time.time() + timeout_sec
+    while time.time() < deadline:
+        status = query.status
+        if not status.get("isTriggerActive", False):
+            break
+        time.sleep(0.1)
+    query.stop()
+    # awaitTermination returns once the stream thread exits.
+    query.awaitTermination(int(timeout_sec))
+
+
 def to_foreach_batch(
     df: DataFrame, fn: Callable, trigger: dict | None = None
 ) -> StreamingQuery:

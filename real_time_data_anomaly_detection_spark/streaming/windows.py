@@ -89,6 +89,37 @@ def session_agg(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "5 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with the event-time range bound that
+    makes state finite: right rows join left rows within
+    [left_ts, left_ts + max_delay].
+
+    Both sides carry watermarks so Spark can evict join state — without
+    the time bound + watermarks, stream-stream join state grows forever
+    (the #1 way to OOM a long-running job). Outer variants additionally
+    need the watermark to know when to emit unmatched rows.
+    """
+    l_wm = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r_wm = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (l_wm[key] == r_wm[key])
+        & (r_wm[right_ts] >= l_wm[left_ts])
+        & (r_wm[right_ts] <= F.expr(f"{left_ts} + INTERVAL {max_delay}"))
+    )
+    # Expression joins keep both key columns; drop the right one so the
+    # output has a single unambiguous `key`.
+    return l_wm.join(r_wm, cond, how).drop(r_wm[key])
+
+
 def stream_dedup(
     df: DataFrame, keys: list[str], ts_col: str = "timestamp", watermark: str = "10 minutes"
 ) -> DataFrame:
