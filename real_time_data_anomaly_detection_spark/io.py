@@ -46,11 +46,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # natively (PARQUET_TYPE_ILLEGAL); read nanos as long and convert
         # with integer division (ns > 2^53, so float division would lose
         # precision). DuckDB truncates ns->us identically, keeping oracle
-        # parity.
+        # parity. The target type is TIMESTAMP_NTZ built by pure epoch
+        # arithmetic — year()/hour()/date_trunc() on it are independent
+        # of the session time zone (the driver's session tz is not ours
+        # to set; tz-aware TIMESTAMP would shift under non-UTC sessions).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
         return df
     return spark.read.parquet(path)
 

@@ -619,7 +619,14 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.date_trunc("hour", "ts").alias("ts_hour"),
+        # hour-truncate via epoch arithmetic: date_trunc() would cast
+        # TIMESTAMP_NTZ to session-tz TIMESTAMP and shift under non-UTC
+        # driver sessions.
+        F.expr(
+            "timestampadd(HOUR,"
+            " timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts),"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("ts_hour"),
         F.year("ts").alias("y"),
         F.month("ts").alias("mo"),
         F.dayofmonth("ts").alias("d"),

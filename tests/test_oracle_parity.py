@@ -15,6 +15,23 @@ from tools.verify_oracle import rows_multiset
 ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
 
 
+@pytest.mark.parametrize("name", ["q_date_funcs", "q_window_tumbling_batch", "q_agg_global", "q_asof_join"])
+def test_time_queries_session_tz_independent(name, spark, duck):
+    """The driver controls its own session tz; time-derived outputs must
+    not shift under a non-UTC session (events.ts is TIMESTAMP_NTZ via
+    pure epoch arithmetic — io.load_table)."""
+    q = REGISTRY[name]
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        srows = [tuple(r) for r in q.spark_fn(spark, SF_DIR).collect()]
+        scols = q.spark_fn(spark, SF_DIR).columns
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    res = duck.execute(q.oracle)
+    dcols = [d[0] for d in res.description]
+    assert rows_multiset(scols, srows) == rows_multiset(dcols, res.fetchall())
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(name, spark, duck):
     q = REGISTRY[name]
