@@ -56,17 +56,46 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Streaming throughput: sustained rows/sec through the full
+    # source -> stateful-window -> score -> sink pipeline (reference
+    # sustains 8 ev/s, its configured cap is 1000/s — BASELINE.md).
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAM", "1") == "1":
+        result["stream_rows_per_sec"] = _stream_throughput(spark)
+
+    print(json.dumps(result))
+
+
+def _stream_throughput(spark, seconds: float = 12.0) -> float:
+    from real_time_data_anomaly_detection_spark.streaming.generator import (
+        energy_rate_stream,
     )
+    from real_time_data_anomaly_detection_spark.streaming.pipeline import (
+        run_detection_pipeline,
+    )
+    from real_time_data_anomaly_detection_spark.streaming.sinks import stop_gracefully
+
+    # Offer well above the reference's 1000/s cap; report what was
+    # actually processed.
+    q = run_detection_pipeline(
+        spark, energy_rate_stream(spark, rows_per_second=20_000), sink_table="bench_out"
+    )
+    time.sleep(seconds)
+    rates = []
+    try:
+        for p in q.recentProgress:
+            if p and p.get("processedRowsPerSecond"):
+                rates.append(p["processedRowsPerSecond"])
+    finally:
+        stop_gracefully(q, timeout_sec=30)
+    return round(sum(rates[-5:]) / max(len(rates[-5:]), 1), 1)
 
 
 if __name__ == "__main__":
