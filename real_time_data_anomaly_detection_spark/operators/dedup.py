@@ -278,15 +278,40 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4).
 
-    All-pairs exact baseline; similarity.ann_topk holds the LSH-bucketed
-    scale path. The join condition vec_a < vec_b halves the work."""
+    Plan shape: posexplode to (vec_id, pos, component), equi-join on
+    ``pos`` with a vec_a < vec_b residual, hash-aggregate the per-pair
+    dot products, then attach precomputed norms. Everything is
+    codegen'd joins/aggregates — the naive cross join plans a
+    BroadcastNestedLoopJoin whose per-pair interpreted higher-order
+    cosine made it ~20x slower (and at scale BNLJ is a non-starter).
+    similarity.ann_topk holds the LSH-bucketed path that avoids the
+    all-pairs term entirely."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("eb"))
-    cs = cosine_similarity(F.col("ea"), F.col("eb"))
+    ex = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    norms = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm"))
+    # The source is a single parquet file = one input task; repartition
+    # the probe side so pair generation + partial agg use every core.
+    a = ex.repartition(32, "vec_id").select(
+        F.col("vec_id").alias("vec_a"), "pos", F.col("v").alias("va")
+    )
+    b = ex.select(F.col("vec_id").alias("vec_b"), "pos", F.col("v").alias("vb"))
+    # Broadcast the (tiny) exploded right side: the 64-distinct-pos key
+    # makes a sort-merge join degenerate (every key matches n_vec rows
+    # per side); a broadcast hash join streams the pairs with map-side
+    # partial aggregation and no shuffle of the 16M intermediate rows.
+    dots = (
+        a.join(F.broadcast(b), (a.pos == b.pos) & (F.col("vec_a") < F.col("vec_b")))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("norm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim_raw", cs)
-        .filter(F.col("cos_sim_raw") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cos_sim_raw", 4).alias("cos_sim"))
+        dots.join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
+        .filter(cos >= 0.4)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
     )
