@@ -44,7 +44,11 @@ def exact_dedup(df: DataFrame, cols: list[str], keep_col: str) -> DataFrame:
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct n-token shingles per document: (id, shingle)."""
-    toks = df.select(id_col, F.split(F.col(text_col), " ").alias("t"))
+    # Single-file sources scan as one task; spread docs before the
+    # explode so shingling/hashing parallelizes.
+    toks = df.repartition(32, id_col).select(
+        id_col, F.split(F.col(text_col), " ").alias("t")
+    )
     idx = F.sequence(F.lit(0), F.size("t") - n)
     shingle = lambda i: F.concat_ws(" ", *[F.element_at("t", i + j + 1) for j in range(n)])  # noqa: E731
     return (
@@ -158,6 +162,7 @@ def simhash_fingerprints(
     Each distinct token hashes to 64 bits; every bit votes ±1; the
     fingerprint's bit is 1 where the vote sum is positive. Explode is
     tokens×64 rows — linear, shuffle-free until one groupBy."""
+    df = df.repartition(32, id_col)  # parallelize single-file sources
     toks = df.select(
         id_col, F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
