@@ -21,6 +21,7 @@ from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F40
     textops,
     asof,
     tpch,
+    sqlx,
 )
 
 __all__ = ["REGISTRY", "Query", "query"]

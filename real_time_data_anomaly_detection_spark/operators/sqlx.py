@@ -1,0 +1,141 @@
+"""Extended SQL surface: ranking variants, exact percentiles, ordered
+string aggregation, arg-max, and subquery forms (scalar + correlated)
+executed through spark.sql — demonstrating the engine's full SQL entry
+point alongside the DataFrame DSL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.io import load_table
+from real_time_data_anomaly_detection_spark.operators.registry import query
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+        SELECT event_id,
+               ntile(4)       OVER w AS quartile,
+               dense_rank()   OVER w AS drnk,
+               round(percent_rank() OVER w, 4) AS prnk
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / dense_rank / percent_rank ranking variants."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 4).alias("prnk"),
+    )
+
+
+@query(
+    "q_percentile",
+    oracle="""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4)  AS p50,
+               round(quantile_cont(value, 0.95), 4) AS p95
+        FROM events GROUP BY event_type
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles per group — both engines use
+    linear interpolation for continuous quantiles."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+        SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+        FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (array_sort makes the concat order
+    deterministic — collect_list alone is partition-order dependent)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names")
+    )
+
+
+@query(
+    "q_argmax",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, event_id,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id DESC) AS rmax,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value ASC, event_id ASC)  AS rmin
+            FROM events)
+        SELECT event_type,
+               max(CASE WHEN rmax = 1 THEN event_id END) AS top_event,
+               max(CASE WHEN rmin = 1 THEN event_id END) AS bottom_event
+        FROM ranked GROUP BY event_type
+    """,
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by with a composite (value, id) ordering key — the id
+    tiebreak matters: events.value has thousands of duplicate values."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("max_by(event_id, struct(value, event_id))").alias("top_event"),
+        F.expr("min_by(event_id, struct(value, event_id))").alias("bottom_event"),
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+        SELECT o_orderkey, round(o_totalprice, 4) AS total
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery via the spark.sql entry point."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 4) AS total
+        FROM v_orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM v_orders)
+        """
+    )
+
+
+@query(
+    "q_correlated_subquery",
+    oracle="""
+        SELECT c_custkey,
+               (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        FROM customer
+    """,
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + outer join (no per-row re-execution, unlike the naive
+    nested-loop reading of the SQL)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders2")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer2")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT count(*) FROM v_orders2 WHERE o_custkey = c_custkey) AS n_orders
+        FROM v_customer2
+        """
+    )
