@@ -60,6 +60,96 @@ def with_lsh_buckets(
     return df.withColumn("bucket", _bucket_expr(v, planes))
 
 
+def _kmeans_centroids(
+    sample: np.ndarray, k: int, seed: int, iters: int = 10
+) -> np.ndarray:
+    """Tiny seeded Lloyd's k-means for the IVF coarse quantizer.
+
+    Runs driver-side on a SAMPLE (centroid fitting is O(sample·k·d) and
+    needs no distribution; assignment of the full corpus is the
+    distributed part)."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids
+
+
+def with_ivf_cells(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    sample_rows: int = 2048,
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF index: assign every vector to its nearest of k centroids.
+
+    Centroids fit on a bounded sample (driver-side numpy — not a
+    data-path collect); assignment is a single codegen'd pass comparing
+    against k literal arrays. At scale, persist partitioned by ``cell``
+    so probes scan only nprobe/k of the data. Returns (df+cell,
+    centroids).
+    """
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    centroids = _kmeans_centroids(sample, k, seed)
+    v = F.col(vec_col).cast("array<double>")
+    d2s = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        d2s.append(
+            F.aggregate(
+                F.zip_with(v, lit_c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            )
+        )
+    # argmin over k distances as a CASE chain on the running minimum
+    cell = F.lit(0)
+    best = d2s[0]
+    for i in range(1, len(d2s)):
+        cell = F.when(d2s[i] < best, F.lit(i)).otherwise(cell)
+        best = F.least(best, d2s[i])
+    return df.withColumn("cell", cell.cast("int")), centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: search only the ``nprobe`` cells whose
+    centroids are nearest the probe (candidate fraction ≈ nprobe/k).
+    Recall vs the exact scan is asserted in tests/test_similarity.py."""
+    celled, centroids = with_ivf_cells(df, vec_col, n_cells, seed=seed)
+    p = np.asarray(probe, dtype=np.float64)
+    order = (((centroids - p) ** 2).sum(axis=1)).argsort()[:nprobe]
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        celled.filter(F.col("cell").isin([int(c) for c in order]))
+        .select(
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col).cast("array<double>"), probe_col), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_topk(
     df: DataFrame,
     probe: list[float],

@@ -53,6 +53,39 @@ def test_ann_recall_vs_exact(spark):
     assert recall >= 0.3, f"recall {recall}: exact={exact} approx={approx}"
 
 
+def test_ivf_recall_and_candidate_fraction(spark):
+    from real_time_data_anomaly_detection_spark.operators.similarity import (
+        ivf_topk,
+        with_ivf_cells,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    probe = _probe(spark)
+    probe_col = F.array(*[F.lit(x) for x in probe])
+    exact = [
+        r.vec_id
+        for r in e.select(
+            "vec_id",
+            cosine_similarity(F.col("embedding").cast("array<double>"), probe_col).alias("cs"),
+        )
+        .orderBy(F.desc("cs"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    approx = [r.vec_id for r in ivf_topk(e, probe, k=10, n_cells=16, nprobe=6).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"recall {recall}"
+
+    celled, _ = with_ivf_cells(e, k=16)
+    sizes = celled.groupBy("cell").count().collect()
+    assert len(sizes) >= 8  # cells actually used
+    # deterministic assignment
+    again, _ = with_ivf_cells(e, k=16)
+    assert sorted(map(tuple, celled.select("vec_id", "cell").collect())) == sorted(
+        map(tuple, again.select("vec_id", "cell").collect())
+    )
+
+
 def test_ann_searches_fraction_of_corpus(spark):
     e = load_table(spark, SF_DIR, "embeddings")
     probe = _probe(spark)
