@@ -114,6 +114,82 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tpch_q14",
+    oracle="""
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14 shape): conditional-aggregate ratio
+    over a date-sliced fact ⋈ broadcast part."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                (
+                    100.0
+                    * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                    / F.sum(rev)
+                ).cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle="""
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 21)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+               AND l_quantity BETWEEN 10 AND 40)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (TPC-H Q19 shape): disjunctive multi-attribute
+    predicates spanning both join sides — the residual stays ABOVE the
+    join (it references both tables), but each disjunct's single-table
+    bounds could be pre-derived; we keep the declarative form and let
+    Catalyst handle it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return joined.filter(cond).agg(
+        _round_sum_rev().alias("revenue")
+    )
+
+
+def _round_sum_rev():
+    return F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"), 4
+    )
+
+
+@query(
     "q_tpch_q10",
     oracle=f"""
         SELECT c_custkey, c_name, round(sum({_REV}), 4) AS revenue,
