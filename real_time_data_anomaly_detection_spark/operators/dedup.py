@@ -134,6 +134,35 @@ def minhash_lsh_candidates(
     )
 
 
+def verify_candidates(
+    cands: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.05
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for candidate pairs.
+
+    Intersections come from candidates ⋈ shingles_a ⋈ shingles_b on
+    (doc ids, equal shingle) — cost scales with candidate count, not
+    with all-pairs. This is what makes LSH generate-and-verify cheaper
+    than the exact join at scale."""
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("_doc_b"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("_doc_b")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(j >= threshold)
+        .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
+    )
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -144,14 +173,13 @@ def minhash_neardup_pairs(
     threshold: float = 0.05,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard — the
-    standard generate-and-verify near-dup pipeline. Output identical in
-    shape to jaccard_pairs but computed without the all-pairs join."""
+    standard generate-and-verify near-dup pipeline. Verification cost
+    scales with the candidate set (verify_candidates), never all-pairs."""
     sh = shingles(df, text_col, id_col, n)
     cands = minhash_lsh_candidates(
         minhash_signatures(sh, id_col, num_hashes), id_col, bands, num_hashes // bands
     )
-    exact = jaccard_pairs(sh, id_col, threshold)
-    return cands.join(exact, ["doc_a", "doc_b"], "inner")
+    return verify_candidates(cands, sh, id_col, threshold)
 
 
 def simhash_fingerprints(

@@ -118,6 +118,83 @@ def test_stateful_outlier_stream_runs(spark, replay_dir):
     assert true_rate >= 0.3
 
 
+def test_sliding_stream_equals_batch_twin(spark, replay_dir):
+    from real_time_data_anomaly_detection_spark.streaming.windows import sliding_agg
+
+    batch_df = spark.read.parquet(replay_dir)
+    stream_df = file_replay_source(spark, replay_dir, batch_df.schema)
+    kwargs = dict(duration="2 minutes", slide="1 minute")
+    streamed = _run_to_memory(
+        spark, sliding_agg(stream_df, watermark="2 minutes", **kwargs), "t_sliding"
+    )
+    expected = sliding_agg(batch_df, watermark=None, **kwargs)
+
+    import datetime
+
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    max_ts = batch_df.agg(F.max("timestamp")).head()[0]
+    final_wm = max_ts - datetime.timedelta(minutes=2)
+    closed = {t for t in want if t[1] <= final_wm}
+    assert got == closed and len(got) > 0
+
+
+def test_watermark_late_row_semantics(spark, tmp_path):
+    """Watermark contract (SURVEY.md §5.2.2c), as Spark actually
+    guarantees it: rows within the delay are ALWAYS aggregated; rows
+    beyond it are dropped once their window's state has been finalized
+    (eviction), and drop is best-effort before that. This pins the
+    guaranteed part and the evicted-window part.
+
+    Timeline (1-min windows, 5-min delay):
+      batch0: m0, m30            -> after commit, watermark = 25
+      batch1: m25.5 (in-delay), m31 -> window [0,1) emitted + evicted
+      batch2: m0.5               -> window [0,1) already evicted -> DROPPED
+    Final watermark 26 closes [0,1) and [25,26).
+    """
+    import datetime
+
+    import pandas as pd
+
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    m = lambda k: base + datetime.timedelta(minutes=k)  # noqa: E731
+    files = [
+        [("A", m(0)), ("A", m(30))],
+        [("A", m(25.5)), ("A", m(31))],
+        [("A", m(0.5))],  # straggler into an evicted window
+    ]
+    path = str(tmp_path / "late")
+    os.makedirs(path)
+    for i, rows in enumerate(files):
+        pd.DataFrame(rows, columns=["plant_type", "timestamp"]).to_parquet(
+            os.path.join(path, f"part-{i:02d}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+        )
+    schema = spark.read.parquet(path).schema
+    stream = file_replay_source(spark, path, schema)
+    agg = tumbling_agg(
+        stream, duration="1 minute", watermark="5 minutes",
+        aggs={"n": F.count(F.lit(1))},
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("late_agg")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start.replace(tzinfo=datetime.timezone.utc), r.n)
+        for r in spark.table("late_agg").collect()
+    }
+    # Final watermark = 26: emitted windows are [0,1) and [25,26).
+    # The in-delay row m25.5 IS counted (guarantee). The m0.5 straggler
+    # must NOT create a duplicate [0,1) emission (state was evicted).
+    assert (m(0), 1) in got, got
+    assert (m(25), 1) in got, got
+    n_window0 = sum(1 for ws, _ in got if ws == m(0))
+    assert n_window0 == 1, f"evicted window re-emitted: {got}"
+
+
 def test_session_window_batch(spark):
     """Gap-based sessionization: rows <gap apart merge, larger gaps
     split sessions."""
