@@ -22,13 +22,18 @@ HEADLINE = [
     "q_agg_group",
     "q_join_inner",
     "q_join_3way",
+    "q_tpch_q3",
+    "q_tpch_q10",
     "q_window_rank",
     "q_window_tumbling_batch",
     "q_topk",
     "q_json_get",
+    "q_asof_join",
     "q_dedup_exact",
     "q_text_tokens",
     "q_cosine_topk",
+    "q_embed_neardup",
+    "q_minhash_neardup",
 ]
 
 

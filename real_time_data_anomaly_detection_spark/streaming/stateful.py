@@ -52,6 +52,7 @@ def last_n_window(
     random_state: int = 42,
     min_rows: int = 50,
     features_map: dict[str, list[str]] | None = None,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Stateful last-``n`` rows per group over a streaming DataFrame.
 
@@ -61,6 +62,11 @@ def last_n_window(
     (functions/iforest.py; reference app/app3_ML.py:165-169 semantics)
     and emits only rows of the CURRENT batch labeled -1 — the streaming
     twin of anomaly.score_anomalies.
+
+    ``state_ttl_ms``: evict a group's window after that long with no new
+    data (processing-time timeout). Essential when the group key is
+    high-cardinality (device ids rather than 4 plant types) — without a
+    TTL, state grows with every key ever seen.
     """
     fmap = features_map or PLANT_FEATURES
     in_fields = list(df.schema.fields)
@@ -75,6 +81,9 @@ def last_n_window(
 
     def _update(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         plant = key[0]
+        if state.hasTimedOut:
+            state.remove()  # TTL expiry: drop the idle group's window
+            return
         new = pd.concat(list(pdf_iter), ignore_index=True)
         if state.exists:
             (blob,) = state.get
@@ -84,6 +93,8 @@ def last_n_window(
         # Deque semantics: order by event time (stable), keep newest n.
         window = window.sort_values(ts_col, kind="mergesort").tail(n).reset_index(drop=True)
         state.update((_encode(window[in_cols]),))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
 
         if emit == "window":
             yield window[out_cols]
@@ -122,5 +133,7 @@ def last_n_window(
         outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf=(
+            "ProcessingTimeTimeout" if state_ttl_ms is not None else "NoTimeout"
+        ),
     )

@@ -236,6 +236,63 @@ def test_detection_pipeline_end_to_end(spark, replay_dir):
     assert "score" in out.columns
 
 
+def test_last_n_window_with_ttl_runs(spark, replay_dir):
+    """TTL-enabled variant executes with ProcessingTimeTimeout and
+    produces the same final windows on an uninterrupted replay (no
+    group ever idles long enough to expire here; expiry is a
+    state-size control for high-cardinality keys)."""
+    batch_df = spark.read.parquet(replay_dir)
+    stream_df = file_replay_source(spark, replay_dir, batch_df.schema)
+    out = _run_to_memory(
+        spark,
+        last_n_window(stream_df, n=100, emit="window", state_ttl_ms=3_600_000),
+        "t_lastn_ttl",
+    )
+    assert out.count() > 0
+
+
+def test_update_mode_aggregation(spark, replay_dir):
+    """Update output mode: per-trigger revisions of open windows reach
+    the sink (append would hold them back until the watermark)."""
+    batch_df = spark.read.parquet(replay_dir)
+    stream_df = file_replay_source(spark, replay_dir, batch_df.schema)
+    agg = tumbling_agg(stream_df, duration="1 minute", watermark="2 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("t_update")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_update")
+    # every (window, key) of the batch twin appears at least once, with
+    # the LAST revision equal to the batch value
+    want = {
+        (r.window_start, r.plant_type): r.n
+        for r in tumbling_agg(batch_df, duration="1 minute", watermark=None).collect()
+    }
+    last_rev = {}
+    for r in got.collect():
+        last_rev[(r.window_start, r.plant_type)] = r.n  # memory sink appends in order
+    assert set(last_rev) == set(want)
+    mismatches = {k for k in want if last_rev[k] != want[k]}
+    assert not mismatches, mismatches
+
+
+def test_foreach_batch_sink(spark, replay_dir):
+    from real_time_data_anomaly_detection_spark.streaming.sinks import to_foreach_batch
+
+    batch_df = spark.read.parquet(replay_dir)
+    stream_df = file_replay_source(spark, replay_dir, batch_df.schema)
+    seen = []
+
+    def collect_counts(bdf, batch_id):
+        seen.append((batch_id, bdf.count()))
+
+    q = to_foreach_batch(stream_df, collect_counts, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert len(seen) == 4  # one per replay file
+    assert sum(n for _, n in seen) == batch_df.count()
+
+
 def test_json_roundtrip_parse(spark):
     """Kafka-path parse parity: to_json → parse_energy_json restores
     typed rows (reference app/app3_ML.py:89-93)."""
