@@ -32,6 +32,12 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # Local mode = one JVM; driver memory IS executor memory. The
+        # 1g default OOMs any real shuffle. Takes effect only when this
+        # call launches the JVM (ignored on an already-running session).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

@@ -1,0 +1,71 @@
+"""Local stress run: operator throughput well beyond the sf0.1 bench.
+
+Generates N-row synthetic facts in-engine (spark.range + expressions —
+no disk), then times the core shuffle-bearing operator shapes. Not part
+of the per-round bench; run manually:
+
+    python tools/stress.py [rows]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    from pyspark.sql import functions as F
+
+    from real_time_data_anomaly_detection_spark.session import get_spark
+
+    spark = get_spark(app_name="stress")
+
+    fact = (
+        spark.range(rows, numPartitions=64)
+        .select(
+            F.col("id"),
+            (F.col("id") % 1_000_000).alias("k"),
+            (F.col("id") % 97).alias("grp"),
+            (F.rand(1) * 100).alias("v"),
+            F.timestamp_micros((F.col("id") * 1000) % 100_000_000_000).alias("ts"),
+        )
+    )
+    dim = spark.range(1_000_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("tag")
+    )
+
+    def t(label, df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        print(f"{label:34s} {dt:6.2f}s  ({rows/dt/1e6:6.1f}M rows/s)")
+
+    t("scan+project+filter", fact.filter(F.col("v") > 50).select("id", "v"))
+    t(
+        "groupBy agg (97 groups)",
+        fact.groupBy("grp").agg(F.sum("v"), F.avg("v"), F.count(F.lit(1))),
+    )
+    t(
+        "groupBy agg (1M groups)",
+        fact.groupBy("k").agg(F.sum("v").alias("s")),
+    )
+    t(
+        "shuffle join fact⋈dim (1M keys)",
+        fact.join(dim, "k").select("id", "tag"),
+    )
+    from pyspark.sql import Window as W
+
+    t(
+        "window row_number (97 parts)",
+        fact.withColumn(
+            "rn", F.row_number().over(W.partitionBy("grp").orderBy("ts", "id"))
+        ),
+    )
+    t("top-100 of N", fact.orderBy(F.desc("v"), F.asc("id")).limit(100))
+
+
+if __name__ == "__main__":
+    main()
