@@ -99,6 +99,92 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, metric, round(val, 4) AS v
+        FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+                       FROM lineitem)
+              ON l_quantity, l_discount, l_tax INTO NAME metric VALUE val)
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide metric columns → (metric, value) long form —
+    a narrow transform, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "metric",
+            "val",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "metric",
+            F.round(F.col("val").cast("double"), 4).alias("v"),
+        )
+    )
+
+
+@query(
+    "q_nullsafe_join",
+    oracle="""
+        SELECT a.event_id AS ea, b.event_id AS eb
+        FROM (SELECT event_id, CASE WHEN value < 1 THEN NULL
+                                    ELSE round(value, 0) END AS k
+              FROM events WHERE event_id < 200) a
+        JOIN (SELECT event_id, CASE WHEN value < 1 THEN NULL
+                                    ELSE round(value, 0) END AS k
+              FROM events WHERE event_id >= 200 AND event_id < 400) b
+          ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other, unlike a plain equi-join."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.when(F.col("value") < 1, F.lit(None)).otherwise(F.round("value", 0))
+    a = ev.filter(F.col("event_id") < 200).select(
+        F.col("event_id").alias("ea"), key.alias("ka")
+    )
+    b = ev.filter((F.col("event_id") >= 200) & (F.col("event_id") < 400)).select(
+        F.col("event_id").alias("eb"), key.alias("kb")
+    )
+    return a.join(b, F.col("ka").eqNullSafe(F.col("kb"))).select("ea", "eb")
+
+
+@query(
+    "q_first_last_window",
+    oracle="""
+        SELECT event_id, event_type,
+               first_value(event_id) OVER w AS first_id,
+               last_value(event_id)  OVER w AS last_id,
+               nth_value(event_id, 2) OVER w AS second_id
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value over an explicit full-partition
+    frame (the default frame would make last_value = current row)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.first("event_id").over(w).alias("first_id"),
+        F.last("event_id").over(w).alias("last_id"),
+        F.nth_value("event_id", 2).over(w).alias("second_id"),
+    )
+
+
+@query(
     "q_scalar_subquery",
     oracle="""
         SELECT o_orderkey, round(o_totalprice, 4) AS total
