@@ -660,6 +660,59 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_date_arith",
+    oracle="""
+        SELECT o_orderkey,
+               date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
+               o_orderdate + INTERVAL 30 DAY                         AS due_date,
+               round(date_diff('month', TIMESTAMP '1995-01-01', o_orderdate), 4)
+                                                                     AS months_since
+        FROM orders
+    """,
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: day diffs, interval addition, month diffs.
+
+    DuckDB date_diff('month') counts month-boundary crossings; Spark's
+    months_between is fractional, so the Spark side counts boundaries
+    explicitly ((y2-y1)*12 + (m2-m1)) for identical semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1995-01-01").cast("timestamp")
+    months = (F.year("o_orderdate") - F.year(epoch)) * 12 + (
+        F.month("o_orderdate") - F.month(epoch)
+    )
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), epoch).cast("bigint").alias("days_since"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.round(months.cast("double"), 4).alias("months_since"),
+    )
+
+
+@query(
+    "q_string_pad",
+    oracle="""
+        SELECT p_partkey,
+               lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded,
+               split_part(p_name, ' ', 1)                AS first_word,
+               reverse(p_brand)                          AS rev_brand,
+               repeat('ab', 3)                           AS rep
+        FROM part
+    """,
+)
+def q_string_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String padding/splitting/reverse/repeat scalars."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.reverse("p_brand").alias("rev_brand"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+    )
+
+
+@query(
     "q_json_get",
     oracle="""
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

@@ -195,6 +195,46 @@ def test_watermark_late_row_semantics(spark, tmp_path):
     assert n_window0 == 1, f"evicted window re-emitted: {got}"
 
 
+def test_session_window_streaming(spark, tmp_path):
+    """Streaming session windows over a 2-file replay: sessions closed
+    by the final watermark match the batch twin."""
+    import datetime
+
+    import pandas as pd
+
+    from real_time_data_anomaly_detection_spark.streaming.windows import session_agg
+
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    m = lambda k: base + datetime.timedelta(minutes=k)  # noqa: E731
+    files = [
+        [("A", m(0)), ("A", m(1)), ("B", m(0))],
+        [("A", m(20)), ("A", m(60))],  # gap>5m splits; m60 drives watermark
+    ]
+    path = str(tmp_path / "sess")
+    os.makedirs(path)
+    for i, rows in enumerate(files):
+        pd.DataFrame(rows, columns=["plant_type", "timestamp"]).to_parquet(
+            os.path.join(path, f"part-{i:02d}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+        )
+    schema = spark.read.parquet(path).schema
+    stream = file_replay_source(spark, path, schema)
+    q = (
+        session_agg(stream, gap="5 minutes", watermark="5 minutes")
+        .writeStream.format("memory").queryName("t_sess")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.plant_type, r.window_start.replace(tzinfo=datetime.timezone.utc), r.n)
+        for r in spark.table("t_sess").collect()
+    }
+    # final watermark = 55; sessions ending before it are emitted:
+    # A:[0, 1+5m) n=2, A:[20, 25) n=1, B:[0, 5) n=1. A:[60,...) stays open.
+    assert got == {("A", m(0), 2), ("A", m(20), 1), ("B", m(0), 1)}
+
+
 def test_session_window_batch(spark):
     """Gap-based sessionization: rows <gap apart merge, larger gaps
     split sessions."""
