@@ -28,8 +28,15 @@ def salted_join(
     replicated once per salt value (explode of a literal range — cheap
     when right is the smaller/dimension side). Join key becomes
     (key, salt), so one hot key fans across `buckets` reducers.
-    Row-level results are identical to a plain join.
+    Row-level results are identical to a plain join for inner/left/
+    semi/anti; right/full would emit each UNMATCHED right row once per
+    salt replica, so they are rejected.
     """
+    if how in ("right", "rightouter", "right_outer", "full", "outer", "fullouter", "full_outer"):
+        raise ValueError(
+            f"salted_join cannot preserve unmatched right rows (how={how!r}); "
+            "salt the other side instead"
+        )
     salted_l = left.withColumn(
         "_salt", (F.rand(seed) * salt_buckets).cast("int")
     )

@@ -34,6 +34,15 @@ def test_salted_left_join_preserves_unmatched(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_rejects_right_outer(spark):
+    import pytest
+
+    left = _skewed(spark)
+    right = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="unmatched right"):
+        salted_join(left, right, "k", how="full")
+
+
 def test_two_phase_agg_equals_plain(spark):
     df = _skewed(spark)
     plain = df.groupBy("k").agg(
