@@ -99,6 +99,50 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): per-status,
+    per-priority, and grand total in one pass."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q_posexplode",
+    oracle="""
+        SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+               round(CAST(unnest(embedding) AS DOUBLE), 4) AS v
+        FROM embeddings WHERE vec_id < 10
+    """,
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral positional explode of an array column (1-based index to
+    match DuckDB's generate_subscripts)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.col("vec_id") < 10)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("bigint").alias("idx"),
+            F.round(F.col("val").cast("double"), 4).alias("v"),
+        )
+    )
+
+
+@query(
     "q_unpivot",
     oracle="""
         SELECT l_orderkey, l_linenumber, metric, round(val, 4) AS v
