@@ -174,7 +174,12 @@ def minhash_neardup_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard — the
     standard generate-and-verify near-dup pipeline. Verification cost
-    scales with the candidate set (verify_candidates), never all-pairs."""
+    scales with the candidate set (verify_candidates), never all-pairs.
+
+    The shingle relation feeds four subplans; recomputing the
+    tokenize+explode chain per branch measured FASTER than persist()
+    here (cache materialization cost > recompute for this light chain),
+    so no caching."""
     sh = shingles(df, text_col, id_col, n)
     cands = minhash_lsh_candidates(
         minhash_signatures(sh, id_col, num_hashes), id_col, bands, num_hashes // bands
