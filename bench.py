@@ -78,7 +78,7 @@ def main() -> None:
     print(json.dumps(result))
 
 
-def _stream_throughput(spark, seconds: float = 12.0) -> float:
+def _stream_throughput(spark, min_rated_batches: int = 5, timeout: float = 90.0) -> float:
     from real_time_data_anomaly_detection_spark.streaming.generator import (
         energy_rate_stream,
     )
@@ -87,20 +87,34 @@ def _stream_throughput(spark, seconds: float = 12.0) -> float:
     )
     from real_time_data_anomaly_detection_spark.streaming.sinks import stop_gracefully
 
-    # Offer well above the reference's 1000/s cap; report what was
-    # actually processed.
-    q = run_detection_pipeline(
-        spark, energy_rate_stream(spark, rows_per_second=20_000), sink_table="bench_out"
-    )
-    time.sleep(seconds)
-    rates = []
+    # 4 group keys need few state partitions; 32 would spin 32 python
+    # workers per trigger for mostly-empty shards.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        for p in q.recentProgress:
-            if p and p.get("processedRowsPerSecond"):
-                rates.append(p["processedRowsPerSecond"])
-    finally:
+        # Offer well above the reference's 1000/s cap; report what was
+        # actually processed.
+        q = run_detection_pipeline(
+            spark,
+            energy_rate_stream(spark, rows_per_second=20_000),
+            sink_table="bench_out",
+        )
+        # Wait for real progress (first trigger pays worker/state
+        # spin-up; a fixed sleep under-reports on a loaded host).
+        rates: list[float] = []
+        deadline = time.time() + timeout
+        while time.time() < deadline and len(rates) < min_rated_batches:
+            time.sleep(1.0)
+            rates = [
+                p["processedRowsPerSecond"]
+                for p in q.recentProgress
+                if p and p.get("processedRowsPerSecond")
+            ]
         stop_gracefully(q, timeout_sec=30)
-    return round(sum(rates[-5:]) / max(len(rates[-5:]), 1), 1)
+        tail = rates[-5:]
+        return round(sum(tail) / max(len(tail), 1), 1)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 if __name__ == "__main__":
