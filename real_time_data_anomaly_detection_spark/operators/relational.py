@@ -660,6 +660,60 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_like_filter",
+    oracle="""
+        SELECT p_partkey, p_name FROM part
+        WHERE p_name LIKE '%a%' AND p_name NOT LIKE 'b%'
+          AND p_brand LIKE 'Brand#1_'
+    """,
+)
+def q_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE pattern predicates (contains / prefix-negation / single-char
+    wildcard) — pushed to the scan as StringContains/StartsWith."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%a%")
+        & ~F.col("p_name").like("b%")
+        & F.col("p_brand").like("Brand#1_")
+    ).select("p_partkey", "p_name")
+
+
+@query(
+    "q_in_subquery",
+    oracle="""
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    """,
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) — planned as a left-semi join by Catalyst."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_in")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_in")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM v_orders_in
+        WHERE o_custkey IN (SELECT c_custkey FROM v_customer_in WHERE c_acctbal > 5000)
+        """
+    )
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+        SELECT c_nationkey AS k FROM customer
+        UNION
+        SELECT s_nationkey AS k FROM supplier
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct semantics) — union + dedup shuffle, vs the
+    shuffle-free UNION ALL of q_union_all."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.unionByName(s).distinct()
+
+
+@query(
     "q_date_arith",
     oracle="""
         SELECT o_orderkey,
