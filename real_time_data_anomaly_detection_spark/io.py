@@ -50,8 +50,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # arithmetic — year()/hour()/date_trunc() on it are independent
         # of the session time zone (the driver's session tz is not ours
         # to set; tz-aware TIMESTAMP would shift under non-UTC sessions).
+        # Scope the conf flip to this read (save/restore): the flag is
+        # consulted at schema-inference time, so the already-planned df
+        # keeps working after restore (verified), and later reads in a
+        # caller-supplied session see their original setting again
+        # instead of silently reading nanos parquet as bigint.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts",

@@ -62,13 +62,28 @@ def asof_join(
         )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # Propagate ONE struct per matched right row, not independent
+    # last() per column: per-column propagation could stitch fields
+    # from different right rows when a value_col is NULL in the
+    # matched row (each last() skips nulls independently). The struct
+    # is NULL for left rows so last(ignorenulls) skips them.
+    r_struct = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            *[F.col(f"_r_{c}").alias(c) for c in value_cols],
+            F.col("_r_on").alias("__asof_on"),
+        ),
+    )
     filled = unioned.select(
         *lcols,
         "_side",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{right_prefix}{c}") for c in value_cols],
-        F.last("_r_on", ignorenulls=True).over(w).alias(f"{right_prefix}{on}"),
+        F.last(r_struct, ignorenulls=True).over(w).alias("_r_struct"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return filled.filter(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col(f"_r_struct.{c}").alias(f"{right_prefix}{c}") for c in value_cols],
+        F.col("_r_struct.__asof_on").alias(f"{right_prefix}{on}"),
+    )
 
 
 @query(

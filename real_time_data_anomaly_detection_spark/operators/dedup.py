@@ -21,7 +21,7 @@ Jaccard baseline (tests/test_dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_data_anomaly_detection_spark.functions.vector import cosine_similarity
@@ -37,9 +37,19 @@ def exact_dedup(df: DataFrame, cols: list[str], keep_col: str) -> DataFrame:
     dropDuplicates whose survivor depends on partition order.
     """
     fingerprint = F.sha2(F.concat_ws("\x1f", *cols), 256)
-    w_min = df.withColumn("_fp", fingerprint)
-    winners = w_min.groupBy("_fp").agg(F.min(keep_col).alias(keep_col))
-    return w_min.join(winners, ["_fp", keep_col], "inner").drop("_fp")
+    # row_number (not min-join-back): a min-join keeps EVERY row tied
+    # on the minimum keep_col, violating the one-survivor contract.
+    # Remaining columns break keep_col ties deterministically.
+    order_cols = [F.col(keep_col).asc()] + [
+        F.col(c).asc_nulls_first() for c in df.columns if c != keep_col
+    ]
+    w = Window.partitionBy("_fp").orderBy(*order_cols)
+    return (
+        df.withColumn("_fp", fingerprint)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:

@@ -639,8 +639,8 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id,
                round(abs(value - 100), 4)      AS abs_v,
-               floor(value)                    AS floor_v,
-               ceil(value)                     AS ceil_v,
+               CAST(floor(value) AS BIGINT)    AS floor_v,
+               CAST(ceil(value) AS BIGINT)     AS ceil_v,
                round(pow(value, 2), 4)         AS pow_v,
                round(sqrt(abs(value)), 4)      AS sqrt_v
         FROM events

@@ -85,9 +85,17 @@ def last_n_window(
             state.remove()  # TTL expiry: drop the idle group's window
             return
         new = pd.concat(list(pdf_iter), ignore_index=True)
+        # Positive this-trigger membership marker: timestamp-set
+        # membership would re-emit older window rows that merely share
+        # a timestamp with a new row (common at high rates where many
+        # rows carry equal timestamps). State rows are marked False on
+        # decode; the marker never enters the stored state (in_cols).
+        new["_is_new"] = True
         if state.exists:
             (blob,) = state.get
-            window = pd.concat([_decode(blob), new], ignore_index=True)
+            old = _decode(blob)
+            old["_is_new"] = False
+            window = pd.concat([old, new], ignore_index=True)
         else:
             window = new
         # Deque semantics: order by event time (stable), keep newest n.
@@ -123,8 +131,7 @@ def last_n_window(
         out["score"] = scores[scores > threshold]
         # Only surface outliers from rows that arrived this trigger:
         # windowed rescoring would otherwise re-emit old rows each batch.
-        new_ts = set(new[ts_col])
-        out = out[out[ts_col].isin(new_ts)]
+        out = out[out["_is_new"]]
         if len(out):
             yield out[out_cols]
 

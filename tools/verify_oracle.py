@@ -25,8 +25,9 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # Preserve float-ness: the driver's value hash distinguishes 5 from
+        # 5.0, so collapsing int-valued floats here would hide type-parity
+        # bugs (it hid the q_math_funcs BIGINT-vs-DOUBLE mismatch in r1).
         return repr(round(v, 6))
     if isinstance(v, bool):
         return str(v)
