@@ -56,7 +56,8 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
     """Distinct n-token shingles per document: (id, shingle)."""
     # Single-file sources scan as one task; spread docs before the
     # explode so shingling/hashing parallelizes.
-    toks = df.repartition(32, id_col).select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par, id_col).select(
         id_col, F.split(F.col(text_col), " ").alias("t")
     )
     idx = F.sequence(F.lit(0), F.size("t") - n)
@@ -186,11 +187,20 @@ def minhash_neardup_pairs(
     standard generate-and-verify near-dup pipeline. Verification cost
     scales with the candidate set (verify_candidates), never all-pairs.
 
-    The shingle relation feeds four subplans; recomputing the
-    tokenize+explode chain per branch measured FASTER than persist()
-    here (cache materialization cost > recompute for this light chain),
-    so no caching."""
+    The shingle relation feeds four subplans. At small inputs,
+    recomputing the tokenize+explode chain per branch measured FASTER
+    than persist() (cache materialization cost > recompute); at scale
+    4x the tokenize cost dominates, so persist kicks in past a size
+    threshold on the optimizer's input estimate (~256 MB)."""
     sh = shingles(df, text_col, id_col, n)
+    try:
+        in_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:  # non-JVM estimate failure → keep recompute behavior
+        in_bytes = 0
+    if in_bytes > 256 * 1024 * 1024:
+        sh = sh.persist()
     cands = minhash_lsh_candidates(
         minhash_signatures(sh, id_col, num_hashes), id_col, bands, num_hashes // bands
     )
@@ -205,7 +215,8 @@ def simhash_fingerprints(
     Each distinct token hashes to 64 bits; every bit votes ±1; the
     fingerprint's bit is 1 where the vote sum is positive. Explode is
     tokens×64 rows — linear, shuffle-free until one groupBy."""
-    df = df.repartition(32, id_col)  # parallelize single-file sources
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(par, id_col)  # parallelize single-file sources
     toks = df.select(
         id_col, F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
@@ -313,6 +324,207 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(d, max_hamming=8)
 
 
+def embed_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup via a blocked self-join.
+
+    The exact problem is inherently O(n²) compare work; what must NOT
+    grow with the corpus is any single task's memory. Rows are hashed
+    into ``n_blocks`` blocks; the a-side replicates each row to block
+    pairs (blk, j>=blk), the b-side to (j<=blk, blk), and the cogroup
+    key is the block pair — so every unordered row pair meets in
+    exactly one task (for same-block keys both orientations land in
+    the cross product; the id mask keeps one). Per-key cardinality is
+    n/n_blocks per side: bounded, shuffled on a non-degenerate key,
+    NO broadcast. Sizing rule at scale: pick n_blocks so
+    (n/n_blocks)·row_bytes fits comfortably in a task (keys =
+    n_blocks·(n_blocks+1)/2 should also be >= cluster parallelism).
+
+    Per block pair the cosines come from ONE numpy GEMM inside a
+    cogrouped ``applyInPandas`` — dense all-pairs similarity is linear
+    algebra, and Arrow-batched BLAS beats per-pair interpreted
+    expressions by ~two orders of magnitude while moving exactly two
+    blocks of vectors per task. The candidate-pruned (sub-quadratic)
+    scale path is ``embed_neardup_lsh`` below.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if n_blocks is None:
+        # smallest B with B(B+1)/2 >= parallelism, floor 8
+        n_blocks = max(8, int((2 * par) ** 0.5) + 1)
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("_id"), v.alias("_v")).withColumn(
+        "_blk", F.pmod(F.xxhash64("_id"), F.lit(n_blocks)).cast("int")
+    )
+    up = F.transform(
+        F.sequence(F.col("_blk"), F.lit(n_blocks - 1)),
+        lambda j: F.struct(F.col("_blk").alias("u"), j.alias("w")),
+    )
+    down = F.transform(
+        F.sequence(F.lit(0), F.col("_blk")),
+        lambda j: F.struct(j.alias("u"), F.col("_blk").alias("w")),
+    )
+    # Distinct column names per side: both branches share the same
+    # base lineage, and a self-cogroup with identical attribute names
+    # gets its non-key columns pruned from one side (observed on
+    # Spark 4.1 — the right pdf arrived with only the key columns).
+    a = base.select("_id", "_v", F.explode(up).alias("_k")).select(
+        F.col("_id").alias("_ida"),
+        F.col("_v").alias("_va"),
+        F.col("_k.u").alias("_u"),
+        F.col("_k.w").alias("_w"),
+    )
+    b = base.select("_id", "_v", F.explode(down).alias("_k")).select(
+        F.col("_id").alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.col("_k.u").alias("_u"),
+        F.col("_k.w").alias("_w"),
+    )
+
+    def compare(key, left, right):
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        L = np.stack(left["_va"].to_numpy()).astype(np.float64)
+        R = np.stack(right["_vb"].to_numpy()).astype(np.float64)
+        L /= np.linalg.norm(L, axis=1, keepdims=True)
+        R /= np.linalg.norm(R, axis=1, keepdims=True)
+        sims = L @ R.T
+        ida = left["_ida"].to_numpy()
+        idb = right["_idb"].to_numpy()
+        mask = sims >= threshold
+        if key[0] == key[1]:  # same block: row can meet itself / meet twice
+            mask &= ida[:, None] < idb[None, :]
+        ii, jj = np.nonzero(mask)
+        if len(ii) == 0:
+            return empty
+        va, vb = ida[ii], idb[jj]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "cos_sim": np.round(sims[ii, jj], 4),
+            }
+        )
+
+    return (
+        a.groupBy("_u", "_w")
+        .cogroup(b.groupBy("_u", "_w"))
+        .applyInPandas(compare, "vec_a bigint, vec_b bigint, cos_sim double")
+    )
+
+
+def embed_lsh_candidates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs from banded random-hyperplane LSH.
+
+    Band i hashes the vector to a ``rows_per_band``-bit sign pattern
+    over its own hyperplane slice; docs colliding in >=1 band are
+    candidates (same generate shape as minhash_lsh_candidates). For
+    angular similarity s = 1 - theta/pi, P(candidate) =
+    1-(1-s^r)^b — (b=16, r=4) keeps per-pair recall ~0.94 even at
+    cos 0.4 (s=0.63). NOTE the S-curve floor: near-orthogonal pairs
+    (s=0.5) still collide at ~1-(1-0.0625)^16 = 64%, so pruning only
+    bites when the corpus is mostly dissimilar at higher s — at
+    production near-dup thresholds (cos>=0.8, s>=0.8) raise
+    rows_per_band to sharpen the curve (r=8: recall 0.996 at s=0.86,
+    random-collision floor 6%)."""
+    from real_time_data_anomaly_detection_spark.operators import similarity
+
+    planes = similarity._hyperplanes(dim, bands * rows_per_band, seed)
+    v = F.col(vec_col).cast("array<double>")
+    buckets = [
+        F.struct(
+            F.lit(i).alias("band"),
+            similarity._bucket_expr(v, planes[i * rows_per_band : (i + 1) * rows_per_band]).alias("bucket"),
+        )
+        for i in range(bands)
+    ]
+    banded = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*buckets)).alias("bk")
+    ).select("_id", "bk.band", "bk.bucket")
+    a = banded.select(F.col("_id").alias("vec_a"), "band", "bucket")
+    b = banded.select(F.col("_id").alias("vec_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
+def embed_neardup_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    dim: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-bucketed generate-and-verify near-dup.
+
+    Candidates come from a band-join on hyperplane sign buckets (never
+    all-pairs); exact cosine is computed ONLY for candidates by joining
+    the two vectors back on id (shuffle joins on the id key — nothing
+    broadcast, nothing quadratic). The per-candidate cosine stays a
+    JVM-side expression on purpose: a vectorized pandas_udf was
+    measured 2.5x SLOWER here because Arrow-transferring two vectors
+    per candidate pair dwarfs the compute. Precision is exact; recall
+    is the banding S-curve, asserted vs embed_neardup_pairs in
+    tests/test_dedup.py.
+
+    Regime note: banding prunes only when near-dups are well separated
+    from background similarity. For near-random corpora where the
+    threshold sits close to the background (cos 0.4 → angular s=0.63
+    vs 0.5), the S-curve floor admits most pairs and the exact blocked
+    GEMM (embed_neardup_pairs) is the better scale path; at production
+    thresholds (cos>=0.8) raise rows_per_band to 8 and this prunes
+    ~16x."""
+    from real_time_data_anomaly_detection_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    cands = embed_lsh_candidates(df, vec_col, id_col, dim, bands, rows_per_band, seed)
+    v = F.col(vec_col).cast("array<double>")
+    vecs = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    va = vecs.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va"))
+    vb = vecs.select(F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"))
+    cos = cosine_similarity(F.col("_va"), F.col("_vb"))
+    return (
+        cands.repartition(par, "vec_a")
+        .join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("_cos", 4).alias("cos_sim"))
+    )
+
+
 @query(
     "q_embed_neardup",
     oracle="""
@@ -324,42 +536,20 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.4).
+    """Embedding-cosine near-duplicate pairs (threshold 0.4), exact.
 
-    Plan shape: posexplode to (vec_id, pos, component), equi-join on
-    ``pos`` with a vec_a < vec_b residual, hash-aggregate the per-pair
-    dot products, then attach precomputed norms. Everything is
-    codegen'd joins/aggregates — the naive cross join plans a
-    BroadcastNestedLoopJoin whose per-pair interpreted higher-order
-    cosine made it ~20x slower (and at scale BNLJ is a non-starter).
-    similarity.ann_topk holds the LSH-bucketed path that avoids the
-    all-pairs term entirely."""
+    Blocked self-join (embed_neardup_pairs): bounded per-task memory,
+    no broadcast that grows with the corpus — the earlier posexplode
+    plan broadcast the whole exploded relation, an executor OOM at
+    scale. The LSH-pruned path is q_embed_neardup_lsh."""
     e = load_table(spark, sf_dir, "embeddings")
-    ex = e.select(
-        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
-    )
-    norms = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("norm"))
-    # The source is a single parquet file = one input task; repartition
-    # the probe side so pair generation + partial agg use every core.
-    a = ex.repartition(32, "vec_id").select(
-        F.col("vec_id").alias("vec_a"), "pos", F.col("v").alias("va")
-    )
-    b = ex.select(F.col("vec_id").alias("vec_b"), "pos", F.col("v").alias("vb"))
-    # Broadcast the (tiny) exploded right side: the 64-distinct-pos key
-    # makes a sort-merge join degenerate (every key matches n_vec rows
-    # per side); a broadcast hash join streams the pairs with map-side
-    # partial aggregation and no shuffle of the 16M intermediate rows.
-    dots = (
-        a.join(F.broadcast(b), (a.pos == b.pos) & (F.col("vec_a") < F.col("vec_b")))
-        .groupBy("vec_a", "vec_b")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
-    )
-    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("norm").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("norm").alias("nb"))
-    cos = F.col("dot") / (F.col("na") * F.col("nb"))
-    return (
-        dots.join(F.broadcast(na), "vec_a")
-        .join(F.broadcast(nb), "vec_b")
-        .filter(cos >= 0.4)
-        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
-    )
+    return embed_neardup_pairs(e)
+
+
+@query("q_embed_neardup_lsh")  # approximate (banding recall) → rows-only
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH candidate generation + exact-cosine verify —
+    the pruned scale path for q_embed_neardup (recall vs the exact
+    pairs asserted in tests/test_dedup.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embed_neardup_lsh(e)

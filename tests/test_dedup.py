@@ -80,3 +80,51 @@ def test_deterministic(spark):
     a = sorted(map(tuple, minhash_neardup_pairs(d).collect()))
     b = sorted(map(tuple, minhash_neardup_pairs(d).collect()))
     assert a == b
+
+
+def _exact_cosine_pairs_numpy(spark, threshold):
+    """Ground truth: brute-force numpy cosine over the sf0.001 vectors."""
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.io import load_table
+
+    rows = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    iu = np.triu_indices(len(ids), k=1)
+    mask = sims[iu] >= threshold
+    return {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[iu[0]][mask], ids[iu[1]][mask])
+    }
+
+
+def test_embed_blocked_pairs_match_bruteforce(spark):
+    """The blocked self-join must reproduce brute-force cosine pairs
+    exactly — every unordered pair meets exactly once, none twice."""
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators.dedup import embed_neardup_pairs
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = [(r.vec_a, r.vec_b) for r in embed_neardup_pairs(e, threshold=0.4).collect()]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    assert set(got) == _exact_cosine_pairs_numpy(spark, 0.4)
+
+
+def test_embed_lsh_recall_vs_exact(spark):
+    """LSH generate-and-verify: exact precision (cosine verified), recall
+    bounded below by the banding S-curve (b=16, r=4 → ~0.94 at cos 0.4)."""
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators.dedup import embed_neardup_lsh
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = _exact_cosine_pairs_numpy(spark, 0.4)
+    approx = {(r.vec_a, r.vec_b) for r in embed_neardup_lsh(e, threshold=0.4).collect()}
+    assert approx <= exact, "verify step must make precision exact"
+    assert exact, "fixture must contain near-dup pairs"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.85, f"recall {recall:.3f} below S-curve bound"
