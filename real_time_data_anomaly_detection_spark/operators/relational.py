@@ -835,6 +835,78 @@ def q_window_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_window_sliding_batch",
+    oracle="""
+        WITH w AS (
+          SELECT date_trunc('hour', ts) - u.k * INTERVAL 1 HOUR AS window_start,
+                 event_type, value
+          FROM events, UNNEST(generate_series(0, 1)) AS u(k)
+        )
+        SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+               event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM w GROUP BY 1, 2, 3
+    """,
+)
+def q_window_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h duration, 1h slide) — batch twin of
+    streaming.windows.sliding_agg, run through the SAME construct so
+    the oracle validates the streaming semantics (each row lands in
+    duration/slide = 2 windows; DuckDB mirrors via generate_series)."""
+    from real_time_data_anomaly_detection_spark.streaming.windows import sliding_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_agg(
+        ev,
+        ts_col="ts",
+        duration="2 hours",
+        slide="1 hour",
+        keys=("event_type",),
+        watermark=None,
+        aggs={"n": F.count(F.lit(1)), "sum_value": _r(F.sum("value"))},
+    )
+
+
+@query(
+    "q_session_window_batch",
+    oracle="""
+        WITH o AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events WHERE user_id IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess
+          FROM o
+        )
+        SELECT user_id, min(ts) AS window_start,
+               max(ts) + INTERVAL 30 MINUTE AS window_end,
+               count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM s GROUP BY user_id, sess
+    """,
+)
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user — batch twin of
+    streaming.windows.session_agg through the SAME construct. DuckDB
+    mirrors Spark's merge rule (per-event windows [ts, ts+gap) merge
+    while they overlap → break when the gap is >= 30 min) via the
+    classic lag/cumsum islands form."""
+    from real_time_data_anomaly_detection_spark.streaming.windows import session_agg
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return session_agg(
+        ev,
+        ts_col="ts",
+        gap="30 minutes",
+        keys=("user_id",),
+        aggs={"n": F.count(F.lit(1)), "sum_value": _r(F.sum("value"))},
+    )
+
+
 # ---------------------------------------------------------------------------
 # UDF surface (vectorized pandas_udf — the sanctioned slow path)
 # ---------------------------------------------------------------------------
