@@ -56,6 +56,21 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_approx_percentile")  # sketch-based → rows-only + tolerance test
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile per group — the constant-memory companion to
+    q_percentile. Exact percentile materializes every group's values
+    (memory grows with group size — a straggler/OOM at 100 TB);
+    the KLL/GK-style sketch aggregates in bounded space with map-side
+    partial merge. Accuracy vs exact is pinned to ±1% of the value
+    range in tests/test_approx.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 4).alias("p50"),
+        F.round(F.expr("approx_percentile(value, 0.95, 10000)"), 4).alias("p95"),
+    )
+
+
 @query(
     "q_string_agg",
     oracle="""
@@ -147,14 +162,17 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_orderkey, l_linenumber, metric, round(val, 4) AS v
         FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
-                       FROM lineitem)
+                       FROM lineitem WHERE l_orderkey % 10 = 0)
               ON l_quantity, l_discount, l_tax INTO NAME metric VALUE val)
     """,
 )
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt: wide metric columns → (metric, value) long form —
-    a narrow transform, no shuffle."""
-    li = load_table(spark, sf_dir, "lineitem")
+    a narrow transform, no shuffle. The orderkey-slice filter keeps the
+    driver-gate output bounded (~18k rows at sf0.01 instead of 180k —
+    the gate hashes every row driver-side) with identical operator
+    coverage."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
     return (
         li.unpivot(
             ["l_orderkey", "l_linenumber"],
