@@ -22,6 +22,7 @@ from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F40
     asof,
     tpch,
     sqlx,
+    similarity,
 )
 
 __all__ = ["REGISTRY", "Query", "query"]

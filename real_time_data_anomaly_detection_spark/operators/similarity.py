@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from real_time_data_anomaly_detection_spark.functions.vector import cosine_similarity
+from real_time_data_anomaly_detection_spark.operators.registry import query
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -139,6 +140,108 @@ def ivf_topk(
     probe_col = F.array(*[F.lit(float(x)) for x in probe])
     return (
         celled.filter(F.col("cell").isin([int(c) for c in order]))
+        .select(
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col).cast("array<double>"), probe_col), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _probe_vector(df: DataFrame, id_col: str = "vec_id"):
+    """The vec_id=0 embedding as a python list (single-row collect)."""
+    row = df.filter(F.col(id_col) == 0).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+@query("q_ann_topk")  # approximate (LSH recall) → rows-only
+def q_ann_topk(spark, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH multiprobe top-10 for the vec_id=0 probe —
+    approximate twin of q_cosine_topk (recall asserted in
+    tests/test_similarity.py; rows-only at the gate)."""
+    from real_time_data_anomaly_detection_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = _probe_vector(e)
+    return ann_topk(e.filter(F.col("vec_id") != 0), probe, k=10)
+
+
+@query("q_ivf_probe")  # approximate (IVF recall) → rows-only
+def q_ivf_probe(spark, sf_dir: str) -> DataFrame:
+    """Persisted-IVF probe: builds the cell-partitioned index once per
+    (sf, session) under /tmp, then probes it scanning only nprobe cell
+    partitions — the serving-path twin of the fused ivf_topk."""
+    import os
+
+    from real_time_data_anomaly_detection_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = _probe_vector(e)
+    path = f"/tmp/spark_graft_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
+    if not os.path.exists(path + "/centroids"):
+        build_ivf_index(e.filter(F.col("vec_id") != 0), path, n_cells=16)
+    return ivf_probe(spark, path, probe, k=10, nprobe=6)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    sample_rows: int = 2048,
+    seed: int = 42,
+) -> None:
+    """Build a persisted IVF index: build once, probe many.
+
+    Writes the corpus partitioned by ``cell`` (one directory per cell,
+    so a probe's ``cell IN (...)`` filter becomes Hive-style partition
+    pruning — nprobe/n_cells of the files are even opened) plus a tiny
+    ``centroids`` table. This splits the one-time O(corpus) index cost
+    from the per-probe cost; ``ivf_topk`` above fuses both and is only
+    for ad-hoc single queries."""
+    celled, centroids = with_ivf_cells(df, vec_col, n_cells, sample_rows, seed)
+    (
+        celled.select(id_col, vec_col, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path + "/vectors")
+    )
+    cdf = df.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    probe: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a persisted IVF index, scanning only ``nprobe`` cells.
+
+    The centroid lookup reads the tiny centroids table (n_cells rows);
+    the corpus scan carries a partition filter on ``cell``, which plan
+    assertions pin as actual partition pruning
+    (tests/test_similarity.py::test_ivf_probe_prunes_partitions)."""
+    p = np.asarray(probe, dtype=np.float64)
+    cents = {
+        int(r.cell): np.asarray(r.centroid, dtype=np.float64)
+        for r in spark.read.parquet(path + "/centroids").collect()
+    }
+    order = sorted(cents, key=lambda c: float(((cents[c] - p) ** 2).sum()))[:nprobe]
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        spark.read.parquet(path + "/vectors")
+        .filter(F.col("cell").isin(order))
         .select(
             id_col,
             F.round(

@@ -105,3 +105,36 @@ def test_ann_searches_fraction_of_corpus(spark):
     ).count()
     n_total = bucketed.count()
     assert n_cand < 0.5 * n_total
+
+
+def test_ivf_probe_prunes_partitions(spark, tmp_path):
+    """Persisted-index probe: same results as the fused ivf_topk, and
+    the corpus scan prunes to nprobe cell partitions (the 100 TB
+    property — probe cost is nprobe/n_cells of the data)."""
+    from real_time_data_anomaly_detection_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe,
+        ivf_topk,
+    )
+    from real_time_data_anomaly_detection_spark.plans.inspect import formatted_plan
+
+    e = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    probe = _probe(spark)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(e, path, n_cells=16)
+
+    out = ivf_probe(spark, path, probe, k=10, nprobe=6)
+    fused = [r.vec_id for r in ivf_topk(e, probe, k=10, n_cells=16, nprobe=6).collect()]
+    assert [r.vec_id for r in out.collect()] == fused
+
+    plan = formatted_plan(out)
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_lines and any("cell" in ln for ln in scan_lines), plan
+    # pruning is real: the executed scan's "number of files read" metric
+    # counts only the probed cell directories, not all n_cells
+    node = out._jdf.queryExecution().executedPlan()
+    while node.children().length() > 0:
+        node = node.children().apply(0)
+    metrics = node.metrics()
+    n_files = int(metrics.apply("numFiles").value())
+    assert n_files <= 6, f"scan read {n_files} files; expected <= nprobe"
