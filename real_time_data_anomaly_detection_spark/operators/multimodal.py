@@ -59,17 +59,70 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_payload(media_type: str, payload: bytes) -> np.ndarray:
-    """STUB decode kernel.
+def _decode_image_real(payload: bytes) -> np.ndarray | None:
+    """Real image decode via Pillow, if importable (not in this env).
 
-    Real implementation requires Pillow / libav / ffmpeg, none of which
-    are installed here. The deterministic fake derives FEATURE_DIM
-    doubles from the payload's sha256 so tests can assert end-to-end
-    plumbing (schema, batching, determinism) without codecs. Swap this
-    single function for the real decoder in production.
+    Feature = FEATURE_DIM-bin grayscale intensity histogram, normalized
+    — deterministic, resolution-independent, and the same fixed-width
+    contract as the stub."""
+    try:
+        import io
+
+        from PIL import Image  # optional dependency, absent here
+    except ImportError:
+        return None
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    hist, _ = np.histogram(
+        np.asarray(img, dtype=np.float64), bins=FEATURE_DIM, range=(0, 256)
+    )
+    total = hist.sum()
+    return hist.astype(np.float64) / total if total else hist.astype(np.float64)
+
+
+def _decode_audio_real(payload: bytes) -> np.ndarray | None:
+    """Real audio decode via soundfile, if importable (not in this env).
+
+    Feature = FEATURE_DIM-band mean absolute amplitude over equal time
+    slices of the first channel."""
+    try:
+        import io
+
+        import soundfile as sf  # optional dependency, absent here
+    except ImportError:
+        return None
+    data, _rate = sf.read(io.BytesIO(payload), dtype="float64", always_2d=True)
+    mono = np.abs(data[:, 0])
+    if mono.size == 0:
+        return np.zeros(FEATURE_DIM)
+    bands = np.array_split(mono, FEATURE_DIM)
+    return np.array([b.mean() if b.size else 0.0 for b in bands])
+
+
+def _decode_payload(media_type: str, payload: bytes) -> np.ndarray:
+    """Decode kernel: real codecs when importable, stub otherwise.
+
+    Pillow (image) / soundfile (audio) are attempted at call time —
+    neither ships in this environment, so the deterministic fallback
+    derives FEATURE_DIM doubles from the payload's sha256; tests assert
+    the end-to-end plumbing (schema, batching, determinism) either way,
+    and the real-decode test auto-skips without codecs. Video would
+    need libav/ffmpeg and always falls back here.
     """
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"unsupported media_type {media_type!r}")
+    if payload:
+        try:
+            real = (
+                _decode_image_real(bytes(payload))
+                if media_type == "image"
+                else _decode_audio_real(bytes(payload))
+                if media_type == "audio"
+                else None
+            )
+        except Exception:  # undecodable bytes → deterministic fallback
+            real = None
+        if real is not None:
+            return real
     digest = hashlib.sha256(payload or b"").digest()
     # 16 doubles in [0, 1) from the 32-byte digest.
     raw = np.frombuffer(digest, dtype=np.uint16).astype(np.float64)

@@ -64,3 +64,26 @@ def test_resize_plan(spark):
     plans = {r.media_id: r for r in resize_plan(_media(spark), max_side=512).collect()}
     assert plans[0].target_width == 512 and plans[0].target_height == 384
     assert plans[1].scale == 1.0  # already small
+
+
+def test_real_image_decode_when_codecs_present(spark):
+    """Runs only where Pillow exists (auto-skips in this env): a real
+    PNG must decode to a normalized histogram, not the hash stub."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _decode_payload,
+    )
+
+    buf = io.BytesIO()
+    Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+    feat = _decode_payload("image", buf.getvalue())
+    assert len(feat) == FEATURE_DIM
+    assert abs(float(np.sum(feat)) - 1.0) < 1e-9  # histogram normalized
