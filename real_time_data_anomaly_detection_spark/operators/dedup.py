@@ -115,6 +115,28 @@ def minhash_signatures(
     )
 
 
+def banded_signatures(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """(id, sig, band, band_key) banding relation.
+
+    band_key hashes the band id together with the band's signature
+    slice, so it is globally unique per band and usable as a
+    SINGLE-column join/bucketing key."""
+    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
+    return sigs.select(id_col, "sig", F.explode(band_ids).alias("band")).select(
+        id_col,
+        "sig",
+        "band",
+        F.xxhash64(
+            "band",
+            F.concat_ws(
+                ",", F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band)
+            ),
+        ).alias("band_key"),
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame, id_col: str = "doc_id", bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
@@ -123,18 +145,7 @@ def minhash_lsh_candidates(
     Band key = hash of r consecutive signature slots. P(collide) =
     1-(1-j^r)^b — the standard S-curve; (b=8, r=4) centers ~j≈0.6.
     """
-    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sigs.select(
-        id_col,
-        F.explode(band_ids).alias("band"),
-        F.col("sig"),
-    ).select(
-        id_col,
-        "band",
-        F.xxhash64(
-            "band", F.concat_ws(",", F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band))
-        ).alias("band_key"),
-    )
+    banded = banded_signatures(sigs, id_col, bands, rows_per_band)
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (
@@ -205,6 +216,81 @@ def minhash_neardup_pairs(
         minhash_signatures(sh, id_col, num_hashes), id_col, bands, num_hashes // bands
     )
     return verify_candidates(cands, sh, id_col, threshold)
+
+
+def build_minhash_index(
+    df: DataFrame,
+    table: str,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    buckets: int = 8,
+) -> None:
+    """Persist the corpus's banded MinHash signatures BUCKETED by
+    band_key — the incremental-dedup index.
+
+    Matching a new batch of documents against a 100 TB corpus must not
+    reshuffle the corpus per batch; bucketing the banded relation on
+    the join key means the index side of every subsequent match join is
+    read co-located (zero exchange; pinned in tests/test_dedup.py). At
+    scale set ``buckets`` ~ corpus_size / healthy-partition-size."""
+    sh = shingles(df, text_col, id_col, n)
+    banded = banded_signatures(
+        minhash_signatures(sh, id_col, num_hashes), id_col, bands, num_hashes // bands
+    )
+    (
+        banded.write.format("parquet")
+        .bucketBy(buckets, "band_key")
+        .sortBy("band_key")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
+def minhash_match_incremental(
+    new_df: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """Match NEW documents against a persisted minhash index
+    (build_minhash_index) without reshuffling the corpus.
+
+    Candidates = equal band_key (single-column join, co-located on the
+    bucketed index side); similarity is then ESTIMATED from signature
+    agreement (fraction of equal minhash slots — the unbiased Jaccard
+    estimator), so no corpus text/shingles are needed at match time.
+    Returns (new_id, corpus_id, est_jaccard >= est_threshold)."""
+    spark = new_df.sparkSession
+    idx = spark.table(table)
+    sh = shingles(new_df, text_col, id_col, n)
+    nb = banded_signatures(
+        minhash_signatures(sh, id_col, num_hashes), id_col, bands, num_hashes // bands
+    ).select(
+        F.col(id_col).alias("new_id"), F.col("sig").alias("_nsig"), "band_key"
+    )
+    pairs = (
+        nb.join(idx, "band_key")
+        .filter(F.col("new_id") != F.col(id_col))
+        .select("new_id", F.col(id_col).alias("corpus_id"), "_nsig", "sig")
+        .distinct()
+    )
+    est = F.size(
+        F.filter(F.zip_with("_nsig", "sig", lambda x, y: x == y), lambda b: b)
+    ) / F.lit(float(num_hashes))
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("new_id", "corpus_id", "est_jaccard")
+    )
 
 
 def simhash_fingerprints(

@@ -128,3 +128,55 @@ def test_embed_lsh_recall_vs_exact(spark):
     assert exact, "fixture must contain near-dup pairs"
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.85, f"recall {recall:.3f} below S-curve bound"
+
+
+def test_minhash_incremental_index(spark, tmp_path):
+    """Persisted bucketed index: new docs match the corpus without
+    reshuffling it — index side of the band join is exchange-free."""
+    from real_time_data_anomaly_detection_spark.operators.dedup import (
+        banded_signatures,
+        build_minhash_index,
+        minhash_match_incremental,
+        minhash_signatures,
+    )
+    from real_time_data_anomaly_detection_spark.plans.inspect import count_exchanges
+
+    d = _docs(spark)
+    corpus = d.filter(F.col("doc_id").isin([0, 3, 4]))
+    new = d.filter(F.col("doc_id").isin([1, 2, 5]))
+    build_minhash_index(corpus, "mh_idx", str(tmp_path / "mh_idx"))
+    try:
+        got = {
+            (r.new_id, r.corpus_id): r.est_jaccard
+            for r in minhash_match_incremental(new, "mh_idx").collect()
+        }
+        assert got[(1, 0)] == 1.0  # exact dup: every minhash slot agrees
+        assert (2, 0) in got and got[(2, 0)] >= 0.5  # one-token edit
+        assert (5, 0) in got  # superset doc
+        assert not any(c in (3, 4) for _, c in got)  # unrelated corpus docs
+
+        # co-location: with broadcast off, the band join shuffles ONLY
+        # the new side — the bucketed index scan adds no exchange
+        # (one fewer than joining the same files unbucketed), and the
+        # plan shows the bucketed scan.
+        from real_time_data_anomaly_detection_spark.operators.dedup import shingles
+        from real_time_data_anomaly_detection_spark.plans.inspect import formatted_plan
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        try:
+            nb = banded_signatures(minhash_signatures(shingles(new))).select(
+                F.col("doc_id").alias("new_id"), "band_key"
+            )
+            j = spark.table("mh_idx").join(nb, "band_key")
+            assert "Bucketed: true" in formatted_plan(j)
+            unbucketed = spark.read.parquet(str(tmp_path / "mh_idx")).join(
+                nb, "band_key"
+            )
+            assert count_exchanges(j) == count_exchanges(unbucketed) - 1, (
+                "bucketed index side must not shuffle"
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_idx")
