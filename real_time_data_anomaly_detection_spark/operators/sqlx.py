@@ -287,3 +287,85 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_customer2
         """
     )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+        SELECT event_id,
+               round(sum(value) OVER w, 4) AS sum_1h,
+               count(*) OVER w AS n_1h
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-type trailing-1h moving sum+count
+    (sum, not avg: frame averages are sums over small power-of-two
+    counts, which land EXACTLY on 4-decimal rounding halves ~12% of
+    the time — engines then disagree by one ulp of summation order;
+    callers derive avg = sum/n).
+
+    RANGE frames are value-based, so ties in ts share one frame —
+    deterministic without a tiebreak (unlike ROWS frames). Spark's
+    rangeBetween needs a numeric ordering key; epoch MICROSECONDS via
+    pure NTZ arithmetic (timestampdiff from the NTZ epoch — no session
+    tz involved, integer-exact at full precision, unlike
+    unix_timestamp's second truncation)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        )
+        .rangeBetween(-3600 * 1000000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@query(
+    "q_percent_rank",
+    oracle="""
+        SELECT event_id,
+               round(percent_rank() OVER w, 4) AS prank,
+               round(cume_dist()    OVER w, 4) AS cdist
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value)
+    """,
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank analytics: percent_rank + cume_dist (value-based,
+    so ties are deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        F.round(F.percent_rank().over(w), 4).alias("prank"),
+        F.round(F.cume_dist().over(w), 4).alias("cdist"),
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+        SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bin,
+               count(*) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per group: bin = floor(value/50) — binning
+    plus count is one partial-aggregated pass (the building block for
+    distribution profiling over a 100 TB column)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") / 50).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))

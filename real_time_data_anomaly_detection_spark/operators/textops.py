@@ -144,3 +144,57 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-order edits)."""
     d = load_table(spark, sf_dir, "documents")
     return rolling_fingerprint(d)
+
+
+@query(
+    "q_corpus_clean",
+    oracle="""
+        WITH stats AS (
+          SELECT doc_id, text, lang, source,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                       / len(string_split(text, ' ')), 4) AS ttr
+          FROM documents
+        ),
+        quality AS (
+          SELECT * FROM stats WHERE n_tokens >= 10 AND ttr >= 0.3
+        ),
+        deduped AS (
+          SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper
+          FROM quality
+        )
+        SELECT doc_id, lang, source, n_tokens, ttr
+        FROM deduped WHERE doc_id = keeper
+    """,
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data cleaning pipeline in ONE declarative
+    plan: quality gate (length + type-token ratio) → exact content
+    dedup (min-id survivor per identical text) → per-doc stats out.
+
+    This is the shape a 100 TB curation job takes: the quality filter
+    prunes BEFORE the dedup shuffle; the dedup partitions by the
+    sha2-256 of the text (the text itself is projected away first, so
+    the exchange moves 32-byte digests + stats, never documents); and
+    Catalyst pipelines all three stages — no materialization between
+    'steps'. The oracle partitions by raw text — equivalent up to
+    sha collisions."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    ttr = F.round(
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
+    )
+    quality = d.select(
+        "doc_id", "lang", "source",
+        n_tokens.alias("n_tokens"), ttr.alias("ttr"),
+        F.sha2(F.col("text"), 256).alias("_fp"),
+    ).filter((F.col("n_tokens") >= 10) & (F.col("ttr") >= 0.3))
+    keeper = F.min("doc_id").over(W.partitionBy("_fp"))
+    return (
+        quality.withColumn("keeper", keeper)
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "lang", "source", "n_tokens", "ttr")
+    )

@@ -239,3 +239,86 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue-change (TPC-H Q6 shape): pure filter +
+    global agg — every predicate pushes to the parquet scan, partial
+    aggregation means one exchange of a single partial per task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")).cast("double"), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               round(o_totalprice, 4) AS totalprice,
+               round(sum(l_quantity), 4) AS sum_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-customer (TPC-H Q18 shape): HAVING-filtered agg as
+    a semi-join prefilter, then join + re-agg + top-100. The big-order
+    key set aggregates BEFORE any join (partial agg both phases), and
+    the final order is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity").cast("double"), 4).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice").cast("double"), 4).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
