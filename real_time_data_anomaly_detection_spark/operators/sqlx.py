@@ -369,3 +369,28 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         "event_type", F.floor(F.col("value") / 50).alias("bin")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_stats_agg",
+    oracle="""
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4)                 AS sd_qty,
+               round(var_samp(l_quantity), 4)                    AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance)
+    per group — single-pass, re-aggregatable moment sketches in both
+    engines, so the 100 TB path is one partial-agg exchange like any
+    sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+    )

@@ -96,3 +96,44 @@ def test_events_ts_filter_prunes(spark):
     assert has_pushed_filters(ev, "EqualTo(event_type,error)")
     cols = scan_read_schema(ev)
     assert "props" not in cols and "value" not in cols
+
+
+def test_tpch_q6_filters_reach_scan(spark):
+    """Q6 is the pushdown poster child: every predicate must reach the
+    parquet reader, and the plan is scan -> partial agg -> final agg."""
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.plans.inspect import (
+        count_exchanges,
+        has_pushed_filters,
+    )
+
+    df = REGISTRY["q_tpch_q6"].spark_fn(spark, SF_DIR)
+    assert has_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+    assert count_exchanges(df) == 1  # single partial->final agg exchange
+
+
+def test_tpch_q18_topk_and_partial_agg(spark):
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_tpch_q18"].spark_fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan  # top-100 never global-sorts
+    assert "partial_sum" in plan  # HAVING prefilter aggregates map-side
+
+
+def test_corpus_clean_shuffles_digests_not_text(spark):
+    """The dedup exchange must not carry the text column — only the
+    sha2 fingerprint and the small stat columns."""
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_corpus_clean"].spark_fn(spark, SF_DIR))
+    lines = plan.splitlines()
+    arg_idx = [i for i, ln in enumerate(lines) if "hashpartitioning(_fp" in ln]
+    assert arg_idx, "dedup must partition by the fingerprint"
+    # the Exchange node's own Input line (immediately above Arguments)
+    # lists what the shuffle carries — the fingerprint + stats, no text
+    above = next(
+        ln for ln in reversed(lines[: arg_idx[0]]) if ln.strip().startswith("Input")
+    )
+    assert "_fp#" in above and "text#" not in above, above
