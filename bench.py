@@ -92,11 +92,13 @@ def _stream_throughput(spark, min_rated_batches: int = 5, timeout: float = 90.0)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        # Offer well above the reference's 1000/s cap; report what was
-        # actually processed.
+        # Offer ABOVE the pipeline's measured ceiling (~95k/s on this
+        # box) so the recorded number is the processing rate, not the
+        # offer rate — a 20k offer was silently capping the metric.
+        # (Reference sustains 8 ev/s; its configured cap is 1000/s.)
         q = run_detection_pipeline(
             spark,
-            energy_rate_stream(spark, rows_per_second=20_000),
+            energy_rate_stream(spark, rows_per_second=100_000),
             sink_table="bench_out",
         )
         # Wait for real progress (first trigger pays worker/state
