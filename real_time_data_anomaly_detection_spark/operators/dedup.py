@@ -639,3 +639,43 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs asserted in tests/test_dedup.py)."""
     e = load_table(spark, sf_dir, "embeddings")
     return embed_neardup_lsh(e)
+
+
+def stream_dedup_against_index(
+    stream_df: DataFrame,
+    table: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.5,
+    trigger: dict | None = None,
+):
+    """Streaming corpus dedup: per micro-batch, drop documents that
+    near-duplicate the persisted corpus (minhash index built by
+    build_minhash_index) or an earlier doc in the same batch, append
+    the novel remainder to ``out_path``.
+
+    This is the online half of a training-data ingestion pipeline: the
+    corpus index is bucketed on the match key, so every micro-batch
+    joins it CO-LOCATED — per-batch cost scales with the batch, never
+    with the corpus. (Index refresh is an offline concern: rebuild or
+    union a delta index periodically; foreachBatch keeps the sink
+    idempotent per epoch.)"""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = exact_dedup(batch_df, [text_col], id_col)
+        matches = minhash_match_incremental(
+            batch_df, table, text_col, id_col, n, num_hashes, bands, est_threshold
+        )
+        dupes = matches.select(F.col("new_id").alias(id_col)).distinct()
+        novel = batch_df.join(dupes, id_col, "left_anti")
+        novel.write.mode("append").parquet(out_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .trigger(**(trigger or {"processingTime": "1 second"}))
+        .start()
+    )

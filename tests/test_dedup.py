@@ -180,3 +180,51 @@ def test_minhash_incremental_index(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_idx")
+
+
+def test_stream_dedup_against_index(spark, tmp_path):
+    """Online ingestion dedup: micro-batches drop corpus near-dups and
+    in-batch exact dups; only novel docs reach the sink."""
+    import pandas as pd
+
+    from real_time_data_anomaly_detection_spark.operators.dedup import (
+        build_minhash_index,
+        stream_dedup_against_index,
+    )
+    from real_time_data_anomaly_detection_spark.streaming.source import (
+        file_replay_source,
+    )
+
+    d = _docs(spark)
+    build_minhash_index(
+        d.filter(F.col("doc_id").isin([0, 3, 4])), "mh_stream_idx",
+        str(tmp_path / "idx"),
+    )
+    try:
+        replay = tmp_path / "replay"
+        replay.mkdir()
+        # batch 1: corpus dup (1), near-dup (2); batch 2: near-dup (5),
+        # novel (6), novel exact-dup pair (7, 8 — one must survive)
+        pd.DataFrame({"doc_id": [1, 2], "text": [
+            "the quick brown fox jumps over the lazy dog and runs far away tonight",
+            "the quick brown fox jumps over the sleepy dog and runs far away tonight",
+        ]}).to_parquet(replay / "b1.parquet")
+        novel = "entirely novel sentence with completely fresh vocabulary and tokens"
+        pd.DataFrame({"doc_id": [5, 6, 7, 8], "text": [
+            "the quick brown fox jumps over the lazy dog and runs far away tonight extra trailing tokens added",
+            "a different novel document about structured streaming state stores",
+            novel, novel,
+        ]}).to_parquet(replay / "b2.parquet")
+
+        out = str(tmp_path / "clean")
+        stream = file_replay_source(
+            spark, str(replay), "doc_id long, text string"
+        )
+        q = stream_dedup_against_index(
+            stream, "mh_stream_idx", out, trigger={"availableNow": True}
+        )
+        q.awaitTermination(120)
+        kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert kept == [6, 7], kept  # 1,2,5 match corpus; 8 in-batch dup
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_stream_idx")
