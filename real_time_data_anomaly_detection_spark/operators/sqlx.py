@@ -394,3 +394,55 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
     )
+
+
+@query(
+    "q_mode",
+    oracle="""
+        SELECT event_type, CAST(min(m) AS BIGINT) AS mode_user
+        FROM (
+          SELECT event_type, user_id AS m,
+                 rank() OVER (PARTITION BY event_type
+                              ORDER BY count(*) DESC) AS r
+          FROM events WHERE user_id IS NOT NULL
+          GROUP BY event_type, user_id
+        ) WHERE r = 1 GROUP BY event_type
+    """,
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent user per event type (mode), smallest-id tiebreak —
+    expressed as count + rank in both engines so ties are
+    deterministic (native mode() functions break ties arbitrarily)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("_n"))
+    r = F.rank().over(W.partitionBy("event_type").orderBy(F.desc("_n")))
+    return (
+        counts.withColumn("_r", r)
+        .filter(F.col("_r") == 1)
+        .groupBy("event_type")
+        .agg(F.min("user_id").alias("mode_user"))
+    )
+
+
+@query(
+    "q_explode_outer",
+    oracle="""
+        SELECT e.event_id, u.tok
+        FROM (SELECT event_id,
+                     CASE WHEN event_type = 'click' THEN NULL
+                          ELSE string_split(event_type, 'i') END AS toks
+              FROM events WHERE event_id < 100) e
+        LEFT JOIN LATERAL UNNEST(e.toks) AS u(tok) ON true
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving lateral explode: rows with a NULL array survive
+    with a NULL element (plain explode would drop them — the classic
+    silent-data-loss footgun)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    toks = F.when(
+        F.col("event_type") != "click", F.split(F.col("event_type"), "i")
+    )
+    return ev.select("event_id", toks.alias("toks")).select(
+        "event_id", F.explode_outer("toks").alias("tok")
+    )
