@@ -66,6 +66,32 @@ def main() -> None:
     )
     t("top-100 of N", fact.orderBy(F.desc("v"), F.asc("id")).limit(100))
 
+    # Blocked-GEMM exact all-pairs cosine: n_vec vectors -> n_vec²/2
+    # pair evaluations (the honest unit for this shape is pairs/s, not
+    # rows/s). In-engine synthetic 64-dim vectors, seeded.
+    from real_time_data_anomaly_detection_spark.operators.dedup import (
+        embed_neardup_pairs,
+    )
+
+    n_vec = max(10_000, rows // 400)
+    vecs = spark.range(n_vec, numPartitions=32).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.sin(F.col("id") * 0.7 + i * 1.3),
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    embed_neardup_pairs(vecs, threshold=0.99).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.time() - t0
+    pairs = n_vec * (n_vec - 1) / 2
+    print(
+        f"{'embed blocked GEMM (%dk vecs)' % (n_vec // 1000):34s} {dt:6.2f}s  "
+        f"({pairs/dt/1e6:6.1f}M pairs/s)"
+    )
+
 
 if __name__ == "__main__":
     main()
