@@ -662,8 +662,13 @@ def stream_dedup_against_index(
     corpus index is bucketed on the match key, so every micro-batch
     joins it CO-LOCATED — per-batch cost scales with the batch, never
     with the corpus. (Index refresh is an offline concern: rebuild or
-    union a delta index periodically; foreachBatch keeps the sink
-    idempotent per epoch.)"""
+    union a delta index periodically.)
+
+    Exactly-once: each epoch OVERWRITES its own ``batch=<id>``
+    directory, so a recovery replay of the same epoch is idempotent —
+    a bare append would duplicate the batch on retry. Read the sink
+    with ``spark.read.parquet(out_path)`` (``batch`` surfaces as a
+    partition column)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = exact_dedup(batch_df, [text_col], id_col)
@@ -672,7 +677,7 @@ def stream_dedup_against_index(
         )
         dupes = matches.select(F.col("new_id").alias(id_col)).distinct()
         novel = batch_df.join(dupes, id_col, "left_anti")
-        novel.write.mode("append").parquet(out_path)
+        novel.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 
     return (
         stream_df.writeStream.foreachBatch(_process)

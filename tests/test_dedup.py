@@ -226,5 +226,9 @@ def test_stream_dedup_against_index(spark, tmp_path):
         q.awaitTermination(120)
         kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
         assert kept == [6, 7], kept  # 1,2,5 match corpus; 8 in-batch dup
+        # epoch replay is idempotent: re-writing batch dirs, not append
+        assert sorted(
+            p.name for p in (tmp_path / "clean").iterdir() if p.name.startswith("batch=")
+        ) == ["batch=0", "batch=1"]
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_stream_idx")
