@@ -181,7 +181,9 @@ def q_ivf_probe(spark, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     probe = _probe_vector(e)
     path = f"/tmp/spark_graft_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
-    if not os.path.exists(path + "/centroids"):
+    # _SUCCESS marker, not the bare dir: a crashed partial write must
+    # trigger a rebuild, not a read of a torn index
+    if not os.path.exists(path + "/centroids/_SUCCESS"):
         build_ivf_index(e.filter(F.col("vec_id") != 0), path, n_cells=16)
     return ivf_probe(spark, path, probe, k=10, nprobe=6)
 
