@@ -446,3 +446,30 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", toks.alias("toks")).select(
         "event_id", F.explode_outer("toks").alias("tok")
     )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+        SELECT event_type, event_id, round(value, 4) AS v
+        FROM (SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id ASC) AS r
+              FROM events)
+        WHERE r <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group (window rank + filter). Unlike global top-k
+    (TakeOrderedAndProject), per-group top-k is one exchange + partition
+    sort; Spark's WindowGroupLimit pushes the limit below the sort so
+    each partition keeps only k rows early."""
+    ev = load_table(spark, sf_dir, "events")
+    r = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    )
+    return (
+        ev.select("event_type", "event_id", F.round("value", 4).alias("v"), r.alias("_r"))
+        .filter(F.col("_r") <= 3)
+        .drop("_r")
+    )
