@@ -473,3 +473,74 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_r") <= 3)
         .drop("_r")
     )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+        SELECT a.event_id AS ea, b.event_id AS eb
+        FROM (SELECT event_id, user_id FROM events
+              WHERE event_id < 300 AND user_id IS NOT NULL) a
+        FULL OUTER JOIN
+             (SELECT event_id, user_id FROM events
+              WHERE event_id >= 300 AND event_id < 600 AND user_id IS NOT NULL) b
+          ON a.user_id = b.user_id
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: unmatched rows from BOTH sides survive with
+    NULLs — the one join family the salting helper refuses (it cannot
+    preserve unmatched replicated rows), so it goes through the plain
+    shuffle join + AQE skew handling."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    a = ev.filter(F.col("event_id") < 300).select(
+        F.col("event_id").alias("ea"), F.col("user_id").alias("ka")
+    )
+    b = ev.filter((F.col("event_id") >= 300) & (F.col("event_id") < 600)).select(
+        F.col("event_id").alias("eb"), F.col("user_id").alias("kb")
+    )
+    return a.join(b, a.ka == b.kb, "full_outer").select("ea", "eb")
+
+
+@query(
+    "q_conditional_agg",
+    oracle="""
+        SELECT event_type,
+               count(*) FILTER (WHERE value > 50)        AS n_high,
+               bool_and(value IS NOT NULL)               AS all_present,
+               bool_or(value > 99)                       AS any_extreme,
+               round(sum(CASE WHEN value > 50 THEN value
+                              ELSE 0 END), 4)            AS sum_high
+        FROM events GROUP BY event_type
+    """,
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: filtered counts, boolean every/any,
+    and a guarded sum — all one partial-aggregated pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).alias("n_high"),
+        F.every(F.col("value").isNotNull()).alias("all_present"),
+        F.some(F.col("value") > 99).alias("any_extreme"),
+        F.round(
+            F.sum(F.when(F.col("value") > 50, F.col("value")).otherwise(0.0)), 4
+        ).alias("sum_high"),
+    )
+
+
+@query(
+    "q_levenshtein",
+    oracle="""
+        SELECT c_custkey, levenshtein(c_name, 'Customer#000000042') AS dist
+        FROM customer WHERE c_custkey <= 200
+    """,
+)
+def q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance scoring against a probe string — the fuzzy-match
+    primitive for entity resolution (both engines implement
+    Wagner-Fischer; identical integer distances)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000042")).alias("dist"),
+    )
