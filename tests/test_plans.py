@@ -137,3 +137,14 @@ def test_corpus_clean_shuffles_digests_not_text(spark):
         ln for ln in reversed(lines[: arg_idx[0]]) if ln.strip().startswith("Input")
     )
     assert "_fp#" in above and "text#" not in above, above
+
+
+def test_topk_per_group_pushes_group_limit(spark):
+    """Per-group top-k must plan WindowGroupLimit (per-partition early
+    limit before the full sort) — without it every group's full row set
+    sorts at the reducer."""
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_topk_per_group"].spark_fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
