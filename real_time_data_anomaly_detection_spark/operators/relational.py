@@ -791,18 +791,20 @@ def q_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT vec_id,
                len(embedding)                                   AS dim,
-               round(CAST(embedding[1] AS DOUBLE), 4)           AS first_val
+               round(CAST(embedding[1] AS DOUBLE), 4) + 0.0     AS first_val
         FROM embeddings
     """,
 )
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ArrayType functions — size + 1-based element_at (DuckDB lists are
-    1-based too)."""
+    1-based too). Both sides add +0.0 after rounding: DuckDB's round
+    yields -0.0 for tiny negatives where Spark's yields 0.0, and the
+    value hash tells them apart (surfaced at sf0.1)."""
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        _r(F.element_at("embedding", 1)).alias("first_val"),
+        (_r(F.element_at("embedding", 1)) + F.lit(0.0)).alias("first_val"),
     )
 
 

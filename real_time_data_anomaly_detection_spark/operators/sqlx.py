@@ -138,13 +138,14 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_posexplode",
     oracle="""
         SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
-               round(CAST(unnest(embedding) AS DOUBLE), 4) AS v
+               round(CAST(unnest(embedding) AS DOUBLE), 4) + 0.0 AS v
         FROM embeddings WHERE vec_id < 10
     """,
 )
 def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lateral positional explode of an array column (1-based index to
-    match DuckDB's generate_subscripts)."""
+    match DuckDB's generate_subscripts). +0.0 after round on both
+    sides normalizes DuckDB's -0.0 for tiny negative components."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
         e.filter(F.col("vec_id") < 10)
@@ -152,7 +153,7 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             (F.col("pos") + 1).cast("bigint").alias("idx"),
-            F.round(F.col("val").cast("double"), 4).alias("v"),
+            (F.round(F.col("val").cast("double"), 4) + F.lit(0.0)).alias("v"),
         )
     )
 
