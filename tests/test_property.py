@@ -87,3 +87,28 @@ def test_asof_join_matches_bruteforce(spark, rows):
         cands = [(ts, i) for i, u, ts in right if u == lu and ts <= lts]
         want = max(cands)[1] if cands else None
         assert got[lid] == want, (lid, got[lid], want)
+
+
+def test_asof_join_null_value_col_not_stitched(spark):
+    """A matched right row with a NULL value column must propagate AS A
+    WHOLE (NULL included) — per-column last(ignorenulls) would stitch
+    the NULL field from an older row, pairing values that never
+    co-occurred."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from real_time_data_anomaly_detection_spark.operators.asof import asof_join
+
+    base = datetime.datetime(2024, 1, 1)
+    ts = lambda s: base + datetime.timedelta(seconds=s)  # noqa: E731
+    rdf = spark.createDataFrame(
+        [(1, ts(1), 10, "x"), (1, ts(2), None, "y")],
+        "user_id long, ts timestamp, a int, b string",
+    )
+    ldf = spark.createDataFrame([(99, 1, ts(3))], "event_id long, user_id long, ts timestamp")
+    row = asof_join(
+        ldf, rdf, on="ts", by=["user_id"], value_cols=["a", "b"]
+    ).head()
+    assert row.asof_b == "y" and row.asof_ts == ts(2)
+    assert row.asof_a is None, "NULL a must come from the ts=2 row, not ts=1"
