@@ -188,6 +188,25 @@ def q_ivf_probe(spark, sf_dir: str) -> DataFrame:
     return ivf_probe(spark, path, probe, k=10, nprobe=6)
 
 
+@query("q_ann_batch")  # approximate (IVF recall) → rows-only
+def q_ann_batch(spark, sf_dir: str) -> DataFrame:
+    """Batched ANN: top-5 neighbors for 20 probe vectors in ONE job
+    over the persisted cell-partitioned index (the similarity-join
+    shape; single-probe parity asserted in tests/test_similarity.py)."""
+    import os
+
+    from real_time_data_anomaly_detection_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = f"/tmp/spark_graft_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
+    if not os.path.exists(path + "/centroids/_SUCCESS"):
+        build_ivf_index(e.filter(F.col("vec_id") != 0), path, n_cells=16)
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return ivf_probe_batch(spark, path, probes, k=5, nprobe=4)
+
+
 def build_ivf_index(
     df: DataFrame,
     path: str,
@@ -252,6 +271,68 @@ def ivf_probe(
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def ivf_probe_batch(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Batched ANN over a persisted IVF index: top-k neighbors for EVERY
+    probe row in one job — the similarity-JOIN shape a production
+    retrieval pipeline needs (per-probe ``ivf_probe`` calls would plan
+    one job per probe).
+
+    Each probe maps to its ``nprobe`` nearest cells via a crossJoin
+    with the CENTROIDS table (n_cells rows — a broadcast of the index
+    metadata, never the index); the exploded (probe, cell) pairs then
+    join the cell-partitioned corpus on ``cell`` so each cell's vectors
+    are scanned once per probe that needs them. Per-probe top-k is a
+    rank window, which Spark plans as WindowGroupLimit (per-partition
+    early-k before the final sort)."""
+    from pyspark.sql import Window as W
+
+    cents = spark.read.parquet(path + "/centroids")
+    p = probes.select(
+        F.col(probe_id_col).alias("_pid"),
+        F.col(probe_vec_col).cast("array<double>").alias("_pv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("_pv", F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cell_rank = F.row_number().over(W.partitionBy("_pid").orderBy("_d2", "cell"))
+    probe_cells = (
+        p.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", d2)
+        .withColumn("_cr", cell_rank)
+        .filter(F.col("_cr") <= nprobe)
+        .select("_pid", "_pv", "cell")
+    )
+    vecs = spark.read.parquet(path + "/vectors")
+    cos = cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("_pv"))
+    nn_rank = F.row_number().over(
+        W.partitionBy("_pid").orderBy(F.desc("_cos"), F.asc(id_col))
+    )
+    return (
+        probe_cells.join(vecs, "cell")
+        .withColumn("_cos", cos)
+        .withColumn("_nr", nn_rank)
+        .filter(F.col("_nr") <= k)
+        .select(
+            F.col("_pid").alias(probe_id_col),
+            id_col,
+            F.round("_cos", 4).alias("cos_sim"),
+            F.col("_nr").alias("rank"),
+        )
     )
 
 

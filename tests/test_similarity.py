@@ -138,3 +138,33 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path):
     metrics = node.metrics()
     n_files = int(metrics.apply("numFiles").value())
     assert n_files <= 6, f"scan read {n_files} files; expected <= nprobe"
+
+
+def test_ivf_probe_batch_matches_single(spark, tmp_path):
+    """Batched probing must return exactly what per-probe ivf_probe
+    returns (same index, same nprobe) — one job instead of one per
+    probe."""
+    from real_time_data_anomaly_detection_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe,
+        ivf_probe_batch,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(e, path, n_cells=16)
+    probe = _probe(spark)
+
+    single = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_probe(spark, path, probe, k=10, nprobe=6).collect()
+    ]
+    probes = spark.createDataFrame(
+        [(0, probe)], "probe_id long, probe_vec array<double>"
+    )
+    batch = ivf_probe_batch(spark, path, probes, k=10, nprobe=6)
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in sorted(batch.collect(), key=lambda r: r.rank)
+    ]
+    assert got == single
