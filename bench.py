@@ -59,6 +59,17 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.time() - t0, 3)
 
+    # Round-2 additions, reported separately so the headline total
+    # stays comparable across rounds.
+    EXTENDED = ["q_tpch_q6", "q_tpch_q18", "q_corpus_clean", "q_ann_batch"]
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        fn = REGISTRY[name].spark_fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extended[name] = round(time.time() - t0, 3)
+
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -67,6 +78,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extended": extended,
     }
 
     # Streaming throughput: sustained rows/sec through the full
