@@ -132,3 +132,26 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "q_bpe_pretokens",
+    oracle=r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '''(?:[sdmt]|ll|ve|re)|\p{L}+|\p{N}|[^\s\p{L}\p{N}]+'))
+                   AS n_pretokens
+        FROM documents
+    """,
+)
+def q_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pretokenizer count (GPT-2-family pretokenization,
+    lookahead-free so Java regex and RE2 agree): contraction suffixes,
+    letter runs, single digits, punctuation runs. The count a tokenizer
+    budget/pricing pass needs, entirely JVM-side via regexp_count."""
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"'(?:[sdmt]|ll|ve|re)|\p{L}+|\p{N}|[^\s\p{L}\p{N}]+"
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(pat)).cast("bigint").alias("n_pretokens"),
+    )
