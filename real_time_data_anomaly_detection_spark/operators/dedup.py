@@ -684,3 +684,87 @@ def stream_dedup_against_index(
         .trigger(**(trigger or {"processingTime": "1 second"}))
         .start()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) labeling over an undirected edge list via
+    iterative min-label propagation.
+
+    Each round every node takes the min of its own label and its
+    neighbors' labels — a driver LOOP but fully distributed per round
+    (join + groupBy-min), converging in O(cluster diameter) rounds;
+    near-dup clusters are shallow (most are pairs/triangles), so the
+    practical round count is 2-4. Rounds persist their frontier and
+    stop when no label changes. Raises past ``max_iter`` rather than
+    returning a half-propagated labeling."""
+    sym = edges.select(
+        F.col(col_a).alias("src"), F.col(col_b).alias("dst")
+    ).union(edges.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst")))
+    comp = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    comp.count()
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(comp, sym.src == comp.node)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_comp = (
+            comp.join(neigh_min, comp.node == neigh_min.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        comp.unpersist()
+        comp = new_comp
+        if changed == 0:
+            return comp
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def neardup_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Corpus-level near-dup REMOVAL: MinHash-LSH pairs → connected
+    components → keep the min-id document of every cluster (and every
+    unpaired document). This is the step that turns pair DETECTION into
+    an actual deduplicated corpus — transitive near-dups (A~B~C with
+    A,C dissimilar) still collapse to one survivor."""
+    pairs = minhash_neardup_pairs(df, text_col, id_col, n, num_hashes, bands, threshold)
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    keepers = comps.groupBy("comp").agg(F.min("node").alias(id_col)).select(id_col)
+    clustered = comps.select(F.col("node").alias(id_col))
+    unpaired = df.select(id_col).join(clustered, id_col, "left_anti")
+    survivors = keepers.union(unpaired)
+    return df.join(survivors, id_col, "left_semi")
+
+
+@query("q_neardup_dedup")  # iterative (components) → rows-only
+def q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated documents table: one survivor per MinHash near-dup
+    cluster (threshold 0.5), all unpaired docs kept."""
+    d = load_table(spark, sf_dir, "documents")
+    return neardup_dedup(d).select("doc_id", "lang", "source")

@@ -232,3 +232,25 @@ def test_stream_dedup_against_index(spark, tmp_path):
         ) == ["batch=0", "batch=1"]
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_stream_idx")
+
+
+def test_connected_components_and_neardup_removal(spark):
+    """Transitive clusters collapse: A~B, B~C (A,C possibly dissimilar)
+    → one survivor; unpaired docs all survive."""
+    from real_time_data_anomaly_detection_spark.operators.dedup import (
+        connected_components,
+        neardup_dedup,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comps[1] == comps[2] == comps[3] == 1
+    assert comps[10] == comps[11] == 10
+    assert comps[20] == comps[21] == comps[22] == comps[23] == 20
+
+    d = _docs(spark)
+    kept = sorted(r.doc_id for r in neardup_dedup(d, threshold=0.5).collect())
+    assert kept == [0, 3, 4]  # cluster {0,1,2,5} -> 0; 3,4 unpaired
