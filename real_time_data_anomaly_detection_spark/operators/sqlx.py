@@ -545,3 +545,43 @@ def q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.levenshtein(F.col("c_name"), F.lit("Customer#000000042")).alias("dist"),
     )
+
+
+@query(
+    "q_window_lead",
+    oracle="""
+        SELECT event_id, user_id,
+               round(lead(value, 2, -1.0) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id), 4) AS next2
+        FROM events
+    """,
+)
+def q_window_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() with offset 2 and an explicit default — the forward
+    counterpart of q_window_lag (and the default-value form, which
+    lag/lead at offset 1 with NULL default doesn't cover)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.lead("value", 2, -1.0).over(w), 4).alias("next2"),
+    )
+
+
+@query(
+    "q_cross_join",
+    oracle="""
+        SELECT r.r_name, n.n_name
+        FROM region r CROSS JOIN nation n
+    """,
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (5 x 25 dims) — plans a
+    BroadcastNestedLoopJoin, which is exactly right when one side is
+    tiny and there is no key; the engine refuses accidental cartesians
+    on big inputs (spark.sql.crossJoin semantics) unless crossJoin is
+    explicit like this."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
