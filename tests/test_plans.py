@@ -148,3 +148,23 @@ def test_topk_per_group_pushes_group_limit(spark):
 
     plan = formatted_plan(REGISTRY["q_topk_per_group"].spark_fn(spark, SF_DIR))
     assert "WindowGroupLimit" in plan
+
+
+def test_no_accidental_cartesians_registry_wide(spark):
+    """Global plan-hygiene pin: NO query may plan a CartesianProduct,
+    and BroadcastNestedLoopJoin is allowed only where a non-equi join
+    is the declared semantics with a bounded broadcast side."""
+    BNLJ_OK = {"q_cross_join", "q_join_theta"}  # documented, dim-side broadcast
+    # construction executes jobs (index builds / iterative components);
+    # their inner joins are covered by their own tests
+    SKIP = {"q_ivf_probe", "q_ann_batch", "q_neardup_dedup"}
+    offenders = {}
+    for name, q in sorted(REGISTRY.items()):
+        if name in SKIP:
+            continue
+        plan = formatted_plan(q.spark_fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
