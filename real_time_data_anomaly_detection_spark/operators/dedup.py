@@ -138,14 +138,36 @@ def banded_signatures(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 8, rows_per_band: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs colliding in ≥1 band → candidate pairs.
 
     Band key = hash of r consecutive signature slots. P(collide) =
     1-(1-j^r)^b — the standard S-curve; (b=8, r=4) centers ~j≈0.6.
+
+    ``max_bucket_size`` is the 100 TB safety valve: a boilerplate
+    cluster of m identical fragments (license headers, templates) puts
+    m rows in one band bucket → m² candidate pairs, the quadratic term
+    banding exists to avoid. Buckets over the cap are DROPPED as
+    stop-buckets before the self-join (one count + semi-join pass);
+    members of oversized buckets still pair through their other,
+    non-pathological bands, and true boilerplate belongs to exact
+    dedup / explicit filters, not pairwise verification. Off (None)
+    by default to keep small-corpus semantics exact.
     """
     banded = banded_signatures(sigs, id_col, bands, rows_per_band)
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "band_key")
+        )
+        banded = banded.join(ok, ["band", "band_key"], "left_semi")
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (

@@ -254,3 +254,33 @@ def test_connected_components_and_neardup_removal(spark):
     d = _docs(spark)
     kept = sorted(r.doc_id for r in neardup_dedup(d, threshold=0.5).collect())
     assert kept == [0, 3, 4]  # cluster {0,1,2,5} -> 0; 3,4 unpaired
+
+
+def test_stop_bucket_cap_drops_boilerplate_pairs(spark):
+    """With a bucket cap, a large identical-boilerplate cluster stops
+    generating quadratic candidates, while ordinary near-dups survive."""
+    from real_time_data_anomaly_detection_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    boiler = "copyright license header the same in every single file forever"
+    rows = [(i, boiler) for i in range(40)]  # 40-way boilerplate cluster
+    rows += [
+        (100, "a genuinely unique document about adaptive query execution"),
+        (101, "a genuinely unique document about adaptive query planning"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(shingles(d))
+
+    uncapped = minhash_lsh_candidates(sigs).count()
+    capped_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(sigs, max_bucket_size=10).collect()
+    }
+    assert uncapped >= 40 * 39 / 2  # quadratic boilerplate term present
+    assert (100, 101) in capped_pairs  # real near-dup survives the cap
+    assert not any(a < 40 and b < 40 for a, b in capped_pairs), (
+        "boilerplate cluster must be fully stop-bucketed (identical docs "
+        "share every band)"
+    )
