@@ -544,6 +544,7 @@ def embed_lsh_candidates(
     bands: int = 16,
     rows_per_band: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from banded random-hyperplane LSH.
 
@@ -572,6 +573,16 @@ def embed_lsh_candidates(
     banded = df.select(
         F.col(id_col).alias("_id"), F.explode(F.array(*buckets)).alias("bk")
     ).select("_id", "bk.band", "bk.bucket")
+    if max_bucket_size is not None:
+        # same stop-bucket valve as minhash_lsh_candidates: a cluster of
+        # near-identical vectors floods one bucket with a quadratic term
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"], "left_semi")
     a = banded.select(F.col("_id").alias("vec_a"), "band", "bucket")
     b = banded.select(F.col("_id").alias("vec_b"), "band", "bucket")
     return (
