@@ -735,9 +735,15 @@ def connected_components(
     practical round count is 2-4. Rounds persist their frontier and
     stop when no label changes. Raises past ``max_iter`` rather than
     returning a half-propagated labeling."""
-    sym = edges.select(
-        F.col(col_a).alias("src"), F.col(col_b).alias("dst")
-    ).union(edges.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst")))
+    # Persist the edge list FIRST: every round references it twice
+    # (propagation + convergence check), and without materialization
+    # each round would recompute the edges' full upstream lineage —
+    # for near-dup pairs that is the entire minhash pipeline per round.
+    sym = (
+        edges.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
+        .union(edges.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst")))
+        .persist()
+    )
     comp = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -768,7 +774,9 @@ def connected_components(
         comp.unpersist()
         comp = new_comp
         if changed == 0:
+            sym.unpersist()
             return comp
+    sym.unpersist()
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
