@@ -729,12 +729,13 @@ def connected_components(
     iterative min-label propagation.
 
     Each round every node takes the min of its own label and its
-    neighbors' labels — a driver LOOP but fully distributed per round
-    (join + groupBy-min), converging in O(cluster diameter) rounds;
-    near-dup clusters are shallow (most are pairs/triangles), so the
-    practical round count is 2-4. Rounds persist their frontier and
-    stop when no label changes. Raises past ``max_iter`` rather than
-    returning a half-propagated labeling."""
+    neighbors' labels, then POINTER-JUMPS (label := label of its
+    label) — the shortcut makes convergence O(log n) rounds even for
+    chain-shaped clusters, where plain propagation needs O(diameter)
+    and would blow the iteration cap. A driver LOOP, but every round
+    is fully distributed (two joins + a groupBy-min). Rounds persist
+    their frontier and stop when no label changes. Raises past
+    ``max_iter`` rather than returning a half-propagated labeling."""
     # Persist the edge list FIRST: every round references it twice
     # (propagation + convergence check), and without materialization
     # each round would recompute the edges' full upstream lineage —
@@ -757,13 +758,24 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("comp").alias("nmin"))
         )
+        prop = comp.join(neigh_min, comp.node == neigh_min.dst, "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+        )
+        # pointer jump: follow the label's own label one hop (labels
+        # are node ids, so the self-join is well-defined)
+        hop = prop.select(F.col("node").alias("_ln"), F.col("comp").alias("_lc"))
+        # localCheckpoint, not persist: it TRUNCATES lineage. With bare
+        # persist the logical plan doubles per round and Catalyst
+        # analysis time explodes after ~10 iterations (minutes-long
+        # planning for a 60-node chain).
         new_comp = (
-            comp.join(neigh_min, comp.node == neigh_min.dst, "left")
+            prop.join(hop, prop.comp == hop._ln, "left")
             .select(
                 "node",
-                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+                F.least(F.col("comp"), F.coalesce("_lc", "comp")).alias("comp"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_comp.alias("n")

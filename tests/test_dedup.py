@@ -284,3 +284,19 @@ def test_stop_bucket_cap_drops_boilerplate_pairs(spark):
         "boilerplate cluster must be fully stop-bucketed (identical docs "
         "share every band)"
     )
+
+
+def test_connected_components_deep_chain(spark):
+    """A 60-node chain (diameter 59) must converge well inside the
+    25-round cap — pointer jumping makes rounds O(log n), where plain
+    propagation would need 59 rounds and raise."""
+    from real_time_data_anomaly_detection_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "doc_a long, doc_b long"
+    )
+    comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert len(comps) == 60
+    assert set(comps.values()) == {0}
