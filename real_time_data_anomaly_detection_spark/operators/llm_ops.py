@@ -31,13 +31,16 @@ from real_time_data_anomaly_detection_spark.operators.registry import query
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup accounting per language: distinct texts vs total docs.
 
-    At scale: count(DISTINCT text) over 100 TB of text should hash the
-    text first; see dedup.exact_dedup which dedups on sha2(text, 256)
-    so the shuffle carries 32-byte keys, not documents.
+    Counts DISTINCT over sha2(text, 256) so the distinct-aggregate
+    exchange carries 32-byte digests instead of full documents — at
+    100 TB that is the difference between shuffling ~100 TB of text and
+    ~3 TB of hashes (same design as dedup.exact_dedup). Equal to
+    count(DISTINCT text) up to SHA-256 collisions; NULL handling
+    matches (sha2(NULL) is NULL, ignored by countDistinct either way).
     """
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
-        F.countDistinct("text").alias("n_distinct"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).alias("n_distinct"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 
