@@ -37,6 +37,26 @@ HEADLINE = [
 ]
 
 
+def _run(fn, spark, sf_dir) -> None:
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+
+def _median3(fn, spark, sf_dir) -> tuple[float, float]:
+    """(median, spread) of 3 timed runs. Spread = max - min.
+
+    Single-shot timings chased noise across rounds (an identical
+    0-exchange broadcast plan swung 0.44 -> 1.94 -> 0.59 s); median-of-3
+    makes round-over-round comparison meaningful.
+    """
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        _run(fn, spark, sf_dir)
+        times.append(time.time() - t0)
+    times.sort()
+    return round(times[1], 3), round(times[2] - times[0], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from real_time_data_anomaly_detection_spark.operators import REGISTRY
@@ -44,20 +64,30 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
+    # Streaming throughput FIRST: its teardown writes noisy stderr
+    # (state-store/task aborts under load) that round 2 showed can
+    # interleave with — and once drowned — the final metric line.
+    # Measuring it before any batch timing keeps the tail of stdout
+    # clean and keeps leftover streaming state out of batch numbers.
+    stream_rps = None
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAM", "1") == "1":
+        try:
+            stream_rps = _stream_throughput(spark)
+        except Exception as exc:  # never let the stream kill the metric line
+            print(f"stream bench failed: {exc!r}", file=sys.stderr)
+
     # Warm-up pass: JIT/codegen compilation + parquet footer reads are
     # one-time costs a long-lived engine doesn't pay per query; timings
     # below measure steady-state execution.
     for name in HEADLINE:
-        REGISTRY[name].spark_fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        _run(REGISTRY[name].spark_fn, spark, sf_dir)
 
     per_query: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
-        fn = REGISTRY[name].spark_fn
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.time() - t0, 3)
+        per_query[name], spread[name] = _median3(
+            REGISTRY[name].spark_fn, spark, sf_dir
+        )
 
     # Round-2 additions, reported separately so the headline total
     # stays comparable across rounds.
@@ -65,10 +95,8 @@ def main() -> None:
     extended: dict[str, float] = {}
     for name in EXTENDED:
         fn = REGISTRY[name].spark_fn
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        extended[name] = round(time.time() - t0, 3)
+        _run(fn, spark, sf_dir)  # warm
+        extended[name], _ = _median3(fn, spark, sf_dir)
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -79,15 +107,15 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extended": extended,
+        "spread": spread,
     }
+    if stream_rps is not None:
+        result["stream_rows_per_sec"] = stream_rps
 
-    # Streaming throughput: sustained rows/sec through the full
-    # source -> stateful-window -> score -> sink pipeline (reference
-    # sustains 8 ev/s, its configured cap is 1000/s — BASELINE.md).
-    if os.environ.get("SPARK_GRAFT_BENCH_STREAM", "1") == "1":
-        result["stream_rows_per_sec"] = _stream_throughput(spark)
-
-    print(json.dumps(result))
+    # The metric line is the LAST stdout write, after all Spark jobs
+    # (batch and stream) have finished — nothing can interleave with it.
+    sys.stdout.flush()
+    print(json.dumps(result), flush=True)
 
 
 def _stream_throughput(spark, min_rated_batches: int = 5, timeout: float = 90.0) -> float:
