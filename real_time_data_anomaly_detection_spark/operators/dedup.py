@@ -70,19 +70,40 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: i
 
 
 def jaccard_pairs(
-    sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.05
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.05,
+    max_posting_size: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs from a (id, shingle) relation.
 
-    Inverted-index self-join: pairs only materialize for shared
-    shingles. Hot shingles (stop-shingles) blow this up at scale —
-    the MinHash path below is the remedy; this is the exact oracle.
+    Inverted index as bucket-local pair generation: group by shingle,
+    collect the sorted posting list, explode its i<j pairs, count per
+    pair — pairs only materialize for shared shingles, and the shingle
+    relation is evaluated once (a self-join evaluates it per side).
+
+    ``max_posting_size`` is the stop-shingle valve (the twin of
+    minhash_lsh_candidates' ``max_bucket_size``): one shingle shared by
+    m docs contributes m² pair rows, so a boilerplate shingle across
+    the corpus is THE quadratic hazard of the exact path. Postings over
+    the cap are dropped before pair generation — a size filter on the
+    collected list, no extra pass — which removes those shingles from
+    the universe on BOTH sides of the ratio (|A'∩B'| / |A'∪B'|,
+    standard stop-word-removal semantics; doc sizes are computed from
+    the capped relation so the denominator matches). Off (None) by
+    default to keep the oracle exact; recall effect pinned in
+    tests/test_dedup.py::test_jaccard_posting_cap.
     """
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    if max_posting_size is not None:
+        postings = postings.filter(F.size("ids") <= max_posting_size)
+        sh = (
+            postings.select("shingle", F.explode("ids").alias(id_col))
+        )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _bucket_pairs(postings.filter(F.size("ids") >= 2))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -300,3 +300,30 @@ def test_connected_components_deep_chain(spark):
     comps = {r.node: r.comp for r in connected_components(edges).collect()}
     assert len(comps) == 60
     assert set(comps.values()) == {0}
+
+
+def test_jaccard_posting_cap(spark):
+    """A stop-shingle shared by every doc must not generate quadratic
+    pair rows once capped, while genuine near-dups survive with
+    Jaccard computed over the capped universe (stop-word-removal
+    semantics: the hot shingle leaves numerator AND denominator)."""
+    from real_time_data_anomaly_detection_spark.operators.dedup import jaccard_pairs
+
+    rows = []
+    for i in range(30):  # 30 docs whose ONLY overlap is the hot shingle
+        rows += [(i, f"u{i}a"), (i, f"u{i}b"), (i, "HOT")]
+    # one genuine near-dup pair, disjoint from the hot cluster
+    rows += [(100, s) for s in ("s1", "s2", "s3", "only100", "HOT")]
+    rows += [(101, s) for s in ("s1", "s2", "s3", "only101", "HOT")]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+
+    uncapped = jaccard_pairs(sh, threshold=0.05).count()
+    assert uncapped >= 32 * 31 / 2  # every pair shares HOT -> quadratic
+
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(sh, threshold=0.05, max_posting_size=10).collect()
+    }
+    assert set(capped) == {(100, 101)}  # hot-only pairs are gone
+    # capped universe: sizes 4 and 4, intersection {s1,s2,s3} -> 3/5
+    assert abs(capped[(100, 101)] - 0.6) < 1e-9
