@@ -72,11 +72,7 @@ def _decode_image_real(payload: bytes) -> np.ndarray | None:
     except ImportError:
         return None
     img = Image.open(io.BytesIO(payload)).convert("L")
-    hist, _ = np.histogram(
-        np.asarray(img, dtype=np.float64), bins=FEATURE_DIM, range=(0, 256)
-    )
-    total = hist.sum()
-    return hist.astype(np.float64) / total if total else hist.astype(np.float64)
+    return _gray_histogram(np.asarray(img, dtype=np.float64))
 
 
 def _decode_audio_real(payload: bytes) -> np.ndarray | None:
@@ -91,35 +87,133 @@ def _decode_audio_real(payload: bytes) -> np.ndarray | None:
     except ImportError:
         return None
     data, _rate = sf.read(io.BytesIO(payload), dtype="float64", always_2d=True)
-    mono = np.abs(data[:, 0])
+    return _band_amplitudes(data[:, 0])
+
+
+def _gray_histogram(gray: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM-bin normalized intensity histogram — the shared
+    image-feature contract of real and builtin decoders."""
+    hist, _ = np.histogram(gray.astype(np.float64), bins=FEATURE_DIM, range=(0, 256))
+    total = hist.sum()
+    return hist.astype(np.float64) / total if total else hist.astype(np.float64)
+
+
+def _band_amplitudes(mono: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM mean-|amplitude| bands — the shared audio-feature
+    contract of real and builtin decoders."""
     if mono.size == 0:
         return np.zeros(FEATURE_DIM)
-    bands = np.array_split(mono, FEATURE_DIM)
+    bands = np.array_split(np.abs(mono), FEATURE_DIM)
     return np.array([b.mean() if b.size else 0.0 for b in bands])
 
 
-def _decode_payload(media_type: str, payload: bytes) -> np.ndarray:
-    """Decode kernel: real codecs when importable, stub otherwise.
+def _decode_wav_builtin(payload: bytes) -> np.ndarray | None:
+    """Codec-free RIFF PCM WAV decode (stdlib ``wave`` + numpy) —
+    uncompressed audio needs no optional library. Same feature contract
+    as _decode_audio_real: FEATURE_DIM mean-|amplitude| bands of the
+    first channel, samples scaled to [-1, 1]."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
 
-    Pillow (image) / soundfile (audio) are attempted at call time —
-    neither ships in this environment, so the deterministic fallback
-    derives FEATURE_DIM doubles from the payload's sha256; tests assert
-    the end-to-end plumbing (schema, batching, determinism) either way,
-    and the real-decode test auto-skips without codecs. Video would
-    need libav/ffmpeg and always falls back here.
+    with wave.open(io.BytesIO(payload)) as w:
+        channels = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 1:  # unsigned 8-bit
+        data = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        data = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        return None
+    usable = (data.size // channels) * channels
+    mono = data[:usable].reshape(-1, channels)[:, 0]
+    return _band_amplitudes(mono)
+
+
+def _rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
+    # ITU-R 601-2 luma with integer truncation — matches PIL convert("L")
+    return np.floor(
+        (rgb[:, 0] * 299 + rgb[:, 1] * 587 + rgb[:, 2] * 114) / 1000.0
+    )
+
+
+def _decode_ppm_builtin(payload: bytes) -> np.ndarray | None:
+    """Codec-free binary PPM (P6) decode with numpy alone."""
+    if payload[:2] != b"P6":
+        return None
+    # Header: "P6" <ws> width <ws> height <ws> maxval <single ws> pixels.
+    # '#' comments run to end of line.
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        return None  # 16-bit-per-sample PPM: out of scope for the builtin
+    n = width * height * 3
+    rgb = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos).reshape(-1, 3)
+    return _gray_histogram(_rgb_to_gray(rgb.astype(np.float64)))
+
+
+def _decode_bmp_builtin(payload: bytes) -> np.ndarray | None:
+    """Codec-free uncompressed 24bpp BMP decode with numpy alone."""
+    if payload[:2] != b"BM":
+        return None
+    pixel_off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        return None
+    row_bytes = (width * 3 + 3) & ~3  # rows padded to 4-byte multiples
+    rows = []
+    for r in range(abs(height)):
+        off = pixel_off + r * row_bytes
+        row = np.frombuffer(payload, dtype=np.uint8, count=width * 3, offset=off)
+        rows.append(row.reshape(-1, 3))
+    bgr = np.concatenate(rows).astype(np.float64)  # BMP stores BGR
+    return _gray_histogram(_rgb_to_gray(bgr[:, ::-1]))
+
+
+def _decode_payload(media_type: str, payload: bytes) -> np.ndarray:
+    """Decode kernel: builtin parsers for uncompressed formats (WAV
+    PCM, PPM, 24bpp BMP — numpy + stdlib, REAL in this env), optional
+    codec libraries (Pillow/soundfile) for compressed formats when
+    importable, deterministic sha256 stub otherwise.
+
+    The stub only remains for compressed payloads without codecs and
+    for video (which would need libav/ffmpeg); tests exercise the real
+    builtin decode end-to-end without optional imports
+    (tests/test_multimodal.py::test_builtin_wav_decode / _ppm / _bmp).
     """
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"unsupported media_type {media_type!r}")
     if payload:
+        payload = bytes(payload)
         try:
-            real = (
-                _decode_image_real(bytes(payload))
-                if media_type == "image"
-                else _decode_audio_real(bytes(payload))
-                if media_type == "audio"
-                else None
-            )
-        except Exception:  # undecodable bytes → deterministic fallback
+            real = None
+            if media_type == "image":
+                real = _decode_ppm_builtin(payload) if real is None else real
+                real = _decode_bmp_builtin(payload) if real is None else real
+                real = _decode_image_real(payload) if real is None else real
+            elif media_type == "audio":
+                real = _decode_wav_builtin(payload)
+                real = _decode_audio_real(payload) if real is None else real
+        except Exception:  # undecodable/torn bytes → deterministic fallback
             real = None
         if real is not None:
             return real
