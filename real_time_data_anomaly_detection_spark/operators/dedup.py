@@ -829,6 +829,7 @@ def connected_components(
     col_a: str = "doc_a",
     col_b: str = "doc_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) labeling over an undirected edge list via
     iterative min-label propagation.
@@ -840,7 +841,11 @@ def connected_components(
     and would blow the iteration cap. A driver LOOP, but every round
     is fully distributed (two joins + a groupBy-min). Rounds persist
     their frontier and stop when no label changes. Raises past
-    ``max_iter`` rather than returning a half-propagated labeling."""
+    ``max_iter`` rather than returning a half-propagated labeling.
+
+    Pass ``stats`` (a dict) to get ``stats["rounds"]`` back — the
+    O(log n) round claim is pinned, not assumed, by
+    tests/test_dedup.py::test_connected_components_round_scaling."""
     # Persist the edge list FIRST: every round references it twice
     # (propagation + convergence check), and without materialization
     # each round would recompute the edges' full upstream lineage —
@@ -857,7 +862,7 @@ def connected_components(
         .persist()
     )
     comp.count()
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         neigh_min = (
             sym.join(comp, sym.src == comp.node)
             .groupBy("dst")
@@ -891,6 +896,8 @@ def connected_components(
         comp.unpersist()
         comp = new_comp
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = _round + 1
             sym.unpersist()
             return comp
     sym.unpersist()

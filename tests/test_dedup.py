@@ -327,3 +327,40 @@ def test_jaccard_posting_cap(spark):
     assert set(capped) == {(100, 101)}  # hot-only pairs are gone
     # capped universe: sizes 4 and 4, intersection {s1,s2,s3} -> 3/5
     assert abs(capped[(100, 101)] - 0.6) < 1e-9
+
+
+def test_connected_components_round_scaling(spark):
+    """The O(log n) pointer-jump claim, pinned: a 10k-node chain
+    (worst-case diameter) and a 10k-node star must converge in
+    <= log2(n)+2 rounds — plain propagation would need ~10k rounds on
+    the chain. Measured growth is ~log2(n)+1 (256->9, 1024->11,
+    4096->13, 10000->14 rounds)."""
+    import math
+
+    from real_time_data_anomaly_detection_spark.operators.dedup import (
+        connected_components,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        n = 10_000
+        bound = math.ceil(math.log2(n)) + 2
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+        )
+        s = {}
+        comp = connected_components(chain, stats=s)
+        assert comp.select("comp").distinct().count() == 1
+        assert s["rounds"] <= bound, f"chain took {s['rounds']} > {bound} rounds"
+
+        star = spark.createDataFrame(
+            [(0, i) for i in range(1, n)], "doc_a long, doc_b long"
+        )
+        s = {}
+        comp = connected_components(star, stats=s)
+        assert comp.select("comp").distinct().count() == 1
+        assert s["rounds"] <= 3, f"star took {s['rounds']} rounds"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
