@@ -322,3 +322,648 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# The fixture has no partsupp table and lineitem carries no commit/
+# receipt dates, so Q2/Q4/Q9/Q11/Q12/Q16/Q17/Q20/Q21 are ADAPTED: each
+# keeps its defining plan shape (correlated scalar subquery, EXISTS /
+# NOT EXISTS, NOT IN, scalar-threshold HAVING, ratio agg) with the
+# missing column swapped for a fixture column with the same role.
+# Oracles are adapted identically, so correctness stays oracle-exact.
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+        WITH elig AS (
+            SELECT DISTINCT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+                            s.s_acctbal
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE' AND p.p_size BETWEEN 10 AND 15
+        )
+        SELECT p_partkey, p_brand, s_name, round(s_acctbal, 4) AS acctbal
+        FROM elig e
+        WHERE s_acctbal = (SELECT min(s_acctbal) FROM elig e2
+                           WHERE e2.p_partkey = e.p_partkey)
+        ORDER BY p_partkey, s_name
+        LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost supplier (TPC-H Q2 shape, acctbal standing in for the
+    absent ps_supplycost): correlated per-part MIN as a groupBy +
+    join-back, region-filtered through broadcast dims."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size").between(10, 15))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    elig = (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal")
+        .distinct()
+    )
+    mins = elig.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("s_acctbal").alias("_min_bal")
+    )
+    return (
+        elig.join(
+            mins,
+            (elig.p_partkey == mins._pk) & (elig.s_acctbal == mins._min_bal),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.round(F.col("s_acctbal").cast("double"), 4).alias("acctbal"),
+        )
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape; late-ship EXISTS stands
+    in for the absent commit/receipt pair): EXISTS → left-semi join,
+    count per priority."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01"))
+        & (F.col("o_orderdate") < _ts("1996-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_tpch_q7",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year, round(sum({_REV}), 4) AS revenue
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (TPC-H Q7 shape): bidirectional nation pair via
+    two broadcast nation joins, per (supp, cust, year) revenue."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("_n1key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("_n2key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_round_sum_rev().alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle=f"""
+        SELECT year(o_orderdate) AS o_year,
+               round(sum(CASE WHEN n2.n_name = 'NATION_1' THEN {_REV}
+                              ELSE 0 END) / sum({_REV}), 4) AS mkt_share
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): conditional-revenue
+    ratio per year inside one aggregation — customer nation fixes the
+    market (region), supplier nation fixes the contender."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_regionkey").alias("_n1reg")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("_supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_rev = F.when(F.col("_supp_nation") == "NATION_1", rev).otherwise(F.lit(0.0))
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("_n1key"))
+        .join(F.broadcast(r), F.col("_n1reg") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("_n2key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round((F.sum(nat_rev) / F.sum(rev)).cast("double"), 4).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle="""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - 0.5 * p_retailprice * l_quantity), 4) AS sum_profit
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape; 0.5*p_retailprice stands in
+    for the absent ps_supplycost): profit per supplier nation per
+    year over a name-pattern part slice."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount).cast("double"), 4).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+        WITH v AS (
+            SELECT l_partkey AS partkey,
+                   sum(l_extendedprice * l_quantity) AS value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_7', 'NATION_8')
+            GROUP BY l_partkey
+        )
+        SELECT partkey, round(value, 4) AS value
+        FROM v
+        WHERE value > (SELECT sum(value) * 0.005 FROM v)
+        ORDER BY value DESC, partkey
+        LIMIT 100
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock (TPC-H Q11 shape, lineitem value standing in for
+    partsupp): per-part value filtered by a GLOBAL-total scalar
+    subquery — the total is a 1-row broadcast crossJoin, never a
+    shuffle of v."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_7", "NATION_8")
+    )
+    v = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    total = v.agg((F.sum("value") * 0.005).alias("_threshold"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("_threshold"))
+        .select("partkey", F.round(F.col("value").cast("double"), 4).alias("value"))
+        .orderBy(F.desc("value"), F.asc("partkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority (TPC-H Q12 shape; returnflag and a
+    30-day ship lag stand in for the absent shipmode/commit dates):
+    priority split as conditional counts in one aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): left outer
+    join with an ON-clause residual, two stacked aggregations."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no, round(sum({_REV}), 4) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): quarter revenue per supplier,
+    MAX as a 1-row broadcast scalar, join back for the winner(s)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _round_sum_rev().alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        s.join(revenue, s.s_suppkey == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        LIMIT 50
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape; negative acctbal
+    stands in for the complaints-comment NOT IN): anti-join the
+    excluded suppliers, count distinct suppliers per part bucket."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3' AND p_type = 'ECONOMY'
+          AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): correlated
+    per-part AVG as a groupBy + join-back (aggregates BEFORE the join,
+    so the threshold side shuffles one row per part)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "ECONOMY")
+    )
+    thresholds = li.groupBy(F.col("l_partkey").alias("_tpk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("_half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresholds, li.l_partkey == F.col("_tpk"))
+        .filter(F.col("l_quantity") < F.col("_half_avg_qty"))
+        .agg(
+            F.round((F.sum("l_extendedprice") / 7.0).cast("double"), 4).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+        SELECT s_name, round(s_acctbal, 4) AS acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND s_suppkey IN (
+              SELECT l_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red%'
+                AND l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1998-01-01'
+              GROUP BY l_suppkey
+              HAVING sum(l_quantity) > 50
+          )
+        ORDER BY s_name
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (TPC-H Q20 shape; shipped-quantity
+    HAVING stands in for the partsupp availqty comparison): nested
+    IN-subquery as agg → semi-join chain."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select(
+            "s_name", F.round(F.col("s_acctbal").cast("double"), 4).alias("acctbal")
+        )
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+        WITH late AS (
+            SELECT l_orderkey, l_suppkey
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM late l1
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_5', 'NATION_6', 'NATION_7')
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape; 60-day ship
+    lag stands in for receipt>commit): EXISTS → semi-join on another
+    supplier's line, NOT EXISTS → anti-join on another LATE supplier,
+    count per supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_5", "NATION_6", "NATION_7")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS numcust,
+               round(sum(c_acctbal), 4) AS totacctbal
+        FROM customer
+        WHERE c_mktsegment IN ('MACHINERY', 'FURNITURE', 'BUILDING')
+          AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0
+                             AND c_mktsegment IN ('MACHINERY', 'FURNITURE',
+                                                  'BUILDING'))
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22 shape; mktsegment stands in
+    for the phone country code): scalar-AVG broadcast threshold +
+    NOT EXISTS anti-join on orders, per-segment rollup."""
+    segs = ("MACHINERY", "FURNITURE", "BUILDING")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment").isin(*segs))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts("2000-01-01"))
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal").cast("double"), 4).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
