@@ -23,6 +23,7 @@ from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F40
     tpch,
     sqlx,
     similarity,
+    pipeline_ops,
 )
 
 __all__ = ["REGISTRY", "Query", "query"]

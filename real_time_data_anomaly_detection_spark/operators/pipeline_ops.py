@@ -1,0 +1,239 @@
+"""Training-data pipeline operators beyond dedup/similarity: benchmark
+decontamination, deterministic stratified sampling, token-length
+bucketing, and sequence packing.
+
+These are the corpus-hygiene and batch-shaping steps a pre-training
+data pipeline runs after dedup (operators/dedup.py) and quality
+scoring (operators/textops.py). The reference has no analog (it is a
+streaming anomaly detector); these are north-star additions in the
+spirit of SURVEY.md §2.2's LLM-ops block, built scale-first:
+
+- decontamination joins TRAIN shingles against a broadcast BENCHMARK
+  shingle set — the benchmark side is curated and small (thousands of
+  docs), so the 100 TB train side is never reshuffled;
+- sampling is HASH-based (md5 threshold), so it is deterministic,
+  reproducible across runs/engines, and needs no RNG state — the only
+  sampling style that is auditable at 100 TB;
+- packing is per-bucket greedy first-fit via applyInPandas with an
+  explicit doc_id % P bucketing, so pack assignments are deterministic
+  regardless of cluster size or partition count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.io import load_table
+from real_time_data_anomaly_detection_spark.operators.dedup import shingles
+from real_time_data_anomaly_detection_spark.operators.registry import query
+
+
+def contamination_hits(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(train_id, bench_id, hits): count of distinct shared n-gram
+    shingles between each train/benchmark doc pair that shares any.
+
+    The benchmark relation is broadcast — decontamination against a
+    curated eval set must never reshuffle the training corpus. Train
+    shingles stream through the broadcast hash join and aggregate on
+    (train, bench), whose cardinality is bounded by actual overlap."""
+    tr = shingles(train, text_col, id_col, n).select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    be = shingles(bench, text_col, id_col, n).select(
+        F.col(id_col).alias("bench_id"), "shingle"
+    )
+    return (
+        tr.join(F.broadcast(be), "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Training docs with ``min_hits``+ shared n-grams against ANY
+    benchmark doc are removed (anti-join on the flagged id set)."""
+    flagged = (
+        contamination_hits(train, bench, text_col, id_col, n)
+        .filter(F.col("hits") >= min_hits)
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(flagged, id_col, "left_anti")
+
+
+_SHINGLE_CTE = """
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+               FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i))
+"""
+
+
+@query(
+    "q_decontaminate",
+    oracle=_SHINGLE_CTE
+    + """
+        , hits AS (
+            SELECT tr.doc_id AS train_id, be.doc_id AS bench_id,
+                   count(*) AS hits
+            FROM sh tr JOIN sh be ON tr.shingle = be.shingle
+            WHERE tr.doc_id >= 50 AND be.doc_id < 50
+            GROUP BY 1, 2
+        )
+        SELECT train_id, bench_id, hits
+        FROM hits WHERE hits >= 2
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination report: docs 0-49 stand in for a held-
+    out eval set, the rest are the training corpus; emit every
+    (train, bench, shared-3-gram count) pair at 2+ hits."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 50)
+    train = d.filter(F.col("doc_id") >= 50)
+    return contamination_hits(train, bench).filter(F.col("hits") >= 2)
+
+
+def hash_sample(
+    df: DataFrame, rate_expr, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic sampling: keep a row iff the first md5 byte of its
+    key is below ``rate_expr`` (a Column of hex-string thresholds,
+    '00'-'ff'; '40' keeps ~25%). Hash-threshold sampling is stable
+    across runs, partitionings, and engines — reproducibility that
+    rand()-based sampling cannot give an audited 100 TB pipeline."""
+    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
+    return df.filter(bucket < rate_expr)
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+        SELECT lang, count(*) AS n_docs
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              < CASE WHEN lang = 'en' THEN '40' ELSE '20' END
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling by language — ~25% of English docs,
+    ~12.5% of everything else — via the deterministic md5 threshold;
+    returns the per-lang kept counts (the mixing report)."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("20"))
+    return (
+        hash_sample(d, rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_token_buckets",
+    oracle="""
+        SELECT CAST(floor(log2(len(string_split(text, ' ')))) AS BIGINT)
+                   AS bucket,
+               count(*) AS n_docs,
+               min(len(string_split(text, ' '))) AS min_tokens,
+               max(len(string_split(text, ' '))) AS max_tokens
+        FROM documents
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+)
+def q_token_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram — the batch-shaping view a
+    packing/padding policy is tuned against."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return (
+        d.select(F.floor(F.log2(n_tok)).alias("bucket"), n_tok.alias("_n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_n").alias("min_tokens"),
+            F.max("_n").alias("max_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    tok_col: str = "n_tokens",
+    num_buckets: int = 8,
+) -> DataFrame:
+    """Greedy sequence packing: assign docs to packs of at most
+    ``max_tokens`` total tokens (docs longer than the budget get a
+    pack of their own). Returns (id, pack_id, pack_tokens).
+
+    Packing is inherently sequential, so it is made deterministic and
+    distributed by EXPLICIT bucketing: docs land in ``id % num_buckets``
+    buckets (stable under any cluster size / partition count — unlike
+    repartitionByRange, whose sampled boundaries vary), and each bucket
+    packs its docs in id order inside one applyInPandas group.
+    pack_id = bucket * 2^40 + local pack index, globally unique.
+    Verified against a pure-python reference in tests/test_pipeline_ops.py.
+    """
+    import pandas as pd
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        bucket = int(pdf["_bucket"].iloc[0])
+        base = bucket << 40
+        pack_ids, pack_totals = [], []
+        current, total = 0, 0
+        for tok in pdf[tok_col]:
+            tok = int(tok)
+            if total > 0 and total + tok > max_tokens:
+                current += 1
+                total = 0
+            total += tok
+            pack_ids.append(base + current)
+            pack_totals.append(total)
+        out = pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                "pack_id": pack_ids,
+                "_running": pack_totals,
+            }
+        )
+        # final total per pack = last running value in that pack
+        out["pack_tokens"] = out.groupby("pack_id")["_running"].transform("max")
+        return out.drop(columns=["_running"])
+
+    with_bucket = df.select(
+        id_col, tok_col, (F.col(id_col) % num_buckets).alias("_bucket")
+    )
+    out_schema = f"{id_col} long, pack_id long, pack_tokens long"
+    return with_bucket.groupBy("_bucket").applyInPandas(_pack, out_schema)
+
+
+@query("q_pack_sequences")  # stateful greedy scan → rows-only + pytest
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 2048-token training sequences; emit
+    (doc_id, pack_id, pack_tokens). Deterministic per the bucketed
+    greedy scheme; equivalence to a sequential reference packer is
+    pinned in tests/test_pipeline_ops.py."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return pack_sequences(d, max_tokens=2048)

@@ -1,0 +1,112 @@
+"""Training-data pipeline ops: decontamination, hash sampling,
+sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.operators.pipeline_ops import (
+    contamination_hits,
+    decontaminate,
+    hash_sample,
+    pack_sequences,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),          # bench
+        (1, "pack my box with five dozen liquor jugs"),              # bench
+        (100, "the quick brown fox jumps over a sleeping cat"),      # contaminated (5 shared 3-grams)
+        (101, "pack my box with plenty of careful padding"),         # contaminated (2 shared)
+        (102, "completely unrelated sentence about spark executors"),
+        (103, "another clean document with no benchmark overlap"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_hits_and_decontaminate(spark):
+    d = _docs(spark)
+    bench = d.filter(F.col("doc_id") < 100)
+    train = d.filter(F.col("doc_id") >= 100)
+    hits = {
+        (r.train_id, r.bench_id): r.hits
+        for r in contamination_hits(train, bench).collect()
+    }
+    # doc 100 shares "the quick brown","quick brown fox","brown fox jumps",
+    # "fox jumps over" with doc 0; doc 101 shares "pack my box","my box with".
+    assert hits[(100, 0)] == 4
+    assert hits[(101, 1)] == 2
+    assert (102, 0) not in hits and (103, 0) not in hits
+
+    kept = sorted(
+        r.doc_id for r in decontaminate(train, bench, min_hits=2).collect()
+    )
+    assert kept == [102, 103]
+
+
+def test_hash_sample_deterministic_and_unbiased(spark):
+    df = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id for r in hash_sample(df, F.lit("40")).collect()}
+    b = {r.doc_id for r in hash_sample(df, F.lit("40")).collect()}
+    assert a == b  # deterministic, no RNG state
+    # '40'/256 = 25% nominal; md5 is uniform so 4000 draws stay close.
+    assert 0.20 < len(a) / 4000 < 0.30
+    # monotone: a tighter threshold selects a subset
+    c = {r.doc_id for r in hash_sample(df, F.lit("20")).collect()}
+    assert c <= a
+
+
+def _reference_pack(items, max_tokens):
+    """Sequential greedy packer (the semantics pack_sequences must
+    reproduce per bucket, in id order)."""
+    packs, current, total = {}, 0, 0
+    for doc_id, tok in items:
+        if total > 0 and total + tok > max_tokens:
+            current += 1
+            total = 0
+        total += tok
+        packs[doc_id] = current
+    return packs
+
+
+def test_pack_sequences_matches_sequential_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(50, 900)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: (r.pack_id, r.pack_tokens)
+        for r in pack_sequences(df, max_tokens=1024, num_buckets=4).collect()
+    }
+    assert len(got) == 500
+
+    toks = dict(rows)
+    for bucket in range(4):
+        items = sorted((i, t) for i, t in rows if i % 4 == bucket)
+        want = _reference_pack(items, 1024)
+        for doc_id, local_pack in want.items():
+            assert got[doc_id][0] == (bucket << 40) + local_pack
+
+    # pack budget respected; pack_tokens is the true pack total
+    by_pack = {}
+    for doc_id, (pack_id, pack_tokens) in got.items():
+        by_pack.setdefault(pack_id, [0, pack_tokens])
+        by_pack[pack_id][0] += toks[doc_id]
+    for pack_id, (true_total, reported) in by_pack.items():
+        assert true_total == reported
+        assert true_total <= 1024 or len(
+            [d for d in got if got[d][0] == pack_id]
+        ) == 1  # oversized doc alone in its pack
+
+
+def test_pack_sequences_partition_count_invariant(spark):
+    rows = [(i, 100 + i % 300) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = {tuple(r) for r in pack_sequences(df, 1024).collect()}
+    b = {
+        tuple(r)
+        for r in pack_sequences(df.repartition(17), 1024).collect()
+    }
+    assert a == b  # explicit doc_id % P bucketing, not partition-dependent
