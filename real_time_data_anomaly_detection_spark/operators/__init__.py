@@ -24,6 +24,7 @@ from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F40
     sqlx,
     similarity,
     pipeline_ops,
+    timeseries,
 )
 
 __all__ = ["REGISTRY", "Query", "query"]
