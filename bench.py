@@ -89,9 +89,19 @@ def main() -> None:
             REGISTRY[name].spark_fn, spark, sf_dir
         )
 
-    # Round-2 additions, reported separately so the headline total
-    # stays comparable across rounds.
-    EXTENDED = ["q_tpch_q6", "q_tpch_q18", "q_corpus_clean", "q_ann_batch"]
+    # Round-2/round-4 additions, reported separately so the headline
+    # total stays comparable across rounds.
+    EXTENDED = [
+        "q_tpch_q6",
+        "q_tpch_q18",
+        "q_corpus_clean",
+        "q_ann_batch",
+        "q_tpch_q9",
+        "q_tpch_q21",
+        "q_decontaminate",
+        "q_pack_sequences",
+        "q_resample_ffill",
+    ]
     extended: dict[str, float] = {}
     for name in EXTENDED:
         fn = REGISTRY[name].spark_fn
