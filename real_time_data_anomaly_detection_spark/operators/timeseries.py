@@ -98,3 +98,86 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     regular-grid densification over an irregular stream."""
     e = load_table(spark, sf_dir, "events")
     return resample_ffill(e, "event_type", "ts", "value", "1 hour")
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT event_id, e.event_type, round(value, 4) AS value,
+               round((value - mu) / sigma, 4) AS z
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE abs(value - mu) > 3 * sigma
+        ORDER BY event_id
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global z-score outliers per event_type (|z| > 3) — the oracle-
+    backed SQL member of the anomaly family (the IsolationForest path
+    is model-based and rows-only by nature). Stats aggregate first
+    (tiny), then broadcast back over the stream — no event-sized
+    shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy(F.col("event_type").alias("_et")).agg(
+        F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sigma")
+    )
+    return (
+        e.join(F.broadcast(stats), e.event_type == F.col("_et"))
+        .filter(F.abs(F.col("value") - F.col("_mu")) > 3 * F.col("_sigma"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value").cast("double"), 4).alias("value"),
+            F.round(
+                ((F.col("value") - F.col("_mu")) / F.col("_sigma")).cast("double"), 4
+            ).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_anomaly_rolling",
+    oracle="""
+        WITH scored AS (
+            SELECT event_id, event_type, value,
+                   avg(value) OVER w AS mu,
+                   stddev_samp(value) OVER w AS sigma
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, event_type, round(value, 4) AS value,
+               round((value - mu) / sigma, 4) AS z
+        FROM scored
+        WHERE abs(value - mu) > 3 * sigma
+        ORDER BY event_id
+    """,
+)
+def q_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outliers: each event scored against the stats of
+    its own trailing 100 events per type (excluding itself) — the
+    batch twin of streaming drift-aware detection, one window pass."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    mu = F.avg("value").over(w)
+    sigma = F.stddev_samp("value").over(w)
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value").cast("double"), 4).alias("value"),
+            F.round(((F.col("value") - mu) / sigma).cast("double"), 4).alias("z"),
+            (F.abs(F.col("value") - mu) > 3 * sigma).alias("_flag"),
+        )
+        .filter(F.col("_flag"))
+        .drop("_flag")
+        .orderBy("event_id")
+    )
