@@ -39,6 +39,15 @@ def main(argv: list[str] | None = None) -> int:
     pp = sub.add_parser("pipeline", help="run the live anomaly-detection stream")
     pp.add_argument("--rate", type=int, default=1000, help="events/sec")
     pp.add_argument("--duration", type=float, default=15.0, help="seconds to run")
+    pp.add_argument(
+        "--watch",
+        action="store_true",
+        help="poll the outlier table live (the reference dashboard's "
+        "read path, reference app/app3_ML.py:324-335, as a terminal tail)",
+    )
+    pp.add_argument(
+        "--poll-interval", type=float, default=2.0, help="watch poll seconds"
+    )
 
     args = p.parse_args(argv)
 
@@ -88,7 +97,29 @@ def main(argv: list[str] | None = None) -> int:
             spark, energy_rate_stream(spark, rows_per_second=args.rate)
         )
         print(f"pipeline running at {args.rate} ev/s for {args.duration}s ...")
-        time.sleep(args.duration)
+        if args.watch:
+            # Live read path: poll the queryable memory sink and print
+            # newly appended outliers — what the reference's Dash
+            # callback does against its locked driver dict, but over a
+            # real streaming sink any SQL client could also query.
+            deadline = time.time() + args.duration
+            seen = 0
+            while time.time() < deadline:
+                time.sleep(min(args.poll_interval, max(deadline - time.time(), 0.1)))
+                rows = (
+                    spark.table("outliers")
+                    .orderBy("timestamp")
+                    .collect()
+                )
+                for r in rows[seen:]:
+                    print(
+                        f"  [{r.timestamp}] {r.plant_type}/{r.region} "
+                        f"power={r.power_output:.2f} demand={r.demand:.2f} "
+                        f"score={r.score:.4f}"
+                    )
+                seen = len(rows)
+        else:
+            time.sleep(args.duration)
         stop_gracefully(q, timeout_sec=30)
         out = spark.table("outliers")
         n = out.count()
