@@ -364,3 +364,58 @@ def test_connected_components_round_scaling(spark):
         assert s["rounds"] <= 3, f"star took {s['rounds']} rounds"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_arr_signature_path_equals_exploded_path(spark):
+    """The zero-shuffle array signature/verify path must be value-
+    identical to the exploded groupBy formulation on a randomized
+    corpus — pins the min-over-duplicates == min-over-distinct
+    argument and the transform-lambda seed binding (a 2-arg lambda
+    would silently make every signature slot equal)."""
+    import random
+
+    from real_time_data_anomaly_detection_spark.operators.dedup import (
+        minhash_neardup_pairs,
+        minhash_signatures,
+        minhash_signatures_arr,
+        shingle_arrays,
+        verify_candidates,
+        minhash_lsh_candidates,
+    )
+
+    rng = random.Random(20260813)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(120):
+        base = [rng.choice(vocab) for _ in range(rng.randint(3, 30))]
+        rows.append((i, " ".join(base)))
+        if rng.random() < 0.3:  # planted near-dup with light edits
+            mutated = list(base)
+            if len(mutated) > 4:
+                mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(mutated)))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs_arr = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signatures_arr(shingle_arrays(d)).collect()
+    }
+    sigs_old = {
+        r.doc_id: list(r.sig) for r in minhash_signatures(shingles(d)).collect()
+    }
+    assert sigs_arr == sigs_old
+    # per-slot variation: the seed actually varies across hash slots
+    some_sig = next(iter(sigs_arr.values()))
+    assert len(set(some_sig)) > 1
+
+    sh = shingles(d).persist()
+    old_pairs = {
+        tuple(r)
+        for r in verify_candidates(
+            minhash_lsh_candidates(minhash_signatures(sh)), sh
+        ).collect()
+    }
+    new_pairs = {tuple(r) for r in minhash_neardup_pairs(d).collect()}
+    sh.unpersist()
+    assert new_pairs == old_pairs
+    assert len(new_pairs) > 0  # planted near-dups are actually found
