@@ -363,10 +363,18 @@ def build_minhash_index(
     reshuffle the corpus per batch; bucketing the banded relation on
     the join key means the index side of every subsequent match join is
     read co-located (zero exchange; pinned in tests/test_dedup.py). At
-    scale set ``buckets`` ~ corpus_size / healthy-partition-size."""
-    sh = shingles(df, text_col, id_col, n)
+    scale set ``buckets`` ~ corpus_size / healthy-partition-size.
+
+    Signatures come from the row-wise array path (zero exchanges before
+    the bucketed write itself) — on THE whole-corpus operation, the
+    exploded formulation's distinct + groupBy would be two full corpus
+    shuffles; value-equality of the two paths is pinned in
+    tests/test_dedup.py::test_arr_signature_path_equals_exploded_path."""
     banded = banded_signatures(
-        minhash_signatures(sh, id_col, num_hashes), id_col, bands, num_hashes // bands
+        minhash_signatures_arr(shingle_arrays(df, text_col, id_col, n), id_col, num_hashes),
+        id_col,
+        bands,
+        num_hashes // bands,
     )
     (
         banded.write.format("parquet")
@@ -398,9 +406,11 @@ def minhash_match_incremental(
     Returns (new_id, corpus_id, est_jaccard >= est_threshold)."""
     spark = new_df.sparkSession
     idx = spark.table(table)
-    sh = shingles(new_df, text_col, id_col, n)
     nb = banded_signatures(
-        minhash_signatures(sh, id_col, num_hashes), id_col, bands, num_hashes // bands
+        minhash_signatures_arr(shingle_arrays(new_df, text_col, id_col, n), id_col, num_hashes),
+        id_col,
+        bands,
+        num_hashes // bands,
     ).select(
         F.col(id_col).alias("new_id"), F.col("sig").alias("_nsig"), "band_key"
     )
