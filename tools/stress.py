@@ -93,5 +93,36 @@ def main() -> None:
     )
 
 
+    # MinHash-LSH near-dup at corpus scale: synthetic documents as
+    # sliding windows over a virtual token stream (doc i and i±1 share
+    # ~57% of tokens -> genuine near-dup structure, pair count ~ N).
+    from real_time_data_anomaly_detection_spark.operators.dedup import (
+        minhash_neardup_pairs,
+    )
+
+    n_doc = max(10_000, rows // 100)
+    docs = spark.range(n_doc, numPartitions=64).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(34)),
+                lambda j: F.concat(
+                    F.lit("w"), ((F.col("id") * 15 + j) % 50_000).cast("string")
+                ),
+            ),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    minhash_neardup_pairs(docs, threshold=0.3).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.time() - t0
+    print(
+        f"{'minhash near-dup (%dk docs)' % (n_doc // 1000):34s} {dt:6.2f}s  "
+        f"({n_doc/dt/1e3:6.1f}k docs/s)"
+    )
+
+
 if __name__ == "__main__":
     main()
