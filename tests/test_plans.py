@@ -172,3 +172,38 @@ def test_no_accidental_cartesians_registry_wide(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Partitioned fact ⋈ filtered dim must plan a dynamicpruning
+    partition filter on the fact scan — at 100 TB this is the
+    difference between scanning every date partition and only the
+    ones the dim filter selects. The dim category is an arbitrary
+    (non-derivable) mapping so static predicate inference cannot
+    shortcut the runtime pruning."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    fact_dir = str(tmp_path / "fact_part")
+    fact = spark.range(50_000).select(
+        "id", (F.col("id") % 20).alias("pk"), (F.col("id") * 3 % 97).alias("v")
+    )
+    fact.write.partitionBy("pk").mode("overwrite").parquet(fact_dir)
+
+    rng = random.Random(42)
+    cats = [(pk, rng.randint(0, 4)) for pk in range(20)]
+    dim = spark.createDataFrame(cats, "pk long, cat int")
+
+    j = (
+        spark.read.parquet(fact_dir)
+        .join(F.broadcast(dim.filter(F.col("cat") == 1)), "pk")
+        .groupBy("pk")
+        .agg(F.sum("v").alias("s"))
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "DPP did not fire on the fact scan"
+    # and it actually executes correctly
+    want_pks = {pk for pk, c in cats if c == 1}
+    got_pks = {r.pk for r in j.collect()}
+    assert got_pks == want_pks
