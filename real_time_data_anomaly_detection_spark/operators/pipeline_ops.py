@@ -237,3 +237,61 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
     return pack_sequences(d, max_tokens=2048)
+
+
+@query(
+    "q_domain_mix",
+    oracle="""
+        WITH w AS (
+            SELECT lang, sum(len(string_split(text, ' '))) AS toks
+            FROM documents GROUP BY lang
+        ),
+        tgt(lang, share) AS (
+            VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15),
+                   ('fr', 0.15), ('zh', 0.15)
+        ),
+        j AS (SELECT w.lang, toks, share FROM w JOIN tgt ON w.lang = tgt.lang),
+        b AS (SELECT min(toks / share) AS budget FROM j)
+        SELECT lang, toks AS available_tokens,
+               CAST(floor(share * budget) AS BIGINT) AS target_tokens,
+               round(least(1.0, share * budget / toks), 4) AS keep_rate
+        FROM j, b
+        ORDER BY lang
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing planner: given a target token share per language,
+    compute each domain's keep rate. The total budget is bound by the
+    SCARCEST domain relative to its share (min over toks/share), so
+    exactly one domain keeps 100% and the rest downsample — the
+    standard way a pre-training mix is rebalanced without upsampling.
+    Feed the rates into hash_sample for the actual deterministic cut.
+    Aggregates are per-domain (5 rows); the budget is a one-row
+    broadcast — nothing corpus-sized moves."""
+    targets = spark.createDataFrame(
+        [("en", 0.4), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15)],
+        "lang string, share double",
+    )
+    d = load_table(spark, sf_dir, "documents")
+    w = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("toks")
+    )
+    j = w.join(F.broadcast(targets), "lang")
+    budget = j.agg(F.min(F.col("toks") / F.col("share")).alias("_budget"))
+    return (
+        j.join(F.broadcast(budget))
+        .select(
+            "lang",
+            F.col("toks").alias("available_tokens"),
+            F.floor(F.col("share") * F.col("_budget"))
+            .cast("bigint")
+            .alias("target_tokens"),
+            F.round(
+                F.least(
+                    F.lit(1.0), F.col("share") * F.col("_budget") / F.col("toks")
+                ),
+                4,
+            ).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )
