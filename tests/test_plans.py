@@ -213,3 +213,11 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     want_pks = {pk for pk, c in cats if c == 1}
     got_pks = {r.pk for r in j.collect()}
     assert got_pks == want_pks
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """Decontamination must broadcast the (curated, small) benchmark
+    shingle set — reshuffling the training corpus against an eval set
+    is the failure mode this operator exists to avoid."""
+    plan = formatted_plan(REGISTRY["q_decontaminate"].spark_fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
