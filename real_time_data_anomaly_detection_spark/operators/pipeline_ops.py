@@ -227,12 +227,40 @@ def pack_sequences(
     return with_bucket.groupBy("_bucket").applyInPandas(_pack, out_schema)
 
 
-@query("q_pack_sequences")  # stateful greedy scan → rows-only + pytest
+@query(
+    "q_pack_sequences",
+    oracle="""
+        WITH RECURSIVE docs AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS tok,
+                   doc_id % 8 AS bucket,
+                   row_number() OVER (PARTITION BY doc_id % 8
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        packed AS (
+            SELECT bucket, rn, doc_id, tok, 0 AS pack, tok AS total
+            FROM docs WHERE rn = 1
+            UNION ALL
+            SELECT d.bucket, d.rn, d.doc_id, d.tok,
+                   CASE WHEN p.total + d.tok > 2048
+                        THEN p.pack + 1 ELSE p.pack END,
+                   CASE WHEN p.total + d.tok > 2048
+                        THEN d.tok ELSE p.total + d.tok END
+            FROM packed p
+            JOIN docs d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+        )
+        SELECT doc_id, (bucket * 1099511627776) + pack AS pack_id,
+               max(total) OVER (PARTITION BY bucket, pack) AS pack_tokens
+        FROM packed
+    """,
+)
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into 2048-token training sequences; emit
     (doc_id, pack_id, pack_tokens). Deterministic per the bucketed
     greedy scheme; equivalence to a sequential reference packer is
-    pinned in tests/test_pipeline_ops.py."""
+    pinned in tests/test_pipeline_ops.py, and the DuckDB oracle
+    replays the same greedy scan as a recursive CTE (one step per doc
+    per bucket; 1099511627776 = 2^40, the bucket stride)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
