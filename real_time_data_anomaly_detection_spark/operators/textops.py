@@ -127,12 +127,46 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5("text").alias("fp"))
 
 
-@query("q_lang_id")  # heuristic scores; label fixture is content-random → rows-only
+def _lang_id_oracle() -> str:
+    """DuckDB twin of lang_id, generated from STOPWORD_PROFILES so the
+    two can never drift: same intersection rates, same first-match
+    argmax order (dict order), same 'und' fallback."""
+    langs = list(STOPWORD_PROFILES)
+    scores = ",\n               ".join(
+        f"len(list_intersect(toks, [{', '.join(repr(w) for w in ws)}]))"
+        f" / {len(ws)}.0 AS s_{lang}"
+        for lang, ws in STOPWORD_PROFILES.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = (
+        f"CASE WHEN {best} = 0 THEN 'und' "
+        + " ".join(f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs[:-1])
+        + f" ELSE '{langs[-1]}' END"
+    )
+    return f"""
+        WITH toked AS (
+            SELECT doc_id,
+                   list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+               {scores}
+            FROM toked
+        )
+        SELECT doc_id, {case} AS lang_pred,
+               round({best}, 4) AS lang_score
+        FROM scored
+    """
+
+
+@query("q_lang_id", oracle=_lang_id_oracle())
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID over documents. The fixture's lang labels are
-    uncorrelated with its synthetic text, so this is declared rows-only;
-    accuracy is asserted on a real multilingual fixture in
-    tests/test_textops.py."""
+    """Language-ID over documents: the oracle replays the same
+    stopword-overlap argmax in DuckDB (generated from the same profile
+    dict). The fixture's lang labels are content-random, so ACCURACY is
+    asserted separately on a real multilingual fixture in
+    tests/test_textops.py; the oracle checks the heuristic itself."""
     d = load_table(spark, sf_dir, "documents")
     return lang_id(d).select("doc_id", "lang_pred", "lang_score")
 
