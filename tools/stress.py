@@ -100,6 +100,11 @@ def main() -> None:
         minhash_neardup_pairs,
     )
 
+    # Unbounded token stream (NO modulo): a modulo vocabulary makes
+    # docs one period apart exact duplicates, whose m-sized identical
+    # groups cost m² candidate pairs — the boilerplate hazard
+    # max_bucket_size exists for, but an artifact here, not the
+    # linear-path measurement this stage is about.
     n_doc = max(10_000, rows // 100)
     docs = spark.range(n_doc, numPartitions=64).select(
         F.col("id").alias("doc_id"),
@@ -108,11 +113,16 @@ def main() -> None:
             F.transform(
                 F.sequence(F.lit(0), F.lit(34)),
                 lambda j: F.concat(
-                    F.lit("w"), ((F.col("id") * 15 + j) % 50_000).cast("string")
+                    F.lit("w"), (F.col("id") * 15 + j).cast("string")
                 ),
             ),
         ).alias("text"),
     )
+    # Warm first: the 32-signature projection compiles a large codegen
+    # method whose JIT cost dwarfs a cold first run.
+    minhash_neardup_pairs(docs.limit(20_000), threshold=0.3).write.format(
+        "noop"
+    ).mode("overwrite").save()
     t0 = time.time()
     minhash_neardup_pairs(docs, threshold=0.3).write.format("noop").mode(
         "overwrite"
