@@ -334,8 +334,23 @@ def minhash_neardup_pairs(
     self-join and the two candidate→doc hash joins — versus the
     earlier exploded-postings design which paid a repartition+distinct
     exchange per branch (3×) plus a signature groupBy. Measured 5.6 s
-    → ~1 s at sf0.1 on local[32]."""
+    → ~1 s at sf0.1 on local[32].
+
+    The arr relation feeds three subplans (signatures + both verify
+    sides). Below a 1 GB input estimate it is localCheckpoint-ed —
+    materializing once beats tokenizing three times (measured 1.8 →
+    1.3 s at sf0.1); above, recompute wins (a corpus-sized
+    materialization costs more storage traffic than three codegen'd
+    scans, and the exchange under it is already reused)."""
     arr = shingle_arrays(df, text_col, id_col, n)
+    try:
+        in_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:  # estimate unavailable → assume big, recompute
+        in_bytes = 1 << 60
+    if in_bytes <= 1 << 30:
+        arr = arr.localCheckpoint(eager=True)
     cands = minhash_lsh_candidates(
         minhash_signatures_arr(arr, id_col, num_hashes),
         id_col,
