@@ -323,3 +323,42 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_ngram_freq",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT t[i] || ' ' || t[i+1] AS bigram
+            FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        )
+        SELECT bigram, count(*) AS freq
+        FROM grams
+        GROUP BY bigram
+        ORDER BY freq DESC, bigram
+        LIMIT 50
+    """,
+)
+def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigram frequencies — the pair-count table
+    BPE/vocabulary training starts from. One explode + one partial-
+    aggregated groupBy; top-k is TakeOrderedAndProject (never a
+    global sort). Unlike the dedup shingle relation this keeps
+    DUPLICATE n-grams per doc — frequency is the point."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t"))
+    idx = F.sequence(F.lit(0), F.size("t") - 2)
+    bigram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at("t", i + 1), F.element_at("t", i + 2)
+    )
+    return (
+        toks.filter(F.size("t") >= 2)
+        .select(F.explode(F.transform(idx, lambda i: bigram(i))).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(50)
+    )
