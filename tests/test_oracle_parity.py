@@ -46,3 +46,26 @@ def test_oracle_parity(name, spark, duck):
     assert sorted(scols) == sorted(dcols), f"schema mismatch: {scols} vs {dcols}"
     assert len(srows) == len(drows), f"rowcount {len(srows)} vs {len(drows)}"
     assert rows_multiset(scols, srows) == rows_multiset(dcols, drows)
+
+
+def test_results_partition_count_invariant(spark):
+    """The driver gate runs under ITS OWN session config — results must
+    not depend on spark.sql.shuffle.partitions. Representative shapes:
+    stateful packing, window rank, multi-join agg, LSH near-dup."""
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+
+    names = ["q_pack_sequences", "q_window_rank", "q_tpch_q10", "q_minhash_neardup"]
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            results[parts] = {
+                n: sorted(tuple(r) for r in REGISTRY[n].spark_fn(spark, sf).collect())
+                for n in names
+            }
+        for n in names:
+            assert results["3"][n] == results["32"][n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
