@@ -362,3 +362,49 @@ def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("bigram"))
         .limit(50)
     )
+
+
+@query(
+    "q_quality_weighted_sample",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_distinct(string_split(text, ' ')))::DOUBLE
+                       / len(string_split(text, ' ')) AS ttr
+            FROM documents
+        ),
+        tiered AS (
+            SELECT doc_id, lang,
+                   CASE WHEN ttr >= 0.9 THEN '80'
+                        WHEN ttr >= 0.7 THEN '40'
+                        ELSE '10' END AS rate
+            FROM scored
+        )
+        SELECT lang, rate AS quality_tier, count(*) AS n_kept
+        FROM tiered
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < rate
+        GROUP BY lang, rate
+        ORDER BY lang, rate
+    """,
+)
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling: keep probability scales with a
+    quality proxy (type-token ratio tier: >=0.9 keeps ~50%, >=0.7
+    keeps ~25%, rest ~6%) — the standard way a pre-training pipeline
+    spends its token budget on higher-quality text without a hard
+    cutoff. Same deterministic md5-threshold mechanism as hash_sample,
+    with the threshold now a per-row column."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    rate = (
+        F.when(ttr >= 0.9, F.lit("80"))
+        .when(ttr >= 0.7, F.lit("40"))
+        .otherwise(F.lit("10"))
+    )
+    return (
+        hash_sample(d.withColumn("_rate", rate), F.col("_rate"))
+        .groupBy("lang", F.col("_rate").alias("quality_tier"))
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang", "quality_tier")
+    )
