@@ -21,6 +21,17 @@ from pyspark.sql import functions as F
 from real_time_data_anomaly_detection_spark.io import load_table
 from real_time_data_anomaly_detection_spark.operators.registry import query
 
+# Fixed-width calendar units (seconds per unit). Month/year vary in
+# length, so multi-unit grids over them are ill-defined with epoch
+# arithmetic — those stay restricted to "1 <unit>" (date_trunc path).
+_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
 
 def resample_ffill(
     df: DataFrame,
@@ -36,26 +47,78 @@ def resample_ffill(
     Missing slots appear with ``avg_value`` null — the gap REPORT —
     while ``avg_value_ffill`` carries the last observation forward —
     the gap REPAIR. Both in one pass so callers can distinguish
-    measured from imputed values."""
-    trunc_unit = interval.split()[-1].rstrip("s")
-    bounds = df.groupBy(key_col).agg(
-        F.date_trunc(trunc_unit, F.min(ts_col)).alias("_t0"),
-        F.date_trunc(trunc_unit, F.max(ts_col)).alias("_t1"),
-    )
-    grid = bounds.select(
-        key_col,
-        F.explode(
-            F.sequence("_t0", "_t1", F.expr(f"INTERVAL {interval}"))
-        ).alias("slot"),
-    )
-    actual = df.groupBy(
-        key_col, F.date_trunc(trunc_unit, F.col(ts_col)).alias("slot")
-    ).agg(F.round(F.avg(value_col).cast("double"), 4).alias("avg_value"))
+    measured from imputed values.
+
+    The grid anchors at each key's ``date_trunc(unit, min(ts))`` and
+    steps by the full interval; actuals are bucketed onto the SAME
+    grid. For ``1 <unit>`` that bucketing is a plain ``date_trunc``
+    (zero extra joins); for multi-unit fixed-width intervals
+    (e.g. ``15 minutes``) it is epoch-floor arithmetic against the
+    key's anchor, carried to the events by broadcasting the tiny
+    per-key bounds — never an event-sized shuffle. Multi-unit month/
+    year intervals are rejected (variable width ⇒ no well-defined
+    grid).
+    """
+    parts = interval.strip().split()
+    n = int(parts[0]) if len(parts) == 2 else 1
+    trunc_unit = parts[-1].rstrip("s")
+    if n != 1 and trunc_unit not in _UNIT_SECONDS:
+        raise ValueError(
+            f"multi-unit interval {interval!r} over variable-width unit "
+            f"{trunc_unit!r} has no fixed grid; use a count of 1"
+        )
+
     w = (
         Window.partitionBy(key_col)
         .orderBy("slot")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+
+    if n == 1:
+        # Unit grid: date_trunc buckets both sides identically — no
+        # join needed on the actual side.
+        bounds = df.groupBy(key_col).agg(
+            F.date_trunc(trunc_unit, F.min(ts_col)).alias("_t0"),
+            F.date_trunc(trunc_unit, F.max(ts_col)).alias("_t1"),
+        )
+        grid = bounds.select(
+            key_col,
+            F.explode(
+                F.sequence("_t0", "_t1", F.expr(f"INTERVAL {interval}"))
+            ).alias("slot"),
+        )
+        actual = df.groupBy(
+            key_col, F.date_trunc(trunc_unit, F.col(ts_col)).alias("slot")
+        ).agg(F.round(F.avg(value_col).cast("double"), 4).alias("avg_value"))
+    else:
+        # Multi-unit fixed-width grid: slot(ts) = t0 + floor((ts-t0)/step)*step
+        # with t0 = date_trunc(unit, min(ts)) per key. The bounds table is
+        # one row per key — broadcast it back over the events so the slot
+        # assignment stays a map-side computation.
+        step = n * _UNIT_SECONDS[trunc_unit]
+
+        def _slot(ts_expr):
+            delta = F.unix_timestamp(ts_expr) - F.unix_timestamp("_t0")
+            return F.timestamp_seconds(
+                F.unix_timestamp("_t0") + F.floor(delta / step) * step
+            )
+
+        bounds = df.groupBy(key_col).agg(
+            F.date_trunc(trunc_unit, F.min(ts_col)).alias("_t0"),
+            F.max(ts_col).alias("_tmax"),
+        )
+        grid = bounds.withColumn("_t1", _slot(F.col("_tmax"))).select(
+            key_col,
+            F.explode(
+                F.sequence("_t0", "_t1", F.expr(f"INTERVAL {n} {trunc_unit}"))
+            ).alias("slot"),
+        )
+        actual = (
+            df.join(F.broadcast(bounds.select(key_col, "_t0")), key_col)
+            .groupBy(key_col, _slot(F.col(ts_col)).alias("slot"))
+            .agg(F.round(F.avg(value_col).cast("double"), 4).alias("avg_value"))
+        )
+
     return (
         grid.join(actual, [key_col, "slot"], "left")
         .withColumn(
@@ -98,6 +161,52 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     regular-grid densification over an irregular stream."""
     e = load_table(spark, sf_dir, "events")
     return resample_ffill(e, "event_type", "ts", "value", "1 hour")
+
+
+@query(
+    "q_resample_ffill_15m",
+    oracle="""
+        WITH bounds AS (
+            SELECT event_type, date_trunc('minute', min(ts)) AS t0,
+                   max(ts) AS tmax
+            FROM events GROUP BY event_type
+        ),
+        slotted AS (
+            SELECT b.event_type, b.t0,
+                   b.t0 + CAST(floor((epoch(b.tmax) - epoch(b.t0)) / 900) * 900
+                               AS BIGINT) * INTERVAL 1 SECOND AS t1
+            FROM bounds b
+        ),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(t0, t1, INTERVAL 15 MINUTE)) AS slot
+            FROM slotted
+        ),
+        actual AS (
+            SELECT e.event_type,
+                   b.t0 + CAST(floor((epoch(e.ts) - epoch(b.t0)) / 900) * 900
+                               AS BIGINT) * INTERVAL 1 SECOND AS slot,
+                   round(avg(e.value), 4) AS avg_value
+            FROM events e JOIN bounds b ON e.event_type = b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT g.event_type, g.slot, a.avg_value,
+               last_value(a.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.slot
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS avg_value_ffill
+        FROM grid g
+        LEFT JOIN actual a
+          ON g.event_type = a.event_type AND g.slot = a.slot
+    """,
+)
+def q_resample_ffill_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute resample of events per event_type — the multi-unit
+    interval path (epoch-floor bucketing onto the per-key anchored
+    grid), which a bare date_trunc cannot express. Oracle replays the
+    identical anchor + floor arithmetic in SQL."""
+    e = load_table(spark, sf_dir, "events")
+    return resample_ffill(e, "event_type", "ts", "value", "15 minutes")
 
 
 @query(

@@ -27,3 +27,45 @@ def test_resample_fills_gaps_and_keeps_measured_values(spark):
     assert out[("a", 3)] == (40.0, 40.0)
     assert out[("b", 5)] == (7.0, 7.0)
     assert len(out) == 5  # grid is per-key bounded, no cross-key bleed
+
+
+def test_resample_multi_unit_interval_keeps_observed_data(spark):
+    # Regression: '15 minutes' used to bucket actuals by date_trunc
+    # ('minute') while the grid stepped 15 min from the truncated min,
+    # so almost every observation missed its grid slot and was
+    # reported as a gap. The grid anchors at the per-key minute-
+    # truncated min, NOT at clock-aligned quarter hours.
+    t = lambda h, m, s=0: datetime.datetime(2024, 1, 1, h, m, s)  # noqa: E731
+    rows = [
+        ("a", t(0, 7), 10.0),    # anchor t0 = 00:07
+        ("a", t(0, 14), 20.0),   # same slot [00:07, 00:22) -> avg 15
+        ("a", t(0, 30), 30.0),   # slot [00:22, 00:37)
+        # slot [00:37, 00:52): GAP
+        ("a", t(1, 0), 50.0),    # slot [00:52, 01:07)
+        ("b", t(2, 1, 30), 9.0),  # single-slot key, sub-minute offset
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = {
+        (r.k, r.slot.strftime("%H:%M")): (r.avg_value, r.avg_value_ffill)
+        for r in resample_ffill(df, "k", "ts", "value", "15 minutes").collect()
+    }
+    assert out[("a", "00:07")] == (15.0, 15.0)
+    assert out[("a", "00:22")] == (30.0, 30.0)
+    assert out[("a", "00:37")] == (None, 30.0)  # true gap, repaired
+    assert out[("a", "00:52")] == (50.0, 50.0)
+    assert out[("b", "02:01")] == (9.0, 9.0)
+    assert len(out) == 5
+    # Every observation landed in some slot: no measured data dropped.
+    measured = [v for v, _ in out.values() if v is not None]
+    assert len(measured) == 4
+
+
+def test_resample_rejects_multi_unit_calendar_interval(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", datetime.datetime(2024, 1, 1), 1.0)],
+        "k string, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError, match="variable-width"):
+        resample_ffill(df, "k", "ts", "value", "3 months")
