@@ -2,11 +2,12 @@
 
 Media travel as opaque ``binary`` columns + a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. The decode kernels themselves need codec
-libraries this environment does not ship, so they are STUBBED —
-clearly marked — behind a deterministic fake used by tests; the
-Spark-side contract (schema, batching, partition sizing) is real and
-is what matters for the 100 TB design:
+``mapInPandas`` stages. Codec-free formats (8-bit PNG, WAV PCM, PPM,
+24bpp BMP) decode for REAL with stdlib+numpy; lossy codecs (JPEG/MP3)
+use Pillow/soundfile when importable and otherwise fall to a
+clearly-marked deterministic sha256 stub (as does video, which would
+need libav). The Spark-side contract (schema, batching, partition
+sizing) is real either way and is what matters for the 100 TB design:
 
 - media bytes never pass through Python row-at-a-time — Arrow batches
   only (mapInPandas);
@@ -168,6 +169,88 @@ def _decode_ppm_builtin(payload: bytes) -> np.ndarray | None:
     return _gray_histogram(_rgb_to_gray(rgb.astype(np.float64)))
 
 
+def _png_unfilter(
+    raw: np.ndarray, height: int, row_bytes: int, bpp: int
+) -> np.ndarray | None:
+    """Reverse PNG scanline filters (spec §9: None/Sub/Up/Average/
+    Paeth). Up is vectorized; Sub/Average/Paeth carry an intra-row
+    pixel dependency, so those rows run per-byte — fine for the
+    fixture-sized images this builtin targets."""
+    out = np.zeros((height, row_bytes), dtype=np.uint16)
+    pos = 0
+    for r in range(height):
+        ftype = int(raw[pos])
+        line = raw[pos + 1 : pos + 1 + row_bytes].astype(np.uint16)
+        pos += 1 + row_bytes
+        prev = out[r - 1] if r else np.zeros(row_bytes, dtype=np.uint16)
+        if ftype == 0:
+            out[r] = line
+        elif ftype == 2:  # Up
+            out[r] = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            cur = out[r]
+            for x in range(row_bytes):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            return None
+    return out
+
+
+def _decode_png_builtin(payload: bytes) -> np.ndarray | None:
+    """Codec-free PNG decode: stdlib zlib inflate + numpy unfilter, for
+    8-bit gray / gray+alpha / RGB / RGBA, non-interlaced — the common
+    case. Paletted, 16-bit, and Adam7-interlaced images fall through
+    (None) to the codec path / stub. Same _gray_histogram feature
+    contract as every other image decoder."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    import zlib
+
+    ihdr, idat, pos = None, [], 8
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # 4 length + 4 type + data + 4 CRC
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if bit_depth != 8 or channels is None or interlace != 0:
+        return None
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    row_bytes = width * channels
+    if raw.size != height * (row_bytes + 1):
+        return None
+    recon = _png_unfilter(raw, height, row_bytes, channels)
+    if recon is None:
+        return None
+    px = recon.reshape(height * width, channels).astype(np.float64)
+    # Alpha (when present) is ignored for the luma histogram, matching
+    # PIL convert("L") over the color channels.
+    gray = _rgb_to_gray(px[:, :3]) if channels >= 3 else px[:, 0]
+    return _gray_histogram(gray)
+
+
 def _decode_bmp_builtin(payload: bytes) -> np.ndarray | None:
     """Codec-free uncompressed 24bpp BMP decode with numpy alone."""
     if payload[:2] != b"BM":
@@ -190,15 +273,16 @@ def _decode_bmp_builtin(payload: bytes) -> np.ndarray | None:
 
 
 def _decode_payload(media_type: str, payload: bytes) -> np.ndarray:
-    """Decode kernel: builtin parsers for uncompressed formats (WAV
-    PCM, PPM, 24bpp BMP — numpy + stdlib, REAL in this env), optional
-    codec libraries (Pillow/soundfile) for compressed formats when
-    importable, deterministic sha256 stub otherwise.
+    """Decode kernel: builtin parsers for codec-free formats (8-bit
+    PNG via stdlib zlib, WAV PCM, PPM, 24bpp BMP — numpy + stdlib,
+    REAL in this env), optional codec libraries (Pillow/soundfile) for
+    other formats when importable, deterministic sha256 stub otherwise.
 
-    The stub only remains for compressed payloads without codecs and
-    for video (which would need libav/ffmpeg); tests exercise the real
-    builtin decode end-to-end without optional imports
-    (tests/test_multimodal.py::test_builtin_wav_decode / _ppm / _bmp).
+    The stub only remains for JPEG/MP3-style lossy codecs without
+    libraries and for video (which would need libav/ffmpeg); tests
+    exercise the real builtin decode end-to-end without optional
+    imports (tests/test_multimodal.py::test_builtin_wav_decode /
+    _png / _ppm / _bmp).
     """
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"unsupported media_type {media_type!r}")
@@ -207,6 +291,7 @@ def _decode_payload(media_type: str, payload: bytes) -> np.ndarray:
         try:
             real = None
             if media_type == "image":
+                real = _decode_png_builtin(payload)
                 real = _decode_ppm_builtin(payload) if real is None else real
                 real = _decode_bmp_builtin(payload) if real is None else real
                 real = _decode_image_real(payload) if real is None else real
