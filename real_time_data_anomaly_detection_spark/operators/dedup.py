@@ -546,6 +546,39 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(shingles(d, n=3), threshold=0.05)
 
 
+@query(
+    "q_ngram_jaccard_capped",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        sh0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)),
+        kept AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 4),
+        sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(inter::DOUBLE/(na.n + nb.n - inter), 4) AS jaccard
+        FROM pairs
+        JOIN sizes na ON doc_a = na.doc_id
+        JOIN sizes nb ON doc_b = nb.doc_id
+        WHERE inter::DOUBLE/(na.n + nb.n - inter) >= 0.05
+    """,
+)
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs WITH the stop-shingle valve on
+    (max_posting_size=4): the scale-safe variant of q_ngram_jaccard,
+    exactly characterized — the oracle replays the identical cap in a
+    HAVING CTE before pair generation, so the capped semantics
+    (stop-shingles removed from BOTH sides of the ratio) are
+    hash-checked, not just recall-tested. The cap genuinely bites at
+    every test SF (posting p99 = 4 at sf0.01), so a pass proves the
+    valve's algebra rather than coinciding with the uncapped result."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(shingles(d, n=3), threshold=0.05, max_posting_size=4)
+
+
 @query("q_minhash_neardup")  # deterministic, not SQL-expressible → rows-only
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified (the scale path for
