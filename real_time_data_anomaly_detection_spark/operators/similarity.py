@@ -157,6 +157,29 @@ def _probe_vector(df: DataFrame, id_col: str = "vec_id"):
     return [float(x) for x in row[0]]
 
 
+def _ivf_index_path(sf_dir: str) -> str:
+    """Session-cache index dir under /tmp, keyed by a CORPUS
+    FINGERPRINT — the absolute embeddings path plus each data file's
+    (name, size, mtime) — not the sf_dir basename. Two corpora that
+    happen to share a basename, or an in-place rewrite of the same
+    path, therefore get distinct index dirs instead of silently
+    sharing a stale index (the ``_SUCCESS`` gate only guards torn
+    writes, not staleness)."""
+    import hashlib
+    import os
+
+    root = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    h = hashlib.md5(root.encode())
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            st = os.stat(os.path.join(root, name))
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(root):
+        st = os.stat(root)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return f"/tmp/spark_graft_ivf_{h.hexdigest()[:16]}"
+
+
 @query("q_ann_topk")  # approximate (LSH recall) → rows-only
 def q_ann_topk(spark, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH multiprobe top-10 for the vec_id=0 probe —
@@ -180,7 +203,7 @@ def q_ivf_probe(spark, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     probe = _probe_vector(e)
-    path = f"/tmp/spark_graft_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _ivf_index_path(sf_dir)
     # _SUCCESS marker, not the bare dir: a crashed partial write must
     # trigger a rebuild, not a read of a torn index
     if not os.path.exists(path + "/centroids/_SUCCESS"):
@@ -198,7 +221,7 @@ def q_ann_batch(spark, sf_dir: str) -> DataFrame:
     from real_time_data_anomaly_detection_spark.io import load_table
 
     e = load_table(spark, sf_dir, "embeddings")
-    path = f"/tmp/spark_graft_ivf_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _ivf_index_path(sf_dir)
     if not os.path.exists(path + "/centroids/_SUCCESS"):
         build_ivf_index(e.filter(F.col("vec_id") != 0), path, n_cells=16)
     probes = e.filter(F.col("vec_id") < 20).select(

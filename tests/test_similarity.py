@@ -168,3 +168,32 @@ def test_ivf_probe_batch_matches_single(spark, tmp_path):
         for r in sorted(batch.collect(), key=lambda r: r.rank)
     ]
     assert got == single
+
+
+def test_ivf_index_path_is_content_keyed(tmp_path):
+    """Two corpora sharing a directory BASENAME must not share an
+    index dir, and rewriting a corpus in place must invalidate its
+    index key (regression: the key used to be the sf_dir basename
+    alone, so same-named corpora silently shared a stale index)."""
+    import os
+    import time
+
+    from real_time_data_anomaly_detection_spark.operators.similarity import (
+        _ivf_index_path,
+    )
+
+    a = tmp_path / "run_a" / "sf0.01"
+    b = tmp_path / "run_b" / "sf0.01"  # same basename, different corpus
+    for d in (a, b):
+        os.makedirs(d)
+        (d / "embeddings.parquet").write_bytes(b"corpus-" + bytes(str(d), "ascii"))
+    assert _ivf_index_path(str(a)) != _ivf_index_path(str(b))
+
+    # stable across repeated calls on unchanged content
+    assert _ivf_index_path(str(a)) == _ivf_index_path(str(a))
+
+    # in-place rewrite -> new key (size and/or mtime moves)
+    before = _ivf_index_path(str(a))
+    time.sleep(0.01)
+    (a / "embeddings.parquet").write_bytes(b"corpus-rewritten-longer")
+    assert _ivf_index_path(str(a)) != before
