@@ -41,20 +41,33 @@ def _run(fn, spark, sf_dir) -> None:
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
 
-def _median3(fn, spark, sf_dir) -> tuple[float, float]:
-    """(median, spread) of 3 timed runs. Spread = max - min.
+def _median_rounds(
+    registry, names, spark, sf_dir, rounds: int = 3
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query (median, spread=max-min) over ``rounds`` INTERLEAVED
+    passes of the whole list.
 
     Single-shot timings chased noise across rounds (an identical
-    0-exchange broadcast plan swung 0.44 -> 1.94 -> 0.59 s); median-of-3
-    makes round-over-round comparison meaningful.
+    0-exchange broadcast plan swung 0.44 -> 1.94 -> 0.59 s). And
+    back-to-back repeats of one query put all its samples inside the
+    same transient host-noise window — observed as a roaming ~3-5 s
+    "regression" that attached to whichever queries ran during the
+    window (q18/corpus_clean/ann_batch in one run, q9/q21 in the
+    next). Interleaving spreads each query's samples minutes apart so
+    the median rejects the window instead of sitting in it.
     """
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        _run(fn, spark, sf_dir)
-        times.append(time.time() - t0)
-    times.sort()
-    return round(times[1], 3), round(times[2] - times[0], 3)
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(rounds):
+        for n in names:
+            t0 = time.time()
+            _run(registry[n].spark_fn, spark, sf_dir)
+            samples[n].append(time.time() - t0)
+    med, spread = {}, {}
+    for n, ts in samples.items():
+        ts.sort()
+        med[n] = round(ts[len(ts) // 2], 3)
+        spread[n] = round(ts[-1] - ts[0], 3)
+    return med, spread
 
 
 def main() -> None:
@@ -82,12 +95,7 @@ def main() -> None:
     for name in HEADLINE:
         _run(REGISTRY[name].spark_fn, spark, sf_dir)
 
-    per_query: dict[str, float] = {}
-    spread: dict[str, float] = {}
-    for name in HEADLINE:
-        per_query[name], spread[name] = _median3(
-            REGISTRY[name].spark_fn, spark, sf_dir
-        )
+    per_query, spread = _median_rounds(REGISTRY, HEADLINE, spark, sf_dir)
 
     # Round-2/round-4 additions, reported separately so the headline
     # total stays comparable across rounds.
@@ -102,11 +110,13 @@ def main() -> None:
         "q_pack_sequences",
         "q_resample_ffill",
     ]
-    extended: dict[str, float] = {}
+    # Median + spread here too: round 4's single-shot extended numbers
+    # manufactured two phantom regressions (q_corpus_clean 2.48 s
+    # recorded vs 0.49 s solo; q_tpch_q18 2.17 vs 0.98) that were pure
+    # contention noise.
     for name in EXTENDED:
-        fn = REGISTRY[name].spark_fn
-        _run(fn, spark, sf_dir)  # warm
-        extended[name], _ = _median3(fn, spark, sf_dir)
+        _run(REGISTRY[name].spark_fn, spark, sf_dir)  # warm
+    extended, extended_spread = _median_rounds(REGISTRY, EXTENDED, spark, sf_dir)
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -118,9 +128,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extended": extended,
         "spread": spread,
+        "extended_spread": extended_spread,
     }
     if stream_rps is not None:
-        result["stream_rows_per_sec"] = stream_rps
+        result["stream_rows_per_sec"] = stream_rps[0]
+        result["stream_rows_per_sec_spread"] = stream_rps[1]
 
     # The metric line is the LAST stdout write, after all Spark jobs
     # (batch and stream) have finished — nothing can interleave with it.
@@ -128,7 +140,9 @@ def main() -> None:
     print(json.dumps(result), flush=True)
 
 
-def _stream_throughput(spark, min_rated_batches: int = 5, timeout: float = 90.0) -> float:
+def _stream_throughput(
+    spark, min_rated_batches: int = 20, timeout: float = 120.0
+) -> tuple[float, float]:
     from real_time_data_anomaly_detection_spark.streaming.generator import (
         energy_rate_stream,
     )
@@ -142,31 +156,55 @@ def _stream_throughput(spark, min_rated_batches: int = 5, timeout: float = 90.0)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        # Offer ABOVE the pipeline's measured ceiling (~95k/s on this
-        # box) so the recorded number is the processing rate, not the
-        # offer rate — a 20k offer was silently capping the metric.
+        # The pipeline KEEPS UP at every stable offer on this box
+        # (probed: aggregate == offer at 100k/300k/500k; ~2M/s
+        # destabilizes micro-batches and ~1M/s can segfault the JVM
+        # under rate-source memory pressure), so the recorded number
+        # is offer-bound — a LOWER bound on capacity, not a ceiling.
+        # 300k/s keeps 2-3x margin below the unstable regime. Earlier
+        # rounds' "ceiling ~95k/s" was an artifact of averaging
+        # per-batch rates at a 100k offer.
         # (Reference sustains 8 ev/s; its configured cap is 1000/s.)
         q = run_detection_pipeline(
             spark,
-            energy_rate_stream(spark, rows_per_second=100_000),
+            energy_rate_stream(spark, rows_per_second=300_000),
             sink_table="bench_out",
         )
         # Wait for real progress (first trigger pays worker/state
         # spin-up; a fixed sleep under-reports on a loaded host).
-        rates: list[float] = []
+        progs: list[dict] = []
         deadline = time.time() + timeout
-        while time.time() < deadline and len(rates) < min_rated_batches:
+        while time.time() < deadline and len(progs) < min_rated_batches:
             time.sleep(1.0)
-            rates = [
-                p["processedRowsPerSecond"]
+            progs = [
+                p
                 for p in q.recentProgress
                 if p and p.get("processedRowsPerSecond")
             ]
         stop_gracefully(q, timeout_sec=30)
-        tail = rates[-5:]
-        return round(sum(tail) / max(len(tail), 1), 1)
+        # AGGREGATE throughput (Σrows / Σbatch duration) over the
+        # steady-state batches, plus the per-batch rate spread.
+        # Per-batch rates genuinely oscillate ~2x — a keeping-up batch
+        # runs at the offer-bound rate while the catch-up batch after
+        # a stall runs near the hardware ceiling — so any mean/median
+        # OF batch rates is biased by whichever mix it catches; that
+        # bias, not a code change, was the r3→r4 "180k → 134k"
+        # phantom regression. The aggregate is mix-independent; the
+        # spread makes the oscillation visible instead of folding it
+        # into the headline number.
+        steady = progs[3:] or progs[-1:]
+        rows = sum(p["numInputRows"] for p in steady)
+        dur_s = sum(p["batchDuration"] for p in steady) / 1000.0
+        rates = sorted(p["processedRowsPerSecond"] for p in steady)
+        return (
+            round(rows / dur_s, 1) if dur_s > 0 else 0.0,
+            round(rates[-1] - rates[0], 1),
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # Free the stream's heap-resident memory-sink table so batch
+        # timings don't inherit its footprint.
+        spark.catalog.dropTempView("bench_out")
 
 
 if __name__ == "__main__":
