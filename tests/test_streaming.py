@@ -76,15 +76,33 @@ def test_tumbling_stream_equals_batch_twin(spark, replay_dir):
     assert len(got) > 0
 
 
-def test_last_n_window_matches_deque_simulation(spark, replay_dir):
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_last_n_window_matches_deque_simulation(spark, replay_dir, provider):
+    """The stateful last-N pipeline is provider-agnostic: identical
+    results under the heap-backed HDFS store and the disk-backed
+    RocksDB store (the 100 TB configuration — state spills to local
+    disk instead of executor heap; session.py STATE_STORE_PROVIDERS).
+    providerClass is read per streaming query, so toggling the session
+    conf around the run is the supported switch."""
+    from real_time_data_anomaly_detection_spark.session import STATE_STORE_PROVIDERS
+
     batch_df = spark.read.parquet(replay_dir)
     stream_df = file_replay_source(spark, replay_dir, batch_df.schema)
 
-    out = _run_to_memory(
-        spark,
-        last_n_window(stream_df, n=100, emit="window"),
-        "t_lastn",
-    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, STATE_STORE_PROVIDERS[provider])
+    try:
+        out = _run_to_memory(
+            spark,
+            last_n_window(stream_df, n=100, emit="window"),
+            f"t_lastn_{provider}",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     # The memory table accumulates every trigger's emission; the final
     # trigger's window is the last 100 rows per group. Reconstruct the
     # final state: for each group take the newest 100 timestamps emitted.
