@@ -102,22 +102,35 @@ def main(argv: list[str] | None = None) -> int:
             # newly appended outliers — what the reference's Dash
             # callback does against its locked driver dict, but over a
             # real streaming sink any SQL client could also query.
+            # New rows are tracked by a timestamp high-water mark plus
+            # a seen-set at the frontier (NOT positional slicing of a
+            # sorted collect, which reprints/skips on out-of-order
+            # events), and each poll only collects rows at/past the
+            # mark — bounded work even on hour-long runs.
+            from pyspark.sql import functions as F
+
             deadline = time.time() + args.duration
-            seen = 0
+            hwm = None
+            frontier: set = set()
             while time.time() < deadline:
                 time.sleep(min(args.poll_interval, max(deadline - time.time(), 0.1)))
-                rows = (
-                    spark.table("outliers")
-                    .orderBy("timestamp")
-                    .collect()
-                )
-                for r in rows[seen:]:
+                tbl = spark.table("outliers")
+                if hwm is not None:
+                    tbl = tbl.filter(F.col("timestamp") >= hwm)
+                rows = tbl.orderBy("timestamp").collect()
+                for r in rows:
+                    key = (r.timestamp, r.plant_type, r.region)
+                    if key in frontier:
+                        continue
+                    frontier.add(key)
                     print(
                         f"  [{r.timestamp}] {r.plant_type}/{r.region} "
                         f"power={r.power_output:.2f} demand={r.demand:.2f} "
                         f"score={r.score:.4f}"
                     )
-                seen = len(rows)
+                if rows:
+                    hwm = max(r.timestamp for r in rows)
+                    frontier = {k for k in frontier if k[0] >= hwm}
         else:
             time.sleep(args.duration)
         stop_gracefully(q, timeout_sec=30)

@@ -192,7 +192,19 @@ def pack_sequences(
     packs its docs in id order inside one applyInPandas group.
     pack_id = bucket * 2^40 + local pack index, globally unique.
     Verified against a pure-python reference in tests/test_pipeline_ops.py.
+
+    Contract: ``id_col`` must be an integral, NON-NEGATIVE column — the
+    bucket is ``id % num_buckets`` and the output schema pins it to
+    ``long``, so string ids fail analysis and negative ids would forge
+    colliding/negative ``bucket << 40`` pack ids. Raises ValueError up
+    front for non-integral id columns.
     """
+    id_type = dict(df.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"pack_sequences needs an integral non-negative {id_col!r}; "
+            f"got {id_type} — hash or index string ids first"
+        )
     import pandas as pd
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:

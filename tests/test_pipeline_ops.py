@@ -17,7 +17,7 @@ def _docs(spark):
     rows = [
         (0, "the quick brown fox jumps over the lazy dog"),          # bench
         (1, "pack my box with five dozen liquor jugs"),              # bench
-        (100, "the quick brown fox jumps over a sleeping cat"),      # contaminated (5 shared 3-grams)
+        (100, "the quick brown fox jumps over a sleeping cat"),      # contaminated (4 shared 3-grams)
         (101, "pack my box with plenty of careful padding"),         # contaminated (2 shared)
         (102, "completely unrelated sentence about spark executors"),
         (103, "another clean document with no benchmark overlap"),
