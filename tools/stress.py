@@ -4,7 +4,11 @@ Generates N-row synthetic facts in-engine (spark.range + expressions —
 no disk), then times the core shuffle-bearing operator shapes. Not part
 of the per-round bench; run manually:
 
-    python tools/stress.py [rows]
+    python tools/stress.py [rows]            # operator-shape ceilings
+    python tools/stress.py scaling [base] [factor]
+                                             # 1x vs factor-x slope for
+                                             # the LLM-pipeline ops
+                                             # (SCALING.md §7.1)
 """
 
 from __future__ import annotations
@@ -13,6 +17,135 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+
+def _synthetic_docs(spark, n_doc: int, num_partitions: int = 64):
+    """Sliding-window docs over an unbounded token stream: doc i and
+    i+1 share 20 of 35 tokens (trigram Jaccard ≈ 0.375) — genuine
+    near-dup CHAINS, pair count ~N, giant components under CC. No
+    modulo vocabulary (see the minhash stage note below)."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n_doc, numPartitions=num_partitions).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(34)),
+                lambda j: F.concat(F.lit("w"), (F.col("id") * 15 + j).cast("string")),
+            ),
+        ).alias("text"),
+    )
+
+
+def _shuffle_totals(spark) -> tuple[int, int]:
+    """(write_bytes, read_bytes) summed over completed stages, via the
+    UI REST API (the scaling session runs with the UI on)."""
+    import json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app}/stages?status=complete"
+    ) as r:
+        stages = json.load(r)
+    return (
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+    )
+
+
+def scaling_main() -> None:
+    """Measured scaling slope for the three ops whose 100 TB stories
+    SCALING.md §6 argues from structure: MinHash near-dup pair
+    generation, full near-dup REMOVAL (pairs → connected components →
+    survivors), and decontamination (broadcast benchmark side). Runs
+    each at base and base×factor docs, reporting wall time, shuffle
+    write bytes, and the observed exponent
+    log(t_big/t_base)/log(factor) — ~1 is linear, ~2 would be the
+    quadratic hazard the banding/caps exist to prevent. CC is
+    O(n log n) rounds-wise, so its exponent runs slightly above 1 by
+    construction."""
+    import math
+
+    from real_time_data_anomaly_detection_spark.operators.dedup import (
+        minhash_neardup_pairs,
+        neardup_dedup,
+    )
+    from real_time_data_anomaly_detection_spark.operators.pipeline_ops import (
+        decontaminate,
+    )
+    from real_time_data_anomaly_detection_spark.session import get_spark
+
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else 60_000
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark(
+        app_name="scaling",
+        extra_conf={
+            "spark.ui.enabled": "true",  # REST metrics source
+            "spark.ui.retainedStages": "100000",  # keep deltas exact
+        },
+    )
+
+    # Benchmark side for decontamination: FIXED 1k docs drawn from the
+    # same stream (their token ranges overlap the low-id train docs),
+    # so only the train side grows between tiers.
+    bench = _synthetic_docs(spark, 1_000)
+
+    ops = {
+        "minhash_neardup": lambda d: minhash_neardup_pairs(d, threshold=0.3),
+        "neardup_dedup": lambda d: neardup_dedup(d, threshold=0.3).select("doc_id"),
+        "decontaminate": lambda d: decontaminate(d, bench).select("doc_id"),
+    }
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # JIT/codegen warm per op on a small corpus (the 32-signature
+    # projection compiles a large method; see the stress stage note).
+    warm = _synthetic_docs(spark, 20_000)
+    for fn in ops.values():
+        run(fn(warm))
+
+    # Tier-INTERLEAVED min-of-3: this host shows minute-scale stall
+    # windows (same phenomenon bench.py's interleaved rounds dodge);
+    # back-to-back samples of one tier can all land inside a window,
+    # which once produced a 60k tier "slower" than the 600k tier.
+    # Interleaving puts each tier's samples minutes apart and the min
+    # rejects the window (noise only ever adds time).
+    tiers = {s: _synthetic_docs(spark, s) for s in (base, base * factor)}
+    walls: dict[tuple[str, int], list[float]] = {
+        (n, s): [] for n in ops for s in tiers
+    }
+    shuf: dict[tuple[str, int], int] = {}
+    for rep in range(3):
+        for scale, docs in tiers.items():
+            for name, fn in ops.items():
+                w0, _ = _shuffle_totals(spark)
+                t0 = time.time()
+                run(fn(docs))
+                dt = time.time() - t0
+                w1, _ = _shuffle_totals(spark)
+                walls[(name, scale)].append(dt)
+                shuf[(name, scale)] = w1 - w0
+                print(
+                    f"rep{rep} {name:18s} n={scale:>9,}  wall={dt:7.2f}s  "
+                    f"shuffleW={(w1 - w0) / 1e6:9.1f} MB",
+                    flush=True,
+                )
+    results: dict[str, dict[int, tuple[float, int]]] = {
+        n: {s: (min(walls[(n, s)]), shuf[(n, s)]) for s in tiers} for n in ops
+    }
+
+    print("\n| op | n=base | n=base*f | wall 1x | wall f-x | exponent | shufW 1x | shufW f-x |")
+    for name, tiers in results.items():
+        (t1, s1), (tf, sf2) = tiers[base], tiers[base * factor]
+        exp = math.log(tf / t1) / math.log(factor)
+        print(
+            f"| {name} | {base:,} | {base * factor:,} | {t1:.2f} s | {tf:.2f} s "
+            f"| {exp:.2f} | {s1 / 1e6:.1f} MB | {sf2 / 1e6:.1f} MB |"
+        )
 
 
 def main() -> None:
@@ -135,4 +268,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "scaling":
+        scaling_main()
+    else:
+        main()
