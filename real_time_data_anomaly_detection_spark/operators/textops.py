@@ -232,3 +232,95 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keeper"))
         .select("doc_id", "lang", "source", "n_tokens", "ttr")
     )
+
+
+@query(
+    "q_repetition_ratio",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+               FROM toks, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
+        agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                       count(DISTINCT b) AS n_distinct
+                FROM bg GROUP BY 1)
+        SELECT doc_id, n_bigrams, n_bigrams - n_distinct AS n_dup,
+               round((n_bigrams - n_distinct)::DOUBLE / n_bigrams, 4) AS rep_ratio
+        FROM agg
+    """,
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: duplicate-bigram fraction per doc —
+    the classic repetition quality gate for LLM training corpora
+    (heavily repetitive docs are low-quality boilerplate). Entirely
+    row-wise column math (bigram array, size vs distinct size): a
+    single codegen'd scan, no explode, no shuffle — the 100 TB cost is
+    exactly one pass over the text column."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.size(t) - 2)
+    bigram = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
+    )
+    bg = F.transform(idx, lambda i: bigram(i))
+    n_bigrams = F.size(bg)
+    n_distinct = F.size(F.array_distinct(bg))
+    return (
+        d.filter(F.size(t) >= 2)
+        .select(
+            "doc_id",
+            n_bigrams.alias("n_bigrams"),
+            (n_bigrams - n_distinct).alias("n_dup"),
+            F.round(
+                (n_bigrams - n_distinct).cast("double") / n_bigrams, 4
+            ).alias("rep_ratio"),
+        )
+    )
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                     FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf * ln(n_docs::DOUBLE / df) DESC, tf.term
+                   ) AS rk
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf, rk FROM scored WHERE rk <= 3
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document — the standard keyword/topic
+    signal a corpus pipeline derives before clustering or routing.
+
+    Two partial-aggregated passes (term frequencies, then document
+    frequencies — df needs no countDistinct since tf is already one
+    row per (doc, term)), a shuffle join on term, a ONE-ROW corpus
+    count broadcast (keyless scalar — the BNLJ is the right plan), and
+    a per-doc top-3 that plans WindowGroupLimit, so each partition
+    keeps 3 rows per doc before the rank shuffle. Ties break on term
+    for cross-engine determinism."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc(score), F.asc("term"))
+    return (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", F.round(score, 4).alias("tfidf"), "rk")
+    )

@@ -155,15 +155,16 @@ def test_no_accidental_cartesians_registry_wide(spark):
     and BroadcastNestedLoopJoin is allowed only where a non-equi join
     is the declared semantics with a bounded broadcast side."""
     # documented: q_cross_join/q_join_theta broadcast a bounded dim
-    # side; q_tpch_q11/q_tpch_q22/q_domain_mix join a ONE-ROW broadcast
-    # scalar (total / avg-balance / token-budget subquery) — the right
-    # plan for a keyless scalar comparison.
+    # side; q_tpch_q11/q_tpch_q22/q_domain_mix/q_tfidf join a ONE-ROW
+    # broadcast scalar (total / avg-balance / token-budget / corpus-
+    # count subquery) — the right plan for a keyless scalar comparison.
     BNLJ_OK = {
         "q_cross_join",
         "q_join_theta",
         "q_tpch_q11",
         "q_tpch_q22",
         "q_domain_mix",
+        "q_tfidf",
     }
     # construction executes jobs (index builds / iterative components);
     # their inner joins are covered by their own tests
