@@ -324,3 +324,198 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", F.round(score, 4).alias("tfidf"), "rk")
     )
+
+
+#: PII patterns shared by the Spark operator and the generated DuckDB
+#: oracle (one source of truth — the two regex engines, Java util.regex
+#: and RE2, agree on this conservative subset: char classes, bounded
+#: repetition, non-capturing groups, \b). Order matters: emails are
+#: redacted before IPs so a dotted hostname inside an address is
+#: consumed by the email rule first.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII spans (emails / IPv4 / intl phone numbers) and count
+    them: adds ``clean_text`` plus one ``n_<kind>`` column per pattern.
+
+    The scrub is a chain of regexp_replace calls and the counts are
+    regexp_extract_all sizes — all JVM expressions inside one
+    codegen'd projection, so at 100 TB this is exactly one pass over
+    the text with zero shuffle and zero Python. The C4/Dolma-style
+    curation step before publishing a corpus."""
+    clean = F.col(text_col)
+    counts = []
+    for kind, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+                f"n_{kind}"
+            )
+        )
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select("*", clean.alias("clean_text"), *counts)
+
+
+def _pii_oracle() -> str:
+    """DuckDB twin generated from PII_PATTERNS: same synthetic
+    PII-bearing text (the fixture corpus is bare tokens, so both sides
+    append deterministic doc_id-derived PII first), same replace chain,
+    same match counts."""
+    derived = (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' from 192.168.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' call +1555'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    clean = "t"
+    counts = []
+    for kind, pat, repl in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        counts.append(f"len(regexp_extract_all(t, '{sql_pat}')) AS n_{kind}")
+        clean = f"regexp_replace({clean}, '{sql_pat}', '{repl}', 'g')"
+    return f"""
+        WITH pii AS (SELECT doc_id, {derived} AS t FROM documents)
+        SELECT doc_id, {clean} AS clean_text,
+               {', '.join(counts)}
+        FROM pii
+    """
+
+
+@query("q_pii_scrub", oracle=_pii_oracle())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents. The fixture text is bare tokens,
+    so the query first derives a deterministic PII-bearing variant
+    (doc_id-keyed emails / IPs / phone numbers appended to ~1/3, 1/5,
+    1/7 of docs — both engines derive the identical string), then
+    applies the shared redaction chain. One codegen'd projection; the
+    oracle replays the same patterns via RE2."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    derived = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0, F.concat(F.lit(" user"), s(did), F.lit("@example.com"))
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" from 192.168."), s(did % 256), F.lit("."), s(did % 100)
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" call +1555"), F.lpad(s(did % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    return scrub_pii(d.select("doc_id", derived.alias("text"))).select(
+        "doc_id", "clean_text", "n_email", "n_ip", "n_phone"
+    )
+
+
+#: Gopher-rules constants (Rae et al. 2021, "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", Table A1) —
+#: shared by the Spark operator and the generated oracle.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3.0, 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules: word-count bounds, mean
+    word length bounds, fraction of words containing an alphabetic
+    character, and required-stopword count. Adds the four metrics, one
+    0/1 flag per rule, and ``passes`` (all rules).
+
+    Every rule is a higher-order array expression over the split token
+    array — one codegen'd scan, no explode, no shuffle, no Python. The
+    per-rule flags (not just the verdict) are what a curation run
+    wants at 100 TB: per-rule rejection rates are the tuning signal."""
+    toks = F.split(F.col(text_col), " ")
+    n_words = F.size(toks)
+    mean_len = (F.length(text_col) - n_words + 1).cast("double") / n_words
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / n_words
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    f_words = (
+        (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ).cast("int")
+    f_len = (
+        (mean_len >= GOPHER_MIN_MEAN_LEN) & (mean_len <= GOPHER_MAX_MEAN_LEN)
+    ).cast("int")
+    f_alpha = (alpha_frac >= GOPHER_MIN_ALPHA_FRAC).cast("int")
+    f_stop = (n_stop >= GOPHER_MIN_STOPWORDS).cast("int")
+    return df.select(
+        "*",
+        n_words.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        n_stop.alias("n_stop"),
+        f_words.alias("flag_words"),
+        f_len.alias("flag_mean_len"),
+        f_alpha.alias("flag_alpha"),
+        f_stop.alias("flag_stop"),
+        (f_words * f_len * f_alpha * f_stop).alias("passes"),
+    )
+
+
+def _gopher_oracle() -> str:
+    """DuckDB twin generated from the same constants."""
+    stop = ", ".join(repr(w) for w in GOPHER_STOPWORDS)
+    return f"""
+        WITH m AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_words,
+                 (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+                     / len(string_split(text, ' ')) AS mean_len,
+                 len(list_filter(string_split(text, ' '),
+                                 t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+                     / len(string_split(text, ' ')) AS alpha_frac,
+                 len(list_intersect(list_distinct(string_split(text, ' ')),
+                                    [{stop}])) AS n_stop
+          FROM documents
+        )
+        SELECT doc_id, n_words,
+               round(mean_len, 4) AS mean_word_len,
+               round(alpha_frac, 4) AS alpha_frac,
+               n_stop,
+               (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})::INT
+                   AS flag_words,
+               (mean_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})::INT
+                   AS flag_mean_len,
+               (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC})::INT AS flag_alpha,
+               (n_stop >= {GOPHER_MIN_STOPWORDS})::INT AS flag_stop,
+               (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})::INT
+                 * (mean_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})::INT
+                 * (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC})::INT
+                 * (n_stop >= {GOPHER_MIN_STOPWORDS})::INT AS passes
+        FROM m
+    """
+
+
+@query("q_gopher_rules", oracle=_gopher_oracle())
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule filter over documents: per-rule 0/1 flags +
+    overall verdict, thresholds from the Gopher paper (word count in
+    [50, 100k] splits this fixture near its median; the others are the
+    canonical bounds). Single codegen'd scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_rules(d).select(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac", "n_stop",
+        "flag_words", "flag_mean_len", "flag_alpha", "flag_stop", "passes",
+    )
