@@ -25,6 +25,7 @@ from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F40
     similarity,
     pipeline_ops,
     timeseries,
+    clustering,
 )
 
 __all__ = ["REGISTRY", "Query", "query"]

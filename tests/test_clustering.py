@@ -1,0 +1,130 @@
+"""Distributed k-means + SemDeDup semantic dedup: convergence,
+numpy-Lloyd's parity, blob recovery, and within-cluster recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from real_time_data_anomaly_detection_spark.operators.clustering import (
+    _init_centroids,
+    kmeans_assign,
+    kmeans_fit,
+    semantic_dedup,
+    semantic_dup_pairs,
+)
+
+
+def _blobs(n_per=40, d=16, k=3, sep=10.0, noise=0.5, seed=0):
+    """Well-separated gaussian blobs; returns (ids, X, labels)."""
+    rng = np.random.RandomState(seed)
+    centers = np.zeros((k, d))
+    for i in range(k):
+        centers[i, i] = sep  # orthogonal, distance sep*sqrt(2) apart
+    X = np.concatenate(
+        [centers[i] + noise * rng.randn(n_per, d) for i in range(k)]
+    )
+    labels = np.repeat(np.arange(k), n_per)
+    ids = np.arange(len(X))
+    return ids, X, labels
+
+
+def _blob_df(spark, ids, X):
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(ids, X)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_recovers_blobs_and_inertia_monotone(spark):
+    ids, X, labels = _blobs()
+    df = _blob_df(spark, ids, X)
+    cent, hist = kmeans_fit(df, k=3, n_iters=6, seed=7)
+    assert all(hist[i + 1] <= hist[i] + 1e-6 for i in range(len(hist) - 1)), hist
+    out = kmeans_assign(df, cent).orderBy("vec_id").collect()
+    cells = np.array([r.cell for r in out])
+    # same-blob rows must share a cell, different blobs must differ
+    for b in range(3):
+        assert len(set(cells[labels == b])) == 1, f"blob {b} split"
+    assert len(set(cells[::40])) == 3, "blobs merged"
+
+
+def test_kmeans_matches_numpy_lloyds(spark):
+    """The distributed iteration IS Lloyd's: starting from the same
+    init, a pure-numpy reference lands on the same centroids (up to
+    partial-sum float noise) and identical assignments."""
+    ids, X, _ = _blobs(n_per=30, d=8, k=3, sep=6.0, noise=0.8, seed=3)
+    df = _blob_df(spark, ids, X)
+    n_iters = 5
+    C = _init_centroids(df, "embedding", "vec_id", 3, 42)
+    for _ in range(n_iters):  # reference Lloyd's with keep-old empty cells
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        C = np.stack(
+            [X[a == j].mean(axis=0) if (a == j).any() else C[j] for j in range(3)]
+        )
+    cent, _ = kmeans_fit(df, k=3, n_iters=n_iters, seed=42)
+    assert np.allclose(cent, C, atol=1e-8), np.abs(cent - C).max()
+    ref_assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    got = np.array(
+        [r.cell for r in kmeans_assign(df, cent).orderBy("vec_id").collect()]
+    )
+    assert (got == ref_assign).all()
+
+
+def test_kmeans_assign_preserves_columns(spark):
+    ids, X, _ = _blobs(n_per=10, d=4, k=2, seed=1)
+    df = _blob_df(spark, ids, X).withColumn("tag", F.lit("x"))
+    out = kmeans_assign(df, np.zeros((2, 4)) + [[0] * 4, [1] * 4])
+    assert set(out.columns) == {"vec_id", "embedding", "tag", "cell"}
+    assert out.count() == 20
+
+
+def test_kmeans_k_exceeds_corpus_raises(spark):
+    df = _blob_df(spark, *(_blobs(n_per=1, k=2, d=4)[:2]))
+    with pytest.raises(ValueError, match="k=99"):
+        kmeans_fit(df, k=99, n_iters=1)
+
+
+def test_semantic_dedup_recall_and_survivors(spark):
+    """Planted near-dups (cos >= ~0.999) inside separated blobs: the
+    within-cluster search must find 100% of them (dup pairs can't
+    straddle a cell boundary when the dup is a tiny perturbation),
+    and the dedup decision keeps exactly the min id per group."""
+    ids, X, labels = _blobs(n_per=30, d=16, k=3, sep=12.0, noise=0.4, seed=5)
+    rng = np.random.RandomState(9)
+    # duplicate rows 0, 35, 70 twice each with tiny noise → two planted
+    # dup partners per original, forming 3 groups of 3
+    dups, dup_ids = [], []
+    next_id = len(X)
+    planted = []
+    for orig in (0, 35, 70):
+        for _ in range(2):
+            dups.append(X[orig] + 1e-3 * rng.randn(16))
+            dup_ids.append(next_id)
+            planted.append((orig, next_id))
+            next_id += 1
+    X2 = np.concatenate([X, np.stack(dups)])
+    ids2 = np.arange(len(X2))
+    df = _blob_df(spark, ids2, X2)
+
+    pairs = semantic_dup_pairs(df, k=3, threshold=0.99, n_iters=6, seed=11)
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    for a, b in planted:
+        assert (min(a, b), max(a, b)) in got, f"missed planted dup {(a, b)}"
+
+    decision = semantic_dedup(df, k=3, threshold=0.99, n_iters=6, seed=11)
+    keep = {r.vec_id: r.keeper for r in decision.collect()}
+    # every planted dup shares its original's component (natural
+    # near-dups may enlarge the group — tight blobs have cos>0.99
+    # neighbours — so pin co-membership + min-id keeper, not exact ids)
+    for orig, dup in planted:
+        assert keep[dup] == keep[orig], (orig, dup, keep[dup], keep[orig])
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for vid, kp in keep.items():
+        groups[kp].add(vid)
+    for kp, members in groups.items():
+        assert kp == min(members), f"keeper {kp} != min of {sorted(members)[:5]}"
+
+
+from pyspark.sql import functions as F  # noqa: E402  (used in fixture above)
