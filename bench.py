@@ -42,7 +42,7 @@ def _run(fn, spark, sf_dir) -> None:
 
 
 def _median_rounds(
-    registry, names, spark, sf_dir, rounds: int = 3
+    registry, names, spark, sf_dir, rounds: int = 5
 ) -> tuple[dict[str, float], dict[str, float]]:
     """Per-query (median, spread=max-min) over ``rounds`` INTERLEAVED
     passes of the whole list.
@@ -55,6 +55,12 @@ def _median_rounds(
     window (q18/corpus_clean/ann_batch in one run, q9/q21 in the
     next). Interleaving spreads each query's samples minutes apart so
     the median rejects the window instead of sitting in it.
+
+    Five rounds, not three: a median of 3 flips if TWO samples land in
+    stall windows, and this host's windows run minutes long — round-5
+    observed exactly that (q_minhash median 4.25 s in-bench vs 1.5 s
+    solo steady-state, spread 8.0). A median of 5 needs three bad
+    samples spread across the whole bench duration to lie.
     """
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(rounds):
