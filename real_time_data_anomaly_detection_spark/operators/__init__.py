@@ -26,6 +26,7 @@ from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F40
     pipeline_ops,
     timeseries,
     clustering,
+    quantization,
 )
 
 __all__ = ["REGISTRY", "Query", "query"]
