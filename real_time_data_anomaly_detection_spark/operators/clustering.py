@@ -46,6 +46,21 @@ from real_time_data_anomaly_detection_spark.io import load_table
 from real_time_data_anomaly_detection_spark.operators.registry import query
 
 
+def _sample_matrix(
+    df: DataFrame, vec_col: str, id_col: str, n: int, seed: int
+) -> np.ndarray:
+    """Deterministic pseudo-random sample as a numpy matrix: the n rows
+    with the smallest xxhash64(id, seed) — partitioning-independent,
+    one TakeOrderedAndProject job, driver holds n·d doubles."""
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("_v"), F.col(id_col).alias("_id"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(n)
+        .collect()
+    )
+    return np.stack([np.asarray(r._v, dtype=np.float64) for r in rows])
+
+
 def _init_centroids(
     df: DataFrame, vec_col: str, id_col: str, k: int, seed: int, sample: int = 1024
 ) -> np.ndarray:
@@ -62,23 +77,22 @@ def _init_centroids(
     cluster and Lloyd's cannot escape; farthest-point spreads seeds
     across well-separated clusters by construction (the classic
     2-approximation for k-center)."""
-    s = max(k, sample)
-    rows = (
-        df.select(F.col(vec_col).cast("array<double>").alias("_v"), F.col(id_col).alias("_id"))
-        .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)), F.col("_id"))
-        .limit(s)
-        .collect()
-    )
-    if len(rows) < k:
-        raise ValueError(f"k={k} but corpus has only {len(rows)} rows")
-    S = np.stack([np.asarray(r._v, dtype=np.float64) for r in rows])
-    chosen = [0]  # hash-minimal point
+    S = _sample_matrix(df, vec_col, id_col, max(k, sample), seed)
+    if len(S) < k:
+        raise ValueError(f"k={k} but corpus has only {len(S)} rows")
+    return _farthest_point(S, k)
+
+
+def _farthest_point(S: np.ndarray, k: int) -> np.ndarray:
+    """Greedy k-center seeds: the first sample point, then repeatedly
+    the point farthest from its nearest chosen seed."""
+    chosen = [0]
     d2 = ((S - S[0]) ** 2).sum(axis=1)
     for _ in range(1, k):
         nxt = int(d2.argmax())
         chosen.append(nxt)
         d2 = np.minimum(d2, ((S - S[nxt]) ** 2).sum(axis=1))
-    return S[chosen]
+    return S[chosen].copy()
 
 
 def _partial_sums_schema() -> str:
@@ -160,6 +174,42 @@ def kmeans_fit(
     return centroids, history
 
 
+def kmeans_fit_sample(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iters: int = 10,
+    seed: int = 42,
+    sample: int = 8192,
+) -> np.ndarray:
+    """Sample-trained k-means: farthest-point init + numpy Lloyd's on
+    a bounded deterministic sample, entirely driver-side after ONE
+    TakeOrderedAndProject job.
+
+    This is the scale default for SemDeDup-style uses where k grows
+    with the corpus (cells must stay task-sized): full-corpus Lloyd's
+    pays O(n·k·d) per iteration — with k ∝ n that is O(n²·d/c) and
+    the 600k-row stress tier measured it at 97 s vs ~5 s for the
+    candidate GEMM stage it feeds. Centroid QUALITY saturates on a
+    sample (FAISS trains coarse quantizers the same way); the full
+    corpus then pays exactly one O(n·k·d) assignment pass. Use
+    ``kmeans_fit`` when the fit must see every row."""
+    S = _sample_matrix(df, vec_col, id_col, max(k, sample), seed)
+    if len(S) < k:
+        raise ValueError(f"k={k} but corpus has only {len(S)} rows")
+    C = _farthest_point(S, k)
+    for _ in range(n_iters):
+        a = (
+            (S * S).sum(axis=1)[:, None] - 2.0 * (S @ C.T) + (C * C).sum(axis=1)[None, :]
+        ).argmin(axis=1)
+        for j in range(k):
+            members = S[a == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
 def kmeans_assign(
     df: DataFrame,
     centroids: np.ndarray,
@@ -198,6 +248,7 @@ def semantic_dup_pairs(
     n_iters: int = 5,
     seed: int = 42,
     max_cluster_size: int | None = None,
+    fit: str = "corpus",
 ) -> DataFrame:
     """SemDeDup candidate stage: cosine near-dup pairs searched only
     WITHIN k-means cells. Returns (vec_a, vec_b, cos_sim, cell) with
@@ -206,14 +257,21 @@ def semantic_dup_pairs(
     Per-cell work is one numpy GEMM over that cell's vectors inside a
     grouped ``applyInPandas`` — per-task memory is (n/k)·d doubles,
     so k is the knob that bounds task size at scale (SemDeDup used
-    k=50k on LAION-scale corpora). ``max_cluster_size`` is the
-    stop-cluster valve: a degenerate cell larger than the cap is
-    dropped from pair search (logged in the 'capped' column of the
-    companion stats, mirroring the stop-bucket caps in dedup.py).
-    Recall vs the exact all-pairs baseline is inherently < 1 (pairs
-    straddling a cell boundary are unseen); tests pin it on a blob
-    fixture where the clustering assumption holds."""
-    centroids, _ = kmeans_fit(df, vec_col, id_col, k=k, n_iters=n_iters, seed=seed)
+    k=50k on LAION-scale corpora). Since k must grow with n,
+    ``fit="sample"`` is the scale mode: sample-trained centroids
+    (``kmeans_fit_sample``) + ONE distributed assignment pass —
+    full-corpus Lloyd's with k ∝ n pays O(n·k·d) PER ITERATION and
+    dominated the 600k stress tier (97 s vs ~5 s of GEMM).
+    ``max_cluster_size`` is the stop-cluster valve: a degenerate cell
+    larger than the cap is dropped from pair search (mirroring the
+    stop-bucket caps in dedup.py). Recall vs the exact all-pairs
+    baseline is inherently < 1 (pairs straddling a cell boundary are
+    unseen); tests pin it on a blob fixture where the clustering
+    assumption holds."""
+    if fit == "sample":
+        centroids = kmeans_fit_sample(df, vec_col, id_col, k=k, n_iters=n_iters, seed=seed)
+    else:
+        centroids, _ = kmeans_fit(df, vec_col, id_col, k=k, n_iters=n_iters, seed=seed)
     celled = kmeans_assign(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")),
         centroids,
@@ -262,6 +320,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     n_iters: int = 5,
     seed: int = 42,
+    fit: str = "corpus",
 ) -> DataFrame:
     """Full SemDeDup decision: (vec_id, keeper) for every vector that
     belongs to a semantic dup-group, keeper = min id of its connected
@@ -272,7 +331,7 @@ def semantic_dedup(
     )
 
     edges = semantic_dup_pairs(
-        df, vec_col, id_col, k=k, threshold=threshold, n_iters=n_iters, seed=seed
+        df, vec_col, id_col, k=k, threshold=threshold, n_iters=n_iters, seed=seed, fit=fit
     )
     comp = connected_components(edges, "vec_a", "vec_b")
     return comp.select(F.col("node").alias(id_col), F.col("comp").alias("keeper"))

@@ -39,25 +39,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from real_time_data_anomaly_detection_spark.io import load_table
+from real_time_data_anomaly_detection_spark.operators.clustering import _sample_matrix
 from real_time_data_anomaly_detection_spark.operators.registry import query
 from real_time_data_anomaly_detection_spark.operators.similarity import (
     _kmeans_centroids,
 )
-
-
-def _sample_matrix(
-    df: DataFrame, vec_col: str, id_col: str, n: int, seed: int
-) -> np.ndarray:
-    """Deterministic pseudo-random sample as a numpy matrix: the n rows
-    with the smallest xxhash64(id, seed) — partitioning-independent,
-    one TakeOrderedAndProject job, driver holds n·d doubles."""
-    rows = (
-        df.select(F.col(vec_col).cast("array<double>").alias("_v"), F.col(id_col).alias("_id"))
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
-        .limit(n)
-        .collect()
-    )
-    return np.stack([np.asarray(r._v, dtype=np.float64) for r in rows])
 
 
 def pq_train(

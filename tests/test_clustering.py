@@ -70,6 +70,28 @@ def test_kmeans_matches_numpy_lloyds(spark):
     assert (got == ref_assign).all()
 
 
+def test_kmeans_fit_sample_recovers_blobs(spark):
+    """The scale-mode sample fit must recover the same well-separated
+    structure as the full-corpus fit (cells = blobs, bijectively)."""
+    from real_time_data_anomaly_detection_spark.operators.clustering import (
+        kmeans_fit_sample,
+    )
+
+    ids, X, labels = _blobs()
+    df = _blob_df(spark, ids, X)
+    cent = kmeans_fit_sample(df, k=3, n_iters=6, seed=7)
+    cells = np.array(
+        [r.cell for r in kmeans_assign(df, cent).orderBy("vec_id").collect()]
+    )
+    for b in range(3):
+        assert len(set(cells[labels == b])) == 1, f"blob {b} split"
+    assert len(set(cells[::40])) == 3, "blobs merged"
+    # and the semantic-dedup pair stage finds the same pairs either way
+    a = {(r.vec_a, r.vec_b) for r in semantic_dup_pairs(df, k=3, threshold=0.99, fit="corpus").collect()}
+    b = {(r.vec_a, r.vec_b) for r in semantic_dup_pairs(df, k=3, threshold=0.99, fit="sample").collect()}
+    assert a == b
+
+
 def test_kmeans_assign_preserves_columns(spark):
     ids, X, _ = _blobs(n_per=10, d=4, k=2, seed=1)
     df = _blob_df(spark, ids, X).withColumn("tag", F.lit("x"))

@@ -38,6 +38,23 @@ def _synthetic_docs(spark, n_doc: int, num_partitions: int = 64):
     )
 
 
+def _synthetic_embeddings(spark, n: int, d: int = 32, num_partitions: int = 64):
+    """Deterministic pseudo-random embeddings generated in-engine:
+    component j of vector i is xxhash64(i, j) folded into [-1, 1).
+    JVM expressions only — no disk, partitioning-independent."""
+    from pyspark.sql import functions as F
+
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda j: F.pmod(F.xxhash64(F.col("vec_id"), j), F.lit(10000)).cast("double")
+        / 5000.0
+        - 1.0,
+    )
+    return spark.range(n, numPartitions=num_partitions).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+
+
 def _shuffle_totals(spark) -> tuple[int, int]:
     """(write_bytes, read_bytes) summed over completed stages, via the
     UI REST API (the scaling session runs with the UI on)."""
@@ -69,12 +86,20 @@ def scaling_main() -> None:
     construction."""
     import math
 
+    from real_time_data_anomaly_detection_spark.operators.clustering import (
+        kmeans_fit,
+        semantic_dup_pairs,
+    )
     from real_time_data_anomaly_detection_spark.operators.dedup import (
         minhash_neardup_pairs,
         neardup_dedup,
     )
     from real_time_data_anomaly_detection_spark.operators.pipeline_ops import (
         decontaminate,
+    )
+    from real_time_data_anomaly_detection_spark.operators.quantization import (
+        pq_encode,
+        pq_train,
     )
     from real_time_data_anomaly_detection_spark.session import get_spark
 
@@ -93,20 +118,45 @@ def scaling_main() -> None:
     # so only the train side grows between tiers.
     bench = _synthetic_docs(spark, 1_000)
 
+    # kmeans: fixed k → O(n·k·d) per iteration, exponent ~1.
+    def _kmeans_op(d):
+        kmeans_fit(d, k=8, n_iters=3)
+        return None  # eager — nothing left to write
+
+    # semantic dedup candidate stage: k SCALES WITH n (the SemDeDup
+    # deployment rule — cells must fit a task), so per-cell GEMM work
+    # n/k² stays constant and total work is linear. A fixed k here
+    # would read exponent ~2 and rightly so.
+    def _sem_op(d):
+        n = d.count()
+        return semantic_dup_pairs(
+            d, k=max(8, n // 750), threshold=0.9, n_iters=3, fit="sample"
+        )
+
+    def _pq_op(d):
+        books = pq_train(d, m=8, k=16, sample=1_024)
+        return pq_encode(d, books)
+
+    # op name -> (input kind, transform); 'docs' ops take the token
+    # corpus, 'emb' ops the synthetic embedding corpus.
     ops = {
-        "minhash_neardup": lambda d: minhash_neardup_pairs(d, threshold=0.3),
-        "neardup_dedup": lambda d: neardup_dedup(d, threshold=0.3).select("doc_id"),
-        "decontaminate": lambda d: decontaminate(d, bench).select("doc_id"),
+        "minhash_neardup": ("docs", lambda d: minhash_neardup_pairs(d, threshold=0.3)),
+        "neardup_dedup": ("docs", lambda d: neardup_dedup(d, threshold=0.3).select("doc_id")),
+        "decontaminate": ("docs", lambda d: decontaminate(d, bench).select("doc_id")),
+        "kmeans_fit": ("emb", _kmeans_op),
+        "semantic_dup_pairs": ("emb", _sem_op),
+        "pq_encode": ("emb", _pq_op),
     }
 
     def run(df) -> None:
-        df.write.format("noop").mode("overwrite").save()
+        if df is not None:
+            df.write.format("noop").mode("overwrite").save()
 
     # JIT/codegen warm per op on a small corpus (the 32-signature
     # projection compiles a large method; see the stress stage note).
-    warm = _synthetic_docs(spark, 20_000)
-    for fn in ops.values():
-        run(fn(warm))
+    warm = {"docs": _synthetic_docs(spark, 20_000), "emb": _synthetic_embeddings(spark, 20_000)}
+    for kind, fn in ops.values():
+        run(fn(warm[kind]))
 
     # Tier-INTERLEAVED min-of-3: this host shows minute-scale stall
     # windows (same phenomenon bench.py's interleaved rounds dodge);
@@ -114,17 +164,21 @@ def scaling_main() -> None:
     # which once produced a 60k tier "slower" than the 600k tier.
     # Interleaving puts each tier's samples minutes apart and the min
     # rejects the window (noise only ever adds time).
-    tiers = {s: _synthetic_docs(spark, s) for s in (base, base * factor)}
+    sizes = (base, base * factor)
+    tiers = {
+        "docs": {s: _synthetic_docs(spark, s) for s in sizes},
+        "emb": {s: _synthetic_embeddings(spark, s) for s in sizes},
+    }
     walls: dict[tuple[str, int], list[float]] = {
-        (n, s): [] for n in ops for s in tiers
+        (n, s): [] for n in ops for s in sizes
     }
     shuf: dict[tuple[str, int], int] = {}
     for rep in range(3):
-        for scale, docs in tiers.items():
-            for name, fn in ops.items():
+        for scale in sizes:
+            for name, (kind, fn) in ops.items():
                 w0, _ = _shuffle_totals(spark)
                 t0 = time.time()
-                run(fn(docs))
+                run(fn(tiers[kind][scale]))
                 dt = time.time() - t0
                 w1, _ = _shuffle_totals(spark)
                 walls[(name, scale)].append(dt)
@@ -135,12 +189,12 @@ def scaling_main() -> None:
                     flush=True,
                 )
     results: dict[str, dict[int, tuple[float, int]]] = {
-        n: {s: (min(walls[(n, s)]), shuf[(n, s)]) for s in tiers} for n in ops
+        n: {s: (min(walls[(n, s)]), shuf[(n, s)]) for s in sizes} for n in ops
     }
 
     print("\n| op | n=base | n=base*f | wall 1x | wall f-x | exponent | shufW 1x | shufW f-x |")
-    for name, tiers in results.items():
-        (t1, s1), (tf, sf2) = tiers[base], tiers[base * factor]
+    for name, tiers_r in results.items():
+        (t1, s1), (tf, sf2) = tiers_r[base], tiers_r[base * factor]
         exp = math.log(tf / t1) / math.log(factor)
         print(
             f"| {name} | {base:,} | {base * factor:,} | {t1:.2f} s | {tf:.2f} s "
