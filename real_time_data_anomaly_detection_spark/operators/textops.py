@@ -519,3 +519,37 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "mean_word_len", "alpha_frac", "n_stop",
         "flag_words", "flag_mean_len", "flag_alpha", "flag_stop", "passes",
     )
+
+
+@query(
+    "q_token_entropy",
+    oracle="""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        n AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY 1)
+        SELECT tf.doc_id,
+               round(-sum((c::DOUBLE / n) * log2(c::DOUBLE / n)), 4) AS entropy_bits
+        FROM tf JOIN n USING (doc_id)
+        GROUP BY 1
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy in bits — the information-density
+    quality signal (boilerplate and template spam score low, natural
+    prose tracks log2 of its effective vocabulary). Explode → one
+    partial-aggregated (doc, term) count shuffle → per-doc window sum
+    and entropy reduce; both aggregations key on doc_id so the second
+    needs no extra exchange at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window as W
+
+    n = F.sum("c").over(W.partitionBy("doc_id"))
+    p = F.col("c").cast("double") / n
+    return (
+        tf.withColumn("_h", -p * F.log2(p))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_h"), 4).alias("entropy_bits"))
+    )

@@ -110,3 +110,32 @@ def test_pack_sequences_partition_count_invariant(spark):
         for r in pack_sequences(df.repartition(17), 1024).collect()
     }
     assert a == b  # explicit doc_id % P bucketing, not partition-dependent
+
+
+def test_dsir_weights_separate_domains(spark):
+    """Two vocabulary-disjoint domains: target-domain docs must score
+    positive log-weights, off-domain negative, and a mixed doc sits
+    between them."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_anomaly_detection_spark.operators.pipeline_ops import (
+        dsir_log_weights,
+    )
+
+    target = ["wiki article history science culture" ] * 3
+    raw = ["spam click buy cheap deal offer"] * 3
+    mixed = ["wiki article spam click history buy"]
+    rows = (
+        [(i, t, True) for i, t in enumerate(target)]
+        + [(10 + i, t, False) for i, t in enumerate(raw)]
+        + [(20, mixed[0], False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_tgt boolean")
+    w = {
+        r.doc_id: r.log_weight
+        for r in dsir_log_weights(df, F.col("is_tgt")).collect()
+    }
+    for i in range(3):
+        assert w[i] > 0, (i, w[i])
+        assert w[10 + i] < 0, (i, w[10 + i])
+    assert w[10] < w[20] < w[0], w

@@ -165,6 +165,7 @@ def test_no_accidental_cartesians_registry_wide(spark):
         "q_tpch_q22",
         "q_domain_mix",
         "q_tfidf",
+        "q_dsir_weights",  # two one-row broadcast scalars (totals, vocab)
     }
     # construction executes jobs (index builds / iterative components);
     # their inner joins are covered by their own tests
