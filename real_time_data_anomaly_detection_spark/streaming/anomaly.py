@@ -110,3 +110,68 @@ def latest_outliers(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def embedding_distance_threshold(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    quantile: float = 0.95,
+) -> float:
+    """Calibrate an outlier threshold OFFLINE: the ``quantile`` of
+    squared nearest-centroid distances over a reference (training)
+    batch. One scan + an approxQuantile — run once, ship the float."""
+    scored = score_embedding_outliers(df, centroids, vec_col=vec_col, threshold=None)
+    return scored.approxQuantile("dist2", [quantile], 1e-3)[0]
+
+
+def score_embedding_outliers(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Nearest-centroid distance scoring for embedding streams: adds
+    ``cell`` (nearest k-means cell), ``dist2`` (squared distance to
+    it), and — when ``threshold`` is given — ``anomaly`` (-1 outlier
+    / 1 normal, the reference's label convention).
+
+    STATELESS per row (centroids fit offline via
+    ``operators.clustering.kmeans_fit``, threshold via
+    ``embedding_distance_threshold``), so the same code path runs on a
+    batch frame or inside a Structured Streaming query with no state
+    store and no watermark — per micro-batch it is one Arrow pass,
+    exactly the semantic-drift monitor a production embedding pipeline
+    bolts onto ingest. The reference scores sensor rows per-window
+    with IsolationForest (app/app3_ML.py:165-169); this is the same
+    shape for embedding payloads with a closed-form detector."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cols = df.columns
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            out = pdf[cols].copy()
+            out["cell"] = d2.argmin(axis=1).astype(np.int32)
+            out["dist2"] = np.maximum(d2.min(axis=1), 0.0)
+            if threshold is not None:
+                out["anomaly"] = np.where(out["dist2"] > threshold, -1, 1).astype(
+                    np.int32
+                )
+            yield out
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, cell int, dist2 double"
+    if threshold is not None:
+        schema += ", anomaly int"
+    return df.mapInPandas(score, schema)

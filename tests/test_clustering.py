@@ -150,3 +150,54 @@ def test_semantic_dedup_recall_and_survivors(spark):
 
 
 from pyspark.sql import functions as F  # noqa: E402  (used in fixture above)
+
+
+def test_embedding_outlier_scoring_stream_equals_batch(spark, tmp_path):
+    """Centroid-distance outlier scoring: calibrated threshold flags
+    planted far-off vectors and none of the in-blob ones; the SAME
+    code path run as a Structured Streaming query over a file replay
+    emits identical rows to the batch frame (stateless per-row)."""
+    from real_time_data_anomaly_detection_spark.streaming.anomaly import (
+        embedding_distance_threshold,
+        score_embedding_outliers,
+    )
+
+    ids, X, labels = _blobs(n_per=40, d=8, k=3, sep=10.0, noise=0.5, seed=2)
+    train = _blob_df(spark, ids, X)
+    cent, _ = kmeans_fit(train, k=3, n_iters=6, seed=3)
+    thr = embedding_distance_threshold(train, cent, quantile=0.99)
+
+    # serve: 20 in-blob rows + 3 planted far-away outliers
+    rng = np.random.RandomState(4)
+    serve_X = np.concatenate([X[:20], 30.0 + rng.randn(3, 8)])
+    serve_ids = np.arange(1000, 1000 + len(serve_X))
+    serve = _blob_df(spark, serve_ids, serve_X)
+
+    batch = score_embedding_outliers(serve, cent, threshold=thr)
+    got = {r.vec_id: r.anomaly for r in batch.collect()}
+    assert all(got[int(i)] == 1 for i in serve_ids[:20])
+    assert all(got[int(i)] == -1 for i in serve_ids[20:])
+
+    # identical rows through a streaming query (file replay → memory)
+    sdir = str(tmp_path / "emb_stream")
+    serve.write.parquet(sdir)
+    stream = spark.readStream.schema(serve.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(sdir)
+    q = (
+        score_embedding_outliers(stream, cent, threshold=thr)
+        .writeStream.format("memory")
+        .queryName("emb_outliers")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.vec_id: (r.anomaly, round(r.dist2, 9))
+        for r in spark.table("emb_outliers").collect()
+    }
+    batched = {
+        r.vec_id: (r.anomaly, round(r.dist2, 9)) for r in batch.collect()
+    }
+    assert streamed == batched
