@@ -115,6 +115,11 @@ def main() -> None:
         "q_decontaminate",
         "q_pack_sequences",
         "q_resample_ffill",
+        # round-5 additions
+        "q_dsir_weights",
+        "q_semantic_dedup",
+        "q_pq_topk",
+        "q_gopher_rules",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s
