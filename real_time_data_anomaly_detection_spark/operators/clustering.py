@@ -358,8 +358,11 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_semantic_dedup")  # k-means driven → rows-only
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings corpus: dup-group membership
-    (vec_id, keeper) at cos >= 0.4 within k=8 k-means cells. The
-    within-cell recall floor vs the exact O(n²) baseline is pinned on
-    a blob fixture in tests/test_clustering.py."""
+    (vec_id, keeper) at cos >= 0.4 within k=8 k-means cells, declared
+    in the scale mode (sample-trained centroids + one assignment
+    pass — fit="sample"; pair-set equality with the full-corpus fit
+    on separated data is pinned in tests). The within-cell recall
+    floor vs the exact O(n²) baseline is pinned on a blob fixture in
+    tests/test_clustering.py."""
     e = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(e, k=8, threshold=0.4, n_iters=5)
+    return semantic_dedup(e, k=8, threshold=0.4, n_iters=5, fit="sample")
