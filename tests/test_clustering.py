@@ -201,3 +201,42 @@ def test_embedding_outlier_scoring_stream_equals_batch(spark, tmp_path):
         r.vec_id: (r.anomaly, round(r.dist2, 9)) for r in batch.collect()
     }
     assert streamed == batched
+
+
+def test_two_level_assignment_agreement(spark):
+    """Coarse-probed assignment vs flat assignment: >=95% agreement at
+    nprobe=4 on uniform-ish data with k=32, and EXACT equality when
+    every coarse group is probed."""
+    from real_time_data_anomaly_detection_spark.operators.clustering import (
+        kmeans_assign_two_level,
+        kmeans_fit_sample,
+    )
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(600, 16)
+    ids = np.arange(600)
+    df = _blob_df(spark, ids, X)
+    cent = kmeans_fit_sample(df, k=32, n_iters=5, seed=1)
+
+    flat = np.array(
+        [r.cell for r in kmeans_assign(df, cent).orderBy("vec_id").collect()]
+    )
+    two = np.array(
+        [
+            r.cell
+            for r in kmeans_assign_two_level(df, cent, nprobe=4)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    assert (flat == two).mean() >= 0.95, (flat == two).mean()
+
+    exact = np.array(
+        [
+            r.cell
+            for r in kmeans_assign_two_level(df, cent, n_coarse=6, nprobe=6)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    assert (flat == exact).all()

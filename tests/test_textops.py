@@ -81,3 +81,19 @@ def test_gopher_rules_flags(spark):
     assert out[3].flag_alpha == 0 and out[3].passes == 0
     # per-rule metrics sane
     assert out[0].n_words == 60 and out[0].n_stop == 4
+
+
+def test_scrub_pii_idempotent(spark):
+    """Redaction is a fixpoint: scrubbing already-scrubbed text changes
+    nothing (the replacement tokens match no PII pattern)."""
+    from real_time_data_anomaly_detection_spark.operators.textops import scrub_pii
+
+    rows = [
+        (0, "mix bob@x.io from 8.8.8.8 dial +15550001111 end"),
+        (1, "already clean <EMAIL> <IP> <PHONE> text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = scrub_pii(df).select("doc_id", F.col("clean_text").alias("text"))
+    twice = scrub_pii(once)
+    for r in twice.collect():
+        assert r.clean_text == r.text, r
