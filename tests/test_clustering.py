@@ -240,3 +240,17 @@ def test_two_level_assignment_agreement(spark):
         ]
     )
     assert (flat == exact).all()
+
+
+def test_semantic_dup_pairs_stop_cluster_valve(spark):
+    """max_cluster_size drops degenerate cells from pair search: with
+    the cap below a blob's size no pairs emerge from that blob, and
+    the uncapped run still finds them (valve semantics, not a bug)."""
+    ids, X, _ = _blobs(n_per=30, d=8, k=2, sep=10.0, noise=0.3, seed=8)
+    df = _blob_df(spark, ids, X)
+    uncapped = semantic_dup_pairs(df, k=2, threshold=0.9, n_iters=4, seed=2)
+    assert uncapped.count() > 0
+    capped = semantic_dup_pairs(
+        df, k=2, threshold=0.9, n_iters=4, seed=2, max_cluster_size=10
+    )
+    assert capped.count() == 0
