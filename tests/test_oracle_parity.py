@@ -54,7 +54,17 @@ def test_results_partition_count_invariant(spark):
     stateful packing, window rank, multi-join agg, LSH near-dup."""
     from real_time_data_anomaly_detection_spark.operators import REGISTRY
 
-    names = ["q_pack_sequences", "q_window_rank", "q_tpch_q10", "q_minhash_neardup"]
+    names = [
+        "q_pack_sequences",
+        "q_window_rank",
+        "q_tpch_q10",
+        "q_minhash_neardup",
+        # round-5 additions: sample-fit clustering decisions and PQ/ADC
+        # ranking must not depend on how the input is split
+        "q_semantic_dedup",
+        "q_pq_topk",
+        "q_dsir_weights",
+    ]
     sf = "/root/testdata/sf0.001"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
