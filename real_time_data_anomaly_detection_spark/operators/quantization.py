@@ -184,3 +184,233 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enc = pq_encode(e.filter(F.col("vec_id") != 0), books)
     return pq_adc_topk(enc, books, probe, n_results=10)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the FAISS billion-scale layout — coarse IVF cells for partition
+# pruning + per-cell RESIDUAL product quantization for memory, probed with
+# per-cell ADC tables and an exact re-rank of the overfetched candidates.
+# ---------------------------------------------------------------------------
+
+
+def _normalize_expr(vec_col: str):
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(v, lambda x: x / norm)
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    m: int = 16,
+    k_codes: int = 64,
+    sample: int = 2048,
+    seed: int = 42,
+) -> None:
+    """Build a persisted IVF-PQ index: vectors are L2-normalized (so
+    L2 ADC ranking ≡ cosine ranking), assigned to ``n_cells`` coarse
+    cells (sample-trained k-means), and stored as m RESIDUAL PQ codes
+    — x ≈ centroid[cell] + recon(codes) — partitioned by cell.
+
+    Residual encoding is what makes IVF-PQ accurate: residual norms
+    are a fraction of vector norms, so the same codebook budget
+    quantizes far tighter than whole-vector PQ. On disk:
+    ``vectors/cell=<c>/`` holding (id, codes), a ``centroids`` table
+    (n_cells rows), and a ``codebooks`` table (m·k rows). Index bytes
+    per vector = m codes ≈ m bytes vs 4·d raw — at (d=64, m=16) a
+    16× memory cut BEFORE counting the pruning: a probe opens only
+    nprobe/n_cells of the files (Hive partition pruning, pinned by
+    the numFiles plan metric in tests)."""
+    from real_time_data_anomaly_detection_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit_sample,
+    )
+
+    spark = df.sparkSession
+    norm = df.select(id_col, _normalize_expr(vec_col).alias("_nv"))
+    centroids = kmeans_fit_sample(
+        norm, vec_col="_nv", id_col=id_col, k=n_cells, n_iters=10, seed=seed, sample=sample
+    )
+    # codebooks trained on SAMPLE residuals, per subspace
+    S = _sample_matrix(norm, "_nv", id_col, sample, seed)
+    a = (
+        (S * S).sum(axis=1)[:, None]
+        - 2.0 * (S @ centroids.T)
+        + (centroids * centroids).sum(axis=1)[None, :]
+    ).argmin(axis=1)
+    R = S - centroids[a]
+    d = S.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.stack(
+        [
+            _kmeans_centroids(
+                np.ascontiguousarray(R[:, j * dsub : (j + 1) * dsub]), k_codes, seed + j
+            )
+            for j in range(m)
+        ]
+    )
+
+    celled = kmeans_assign(norm, centroids, vec_col="_nv")
+    C = centroids
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["_nv"].to_numpy())
+            R = X - C[pdf["cell"].to_numpy()]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                Rs = R[:, j * dsub : (j + 1) * dsub]
+                d2 = (
+                    (Rs * Rs).sum(axis=1)[:, None]
+                    - 2.0 * (Rs @ books[j].T)
+                    + (books[j] * books[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": pdf["cell"], "codes": list(codes)}
+            )
+
+    (
+        celled.mapInPandas(encode, f"{id_col} bigint, cell int, codes array<int>")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path + "/vectors")
+    )
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    spark.createDataFrame(
+        [
+            (int(j), int(c), [float(x) for x in books[j, c]])
+            for j in range(m)
+            for c in range(k_codes)
+        ],
+        "subspace int, code int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+
+
+def ivfpq_probe(
+    spark: SparkSession,
+    path: str,
+    probe,
+    refine_with: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_results: int = 10,
+    nprobe: int = 6,
+    overfetch: int = 5,
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index.
+
+    Driver side: read the tiny centroids/codebooks tables, pick the
+    ``nprobe`` nearest cells, precompute ONE ADC lookup table PER
+    PROBED CELL (LUT[c][j, code] = ||(p - centroid_c)_j - book_j[code]||²
+    — residual tables, m·k floats each). Cluster side: scan ONLY the
+    probed cell directories (partition pruning) and score each row
+    with m table lookups in one Arrow pass; keep the
+    ``overfetch``·k best by ADC. Optional exact re-rank: join the
+    candidate ids back to ``refine_with`` (the raw-vector table) and
+    re-score exactly — the FAISS serving pattern, recall pinned in
+    tests. Returns (id, score…) top-k."""
+    p = np.asarray(probe, dtype=np.float64)
+    p = p / np.linalg.norm(p)
+    cents = {
+        int(r.cell): np.asarray(r.centroid, dtype=np.float64)
+        for r in spark.read.parquet(path + "/centroids").collect()
+    }
+    brows = spark.read.parquet(path + "/codebooks").collect()
+    m = 1 + max(r.subspace for r in brows)
+    k_codes = 1 + max(r.code for r in brows)
+    d = len(next(iter(cents.values())))
+    dsub = d // m
+    books = np.zeros((m, k_codes, dsub))
+    for r in brows:
+        books[r.subspace, r.code] = r.vec
+    order = sorted(cents, key=lambda c: float(((cents[c] - p) ** 2).sum()))[:nprobe]
+    luts = {}
+    for c in order:
+        res = p - cents[c]
+        luts[c] = np.stack(
+            [
+                ((books[j] - res[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+                for j in range(m)
+            ]
+        )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())
+            cells = pdf["cell"].to_numpy()
+            dist = np.empty(len(pdf))
+            for c in np.unique(cells):
+                rows = cells == c
+                lut = luts[int(c)]
+                dist[rows] = lut[np.arange(m)[None, :], codes[rows]].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "adc_dist": np.round(dist, 6)})
+
+    cand = (
+        spark.read.parquet(path + "/vectors")
+        .filter(F.col("cell").isin([int(c) for c in order]))
+        .mapInPandas(score, f"{id_col} bigint, adc_dist double")
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(n_results * overfetch)
+    )
+    if refine_with is None:
+        return cand.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(n_results)
+    from real_time_data_anomaly_detection_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    probe_col = F.array(*[F.lit(float(x)) for x in p])
+    return (
+        refine_with.join(F.broadcast(cand), id_col, "left_semi")
+        .select(
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col).cast("array<double>"), probe_col), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(n_results)
+    )
+
+
+def _ivfpq_index_path(sf_dir: str) -> str:
+    from real_time_data_anomaly_detection_spark.operators.similarity import (
+        _ivf_index_path,
+    )
+
+    return _ivf_index_path(sf_dir).replace("spark_graft_ivf_", "spark_graft_ivfpq_")
+
+
+@query("q_ivfpq_topk")  # approximate (IVF-PQ recall) → rows-only
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 for the vec_id=0 probe: build-once persisted
+    index (16 cells × 16 residual codes/vector), ADC probe over
+    nprobe=6 pruned cells, exact re-rank of the 50 overfetched
+    candidates against the raw table. Recall vs q_cosine_topk pinned
+    in tests/test_quantization.py."""
+    import os
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _ivfpq_index_path(sf_dir)
+    if not os.path.exists(path + "/codebooks/_SUCCESS"):
+        build_ivfpq_index(e.filter(F.col("vec_id") != 0), path)
+    probe = np.asarray(
+        e.filter(F.col("vec_id") == 0).select("embedding").head()[0], dtype=np.float64
+    )
+    return ivfpq_probe(spark, path, probe, refine_with=e.filter(F.col("vec_id") != 0))

@@ -169,7 +169,14 @@ def test_no_accidental_cartesians_registry_wide(spark):
     }
     # construction executes jobs (index builds / iterative components);
     # their inner joins are covered by their own tests
-    SKIP = {"q_ivf_probe", "q_ann_batch", "q_neardup_dedup", "q_kmeans", "q_semantic_dedup"}
+    SKIP = {
+        "q_ivf_probe",
+        "q_ann_batch",
+        "q_neardup_dedup",
+        "q_kmeans",
+        "q_semantic_dedup",
+        "q_ivfpq_topk",
+    }
     offenders = {}
     for name, q in sorted(REGISTRY.items()):
         if name in SKIP:
