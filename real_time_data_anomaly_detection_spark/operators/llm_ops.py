@@ -158,3 +158,41 @@ def q_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_count("text", F.lit(pat)).cast("bigint").alias("n_pretokens"),
     )
+
+
+@query(
+    "q_hash_embed",
+    oracle="""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+        tf AS (SELECT doc_id,
+                      ('0x' || substr(md5(term), 1, 8))::BIGINT % 16 AS bucket,
+                      count(*) AS c
+               FROM tok GROUP BY 1, 2)
+        SELECT doc_id, bucket,
+               round(c / sqrt(sum(c * c) OVER (PARTITION BY doc_id)), 4) AS weight
+        FROM tf
+    """,
+)
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document featurizer: 16-bucket bag-of-words
+    vectors in sparse long form (doc_id, bucket, L2-normalized
+    weight) — the model-free embedding every similarity/clustering op
+    here can consume, and DETERMINISTIC across engines because the
+    bucket hash is md5-derived (both engines implement RFC 1321;
+    xxhash64 would be faster but has no DuckDB twin — swapping it in
+    changes no plan shape). One explode + one partial-aggregated
+    shuffle + a per-doc window for the norm; at scale the bucket
+    count is the memory knob (real deployments use 2^18-2^20)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    bucket = (F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint") % 16)
+    tf = tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    norm = F.sqrt(F.sum(F.col("c") * F.col("c")).over(W.partitionBy("doc_id")))
+    return tf.select(
+        "doc_id", "bucket", F.round(F.col("c") / norm, 4).alias("weight")
+    )
