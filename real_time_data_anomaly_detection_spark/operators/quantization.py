@@ -1,5 +1,7 @@
 """Product quantization (PQ) for embedding columns: train, encode,
-and asymmetric-distance (ADC) top-k search.
+asymmetric-distance (ADC) top-k search, and the composed IVF-PQ
+persisted index (coarse cells for partition pruning × residual PQ
+codes for memory × ADC probe + exact refine).
 
 PQ (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
 Search") is the standard memory-compression layer for billion-scale
