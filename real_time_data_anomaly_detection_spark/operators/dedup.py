@@ -991,3 +991,90 @@ def q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster (threshold 0.5), all unpaired docs kept."""
     d = load_table(spark, sf_dir, "documents")
     return neardup_dedup(d).select("doc_id", "lang", "source")
+
+
+def _md5_hash64(col, seed: int):
+    """Cross-engine 32-bit hash as BIGINT: first 8 md5 hex digits of
+    'seed:value'. Slower than xxhash64 but bit-identical in DuckDB
+    (('0x' || substr(md5(...), 1, 8))::BIGINT) — the hasher that makes
+    the LSH pipeline oracle-checkable."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+@query(
+    "q_minhash_neardup_md5",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh0 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+                WHERE len(t) >= 3),
+        sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+        hashes AS (SELECT doc_id, i,
+                          min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 8))::BIGINT) AS h
+                   FROM sh, UNNEST(generate_series(0, 15)) AS v(i)
+                   GROUP BY 1, 2),
+        sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hashes GROUP BY 1),
+        bands AS (SELECT doc_id, b,
+                         CAST(sig[4*b+1] AS VARCHAR) || '_' || sig[4*b+2]
+                           || '_' || sig[4*b+3] || '_' || sig[4*b+4] AS key
+                  FROM sig, UNNEST(generate_series(0, 3)) AS w(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+                 FROM bands a JOIN bands c
+                   ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT doc_a, doc_b, count(*) AS i
+                  FROM cand
+                  JOIN sh x ON x.doc_id = doc_a
+                  JOIN sh y ON y.doc_id = doc_b AND x.s = y.s
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(i::DOUBLE / (na.n + nb.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes na ON doc_a = na.doc_id
+        JOIN sizes nb ON doc_b = nb.doc_id
+        WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.05
+    """,
+)
+def q_minhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with a CROSS-ENGINE hasher: the
+    whole banding/bucketing/candidate/exact-verify algebra replayed
+    in DuckDB and hash-compared — the declared xxhash64 pipeline
+    (q_minhash_neardup) can only be recall-tested because DuckDB has
+    no xxhash64; this twin (16 md5-derived hashes, 4 bands × 4 rows,
+    verify at j >= 0.05) proves the LSH mechanics themselves, not
+    just their recall. Same plan shape as the production path: per-row
+    signatures in codegen, bucket-local i<j pair explode, candidate-
+    bounded verify joins; md5 per shingle-hash is the (documented)
+    price of oracle parity, so this entry is the correctness witness,
+    not the perf path."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = shingle_arrays(d, n=3)
+    sig = F.array(
+        *[
+            F.array_min(F.transform("sharr", (lambda i: lambda s: _md5_hash64(s, i))(i)))
+            for i in range(16)
+        ]
+    )
+    banded = arr.select("doc_id", sig.alias("sig")).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col("sig")[4 * b + r].cast("string") for r in range(4)]
+                        ).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    buckets = banded.groupBy("band", "key").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    )
+    cands = _bucket_pairs(buckets).distinct()
+    return verify_candidates_arr(cands, arr, threshold=0.05)
