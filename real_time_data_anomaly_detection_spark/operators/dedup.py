@@ -1078,3 +1078,54 @@ def q_minhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = _bucket_pairs(buckets).distinct()
     return verify_candidates_arr(cands, arr, threshold=0.05)
+
+
+@query(
+    "q_simhash_md5",
+    oracle="""
+        WITH tok AS (SELECT doc_id,
+                            unnest(list_distinct(string_split(text, ' '))) AS tok
+                     FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5('0:' || tok), 1, 8))::BIGINT AS h
+              FROM tok),
+        bits AS (SELECT doc_id, b,
+                        sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                 FROM h, UNNEST(generate_series(0, 31)) AS u(b)
+                 GROUP BY 1, 2)
+        SELECT doc_id,
+               sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        FROM bits GROUP BY 1
+    """,
+)
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints with the cross-engine md5 hasher —
+    the oracle-backed correctness witness for the SimHash vote/bit
+    construction (the production 64-bit xxhash64 path is
+    q_simhash_pairs, recall-tested). Same plan: distinct-token
+    explode ×32 bits, one vote groupBy, one fingerprint groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        d.repartition(par, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+        )
+        .withColumn("h", _md5_hash64(F.col("tok"), 0))
+    )
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id", "bit", F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("vote")
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("simhash")
+    )
