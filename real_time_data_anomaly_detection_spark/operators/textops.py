@@ -553,3 +553,41 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum("_h"), 4).alias("entropy_bits"))
     )
+
+
+@query(
+    "q_rolling_fingerprint_md5",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(
+                       0::BIGINT,
+                       list_transform(
+                           string_split(text, ' '),
+                           t -> ('0x' || substr(md5('0:' || t), 1, 8))::BIGINT
+                                % 2147483647
+                       )
+                   ),
+                   (acc, x) -> (acc * 1000003 + x) % 2147483647
+               ) AS fingerprint
+        FROM documents
+    """,
+)
+def q_rolling_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprints with the cross-engine
+    md5 token hash — the oracle-backed witness for the Rabin-Karp
+    fold (q_rolling_fingerprint is the xxhash64 production path,
+    rows-only). Same single codegen'd scan; the DuckDB twin folds the
+    identical Horner chain via list_reduce with a prepended zero
+    accumulator (list_reduce seeds from the first element)."""
+    from real_time_data_anomaly_detection_spark.operators.dedup import _md5_hash64
+
+    mod = 2_147_483_647
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    fp = F.aggregate(
+        F.transform(toks, lambda t: F.pmod(_md5_hash64(t, 0), F.lit(mod))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.pmod(acc * 1_000_003 + x, F.lit(mod)),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
