@@ -1129,3 +1129,101 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("simhash")
     )
+
+
+def _rademacher_planes(n_planes: int = 32, dim: int = 64) -> list[list[int]]:
+    """±1 (Rademacher) hyperplanes derived from md5 — deterministic,
+    engine-independent constants shared by the Spark expression and
+    the generated DuckDB oracle (random-normal planes give slightly
+    better variance, but sign-hash LSH theory holds for Rademacher
+    projections and only these are replayable as literals)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{p}_{j}".encode()).digest()[0] & 1 else -1
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _embed_lsh_md5_oracle(bands: int = 8, rows: int = 4, threshold: float = 0.3) -> str:
+    planes = _rademacher_planes(bands * rows)
+    keys = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"((list_dot_product(v, [{', '.join(f'{c}.0' for c in planes[4 * b + r])}]) > 0)::INT << {r})"
+            for r in range(rows)
+        )
+        keys.append(f"SELECT vec_id, {b} AS band, {bits} AS key FROM e")
+    banded = " UNION ALL ".join(keys)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        banded AS ({banded}),
+        cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                 FROM banded a JOIN banded b
+                   ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b,
+               round(list_cosine_similarity(x.v, y.v), 4) AS cos_sim
+        FROM cand JOIN e x ON x.vec_id = vec_a JOIN e y ON y.vec_id = vec_b
+        WHERE list_cosine_similarity(x.v, y.v) >= {threshold}
+    """
+
+
+@query("q_embed_lsh_md5", oracle=_embed_lsh_md5_oracle())
+def q_embed_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup pairs with ORACLE-BACKED
+    banding: ±1 md5-derived hyperplanes are inlined as identical
+    literals on both engines, so the sign-pattern bucketing, the
+    bucket-local candidate generation, and the exact cosine verify
+    (>= 0.3) are all hash-checked — completing the oracle-proven LSH
+    set (MinHash q_minhash_neardup_md5, SimHash q_simhash_md5). The
+    production path with random-normal planes and multiprobe is
+    q_embed_neardup_lsh / q_ann_topk (recall-tested)."""
+    from real_time_data_anomaly_detection_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    bands, rows, threshold = 8, 4, 0.3
+    planes = _rademacher_planes(bands * rows)
+    d = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+
+    def dot(p):
+        lit = F.array(*[F.lit(float(c)) for c in p])
+        return F.aggregate(
+            F.zip_with(v, lit, lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x
+        )
+
+    bandstructs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            sum(
+                [(dot(planes[4 * b + r]) > 0).cast("int") * (1 << r) for r in range(rows)],
+                F.lit(0),
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = d.select(
+        F.col("vec_id"), F.explode(F.array(*bandstructs)).alias("bk")
+    ).select("vec_id", "bk.band", "bk.key")
+    buckets = banded.groupBy("band", "key").agg(
+        F.sort_array(F.collect_set("vec_id")).alias("ids")
+    )
+    cands = (
+        _bucket_pairs(buckets)
+        .withColumnRenamed("doc_a", "vec_a")
+        .withColumnRenamed("doc_b", "vec_b")
+        .distinct()
+    )
+    a = d.select(F.col("vec_id").alias("vec_a"), v.alias("va"))
+    b = d.select(F.col("vec_id").alias("vec_b"), v.alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        cands.join(a, "vec_a")
+        .join(b, "vec_b")
+        .filter(cos >= threshold)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
+    )
