@@ -1003,10 +1003,11 @@ def _md5_hash64(col, seed: int):
     ).cast("bigint")
 
 
-@query(
-    "q_minhash_neardup_md5",
-    oracle="""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+#: Shared CTE chain for the md5 MinHash-LSH pipeline — both the pair
+#: query and the connected-components query build their oracles from
+#: this one string, so the two can never drift.
+_MINHASH_MD5_CTES = """
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         sh0 AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
                 FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
                 WHERE len(t) >= 3),
@@ -1028,14 +1029,20 @@ def _md5_hash64(col, seed: int):
                   FROM cand
                   JOIN sh x ON x.doc_id = doc_a
                   JOIN sh y ON y.doc_id = doc_b AND x.s = y.s
-                  GROUP BY 1, 2)
-        SELECT doc_a, doc_b,
-               round(i::DOUBLE / (na.n + nb.n - i), 4) AS jaccard
-        FROM inter
-        JOIN sizes na ON doc_a = na.doc_id
-        JOIN sizes nb ON doc_b = nb.doc_id
-        WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.05
-    """,
+                  GROUP BY 1, 2),
+        pairs AS (
+            SELECT doc_a, doc_b,
+                   round(i::DOUBLE / (na.n + nb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes na ON doc_a = na.doc_id
+            JOIN sizes nb ON doc_b = nb.doc_id
+            WHERE i::DOUBLE / (na.n + nb.n - i) >= 0.05)
+"""
+
+
+@query(
+    "q_minhash_neardup_md5",
+    oracle=f"WITH {_MINHASH_MD5_CTES} SELECT doc_a, doc_b, jaccard FROM pairs",
 )
 def q_minhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with a CROSS-ENGINE hasher: the
@@ -1050,6 +1057,13 @@ def q_minhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     price of oracle parity, so this entry is the correctness witness,
     not the perf path."""
     d = load_table(spark, sf_dir, "documents")
+    return minhash_md5_pairs(d)
+
+
+def minhash_md5_pairs(d: DataFrame) -> DataFrame:
+    """The md5-hasher MinHash-LSH pair pipeline shared by
+    q_minhash_neardup_md5 and q_components_md5 (Spark twin of the
+    ``_MINHASH_MD5_CTES`` SQL)."""
     arr = shingle_arrays(d, n=3)
     sig = F.array(
         *[
@@ -1226,4 +1240,39 @@ def q_embed_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "vec_b")
         .filter(cos >= threshold)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "q_components_md5",
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_MD5_CTES},
+        nodes AS (SELECT doc_a AS n FROM pairs UNION SELECT doc_b FROM pairs),
+        sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, comp) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN sym e ON e.src = r.node
+        )
+        SELECT node AS doc_id, min(comp) AS component
+        FROM reach GROUP BY 1
+    """,
+)
+def q_components_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the md5 MinHash-LSH near-dup graph,
+    ORACLE-BACKED: the iterative pointer-jumping labeling
+    (connected_components — a driver loop of distributed rounds) is
+    hash-compared against DuckDB's recursive-CTE transitive closure
+    with min-id labels over the IDENTICAL edge set (shared CTE chain,
+    generated from one string). This closes the last algebra gap in
+    the dedup stack: pairs, banding, verify, AND the group closure
+    are all cross-engine checked; the production xxhash64 paths
+    (q_minhash_neardup, q_neardup_dedup) keep the recall/round-count
+    tests."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_md5_pairs(d)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )

@@ -176,6 +176,7 @@ def test_no_accidental_cartesians_registry_wide(spark):
         "q_kmeans",
         "q_semantic_dedup",
         "q_ivfpq_topk",
+        "q_components_md5",
     }
     offenders = {}
     for name, q in sorted(REGISTRY.items()):
