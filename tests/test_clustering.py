@@ -154,9 +154,10 @@ from pyspark.sql import functions as F  # noqa: E402  (used in fixture above)
 
 def test_embedding_outlier_scoring_stream_equals_batch(spark, tmp_path):
     """Centroid-distance outlier scoring: calibrated threshold flags
-    planted far-off vectors and none of the in-blob ones; the SAME
-    code path run as a Structured Streaming query over a file replay
-    emits identical rows to the batch frame (stateless per-row)."""
+    planted far-off vectors while in-blob rows fire at no more than
+    the calibrated tail rate; the SAME code path run as a Structured
+    Streaming query over a file replay emits identical rows to the
+    batch frame (stateless per-row)."""
     from real_time_data_anomaly_detection_spark.streaming.anomaly import (
         embedding_distance_threshold,
         score_embedding_outliers,
@@ -175,7 +176,15 @@ def test_embedding_outlier_scoring_stream_equals_batch(spark, tmp_path):
 
     batch = score_embedding_outliers(serve, cent, threshold=thr)
     got = {r.vec_id: r.anomaly for r in batch.collect()}
-    assert all(got[int(i)] == 1 for i in serve_ids[:20])
+    # A q-quantile threshold calibrated on n train points leaves
+    # ~(1-q)·n of them above it BY CONSTRUCTION; the 20 in-blob serve
+    # rows are copies of train rows, so they may legitimately include
+    # those tail points. Pin the false-positive rate to the calibrated
+    # tail (<=2 of 120 train points above a 0.99 quantile), not zero —
+    # asserting zero made the test flip on ulp-level centroid jitter
+    # from the nondeterministic order of distributed partial sums.
+    in_blob_flagged = sum(got[int(i)] == -1 for i in serve_ids[:20])
+    assert in_blob_flagged <= 2, f"{in_blob_flagged} in-blob rows flagged"
     assert all(got[int(i)] == -1 for i in serve_ids[20:])
 
     # identical rows through a streaming query (file replay → memory)
