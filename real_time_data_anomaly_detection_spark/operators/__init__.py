@@ -27,6 +27,7 @@ from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F40
     timeseries,
     clustering,
     quantization,
+    curation,
 )
 
 __all__ = ["REGISTRY", "Query", "query"]

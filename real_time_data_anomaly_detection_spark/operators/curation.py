@@ -1,0 +1,393 @@
+"""Corpus-curation operators round 5: chunking, segment-level dedup,
+BM25 relevance, and CDC-style merge/upsert.
+
+These extend the LLM-pipeline surface (SURVEY.md §2.3) past document
+granularity: training pipelines chunk long documents into bounded
+windows, remove boilerplate SEGMENTS that repeat across documents
+(RefinedWeb/CCNet-style line dedup — our synthetic corpus has no
+newlines, so the unit is a fixed word window), rank documents against
+a query with BM25, and fold change batches into a canonical table with
+upsert semantics.
+
+All four are pure DataFrame compositions — codegen'd JVM expressions,
+no Python on any data path — and each declared query carries an exact
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.io import load_table
+from real_time_data_anomaly_detection_spark.operators.registry import query
+
+
+# ---------------------------------------------------------------------------
+# Chunking
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split each document into fixed-size word windows with overlap:
+    (id, chunk_idx, chunk_text, n_words).
+
+    Chunk ``i`` starts at word ``i * (chunk_words - overlap)`` and
+    takes up to ``chunk_words`` words; starts step by the stride until
+    the end of the document, so the final chunk may be short. This is
+    the standard context-window shaper in front of a tokenizer: long
+    documents become bounded training rows, with ``overlap`` words of
+    continuity across the seam.
+
+    Scale shape: one projection + explode per row — no shuffle at all;
+    chunk generation is whole-stage-codegen'd (sequence/transform/
+    slice are JVM expressions). Output rows ≈ total_words / stride,
+    partitioning inherited from the scan.
+    """
+    if overlap >= chunk_words:
+        raise ValueError(f"overlap {overlap} must be < chunk_words {chunk_words}")
+    stride = chunk_words - overlap
+    toks = df.select(id_col, F.split(F.col(text_col), " ").alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    starts = F.sequence(F.lit(0), F.size("_t") - 1, F.lit(stride))
+    return toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice("_t", s + 1, chunk_words))
+        ).alias("chunk_idx", "_chunk"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.array_join("_chunk", " ").alias("chunk_text"),
+        F.size("_chunk").alias("n_words"),
+    )
+
+
+@query(
+    "q_chunk_docs",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, t, CAST(i AS BIGINT) AS s
+            FROM toks, UNNEST(generate_series(0, len(t) - 1, 40)) AS u(i)
+            WHERE len(t) > 0
+        )
+        SELECT doc_id, CAST(s // 40 AS INT) AS chunk_idx,
+               array_to_string(t[s + 1 : s + 50], ' ') AS chunk_text,
+               len(t[s + 1 : s + 50]) AS n_words
+        FROM starts
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50-word chunks with 10-word overlap (stride 40) over the
+    documents corpus — the context-window shaper ahead of tokenize+
+    pack. Zero-shuffle explode; oracle replays the identical
+    start-grid + clamped slice arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_words=50, overlap=10)
+
+
+# ---------------------------------------------------------------------------
+# Segment-level dedup (RefinedWeb-style line dedup on word windows)
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove segments (fixed ``seg_words``-word windows) whose exact
+    text recurs in >= ``min_docs`` distinct documents; returns
+    (id, clean_text, n_removed, n_segments).
+
+    The RefinedWeb/CCNet "line dedup" pass: boilerplate (headers,
+    navigation, license blurbs) repeats verbatim across pages and
+    survives document-level dedup because the *documents* differ.
+    Removing corpus-frequent segments strips it without dropping the
+    documents themselves. Natural corpora segment on newlines; this
+    synthetic corpus has none, so the unit is a non-overlapping word
+    window — the pipeline shape (explode → frequency → flag →
+    reassemble) is identical.
+
+    Scale shape: segments shuffle as sha2-256 digests, never text
+    (same rule as exact doc dedup); the duplicated-digest set is the
+    output of a partial-aggregated count and is joined back BROADCAST
+    (boilerplate is, by definition, a small distinct set — the valve
+    for a pathological corpus is the same stop-segment cap as
+    jaccard's ``max_posting_size``). Reassembly is one groupBy on the
+    doc id with a sort_array over (seg_idx, seg) structs — order
+    restored deterministically regardless of partitioning.
+    """
+    toks = df.select(id_col, F.split(F.col(text_col), " ").alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    n_segs = F.floor((F.size("_t") - 1) / seg_words).cast("int")
+    segs = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs),
+                lambda i: F.array_join(
+                    F.slice("_t", i * seg_words + 1, seg_words), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    ).withColumn("_dig", F.sha2(F.col("seg"), 256))
+
+    dup = (
+        segs.groupBy("_dig")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_dig", F.lit(True).alias("_dup"))
+    )
+    flagged = segs.join(F.broadcast(dup), "_dig", "left").withColumn(
+        "_dup", F.coalesce("_dup", F.lit(False))
+    )
+    kept = F.filter(
+        F.sort_array(F.collect_list(F.struct("seg_idx", "_dup", "seg"))),
+        lambda s: ~s["_dup"],
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(F.transform(kept, lambda s: s["seg"]), " ").alias("clean_text"),
+        F.sum(F.col("_dup").cast("long")).alias("n_removed"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+
+
+@query(
+    "q_segment_dedup",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        segs AS (
+            SELECT doc_id, CAST(i AS INT) AS seg_idx,
+                   array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ') AS seg
+            FROM toks,
+                 UNNEST(generate_series(
+                     0, CAST(floor((len(t) - 1) / 10) AS BIGINT))) AS u(i)
+            WHERE len(t) > 0
+        ),
+        dup AS (
+            SELECT seg FROM segs GROUP BY seg
+            HAVING count(DISTINCT doc_id) >= 2
+        ),
+        flagged AS (
+            SELECT s.doc_id, s.seg_idx, s.seg, (d.seg IS NOT NULL) AS is_dup
+            FROM segs s LEFT JOIN dup d ON s.seg = d.seg
+        )
+        SELECT doc_id,
+               coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                            FILTER (WHERE NOT is_dup), '') AS clean_text,
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               count(*) AS n_segments
+        FROM flagged GROUP BY doc_id
+    """,
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent 10-word segments (>= 2 distinct docs) removed
+    from every document — the boilerplate-stripping pass document-level
+    dedup cannot do. Oracle replays segmentation, frequency flagging,
+    and ordered reassembly exactly (Spark flags via sha2 digest, the
+    oracle via the segment text itself — identical semantics)."""
+    d = load_table(spark, sf_dir, "documents")
+    return segment_dedup(d, seg_words=10, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# BM25
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of every document against a bag of query
+    terms: (id, bm25). Lucene idf variant:
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — strictly positive, so
+    common terms dilute rather than negate.
+
+    Scale shape: per-document term frequencies are lambda expressions
+    over the split array (``size(filter(t, x = term))``) — one
+    codegen'd scan, no explode, no shuffle on the corpus. The corpus
+    statistics (N, avgdl, one df per term) reduce to a SINGLE ROW via
+    partial aggregation, then rejoin as a broadcast nested-loop with a
+    one-row build side — the same keyless-scalar plan as TPC-H Q11's
+    total. Per-row score is a fixed-order sum over terms, so results
+    are deterministic under any partitioning.
+    """
+    def _eq(term: str):
+        # NB: a two-parameter lambda here would make F.filter pass the
+        # ELEMENT INDEX as the second argument (arity dispatch), so the
+        # term must be captured via closure, not a default arg.
+        return lambda x: x == F.lit(term)
+
+    toks = df.select(
+        id_col, F.split(F.col(text_col), " ").alias("_t")
+    ).select(
+        id_col,
+        F.size("_t").alias("_dl"),
+        *[
+            F.size(F.filter("_t", _eq(t))).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    def term_score(i: int) -> Column:
+        tf = F.col(f"_tf{i}").cast("double")
+        dfc = F.col(f"_df{i}").cast("double")
+        idf = F.log(
+            (F.col("_n") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)) + F.lit(1.0)
+        )
+        norm = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+        )
+        return idf * tf * F.lit(k1 + 1.0) / norm
+
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = score + term_score(i)
+    return toks.crossJoin(F.broadcast(stats)).select(
+        id_col, F.round(score, 4).alias("bm25")
+    )
+
+
+@query(
+    "q_bm25",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, len(t) AS dl,
+                   len(list_filter(t, x -> x = 'data')) AS tf0,
+                   len(list_filter(t, x -> x = 'spark')) AS tf1,
+                   len(list_filter(t, x -> x = 'stream')) AS tf2
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        ),
+        s AS (
+            SELECT count(*) AS n, avg(dl) AS avgdl,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+            FROM toks
+        )
+        SELECT doc_id, round(
+            ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+            4) AS bm25
+        FROM toks, s
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against the query
+    {data, spark, stream} (k1=1.2, b=0.75, Lucene idf) — the lexical
+    ranking half of a retrieval stack next to q_cosine_topk's dense
+    half. One scan + a one-row stats broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_scores(d, terms=["data", "spark", "stream"])
+
+
+# ---------------------------------------------------------------------------
+# Merge / upsert
+
+
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, key_col: str
+) -> DataFrame:
+    """Upsert ``updates`` into ``target`` on ``key_col``: rows whose
+    key exists in updates are replaced, new keys are appended,
+    untouched target rows pass through. Column sets must match.
+
+    This is the relational core of MERGE INTO / CDC compaction. Scale
+    shape: the typical change batch is orders of magnitude smaller
+    than the canonical table, so the anti-join probes a BROADCAST key
+    set — the 100 TB target is never reshuffled, and the union is a
+    metadata-only concatenation. (On a table format with partition
+    pruning, the same plan rewrites only partitions containing update
+    keys.) For a change batch too large to broadcast, drop the hint
+    and both sides shuffle on the key — still one exchange each.
+    """
+    cols = target.columns
+    if set(updates.columns) != set(cols):
+        raise ValueError(
+            f"schema mismatch: target {cols} vs updates {updates.columns}"
+        )
+    keys = updates.select(key_col).distinct()
+    untouched = target.join(F.broadcast(keys), key_col, "left_anti")
+    return untouched.select(cols).unionByName(updates.select(cols))
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+        WITH upd AS (
+            SELECT o_orderkey, o_custkey,
+                   round(o_totalprice * 1.1, 2) AS o_totalprice,
+                   'U' AS o_orderstatus
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey + 600000000, o_custkey,
+                   round(o_totalprice, 2), 'N'
+            FROM orders WHERE o_orderkey % 101 = 0
+        ),
+        base AS (
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+                   o_orderstatus
+            FROM orders
+        )
+        SELECT * FROM upd
+        UNION ALL
+        SELECT b.* FROM base b
+        LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM upd) kk
+          ON b.o_orderkey = kk.k
+        WHERE kk.k IS NULL
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a synthetic change batch into orders: every 97th key is
+    an in-place price/status update, every 101st key re-appears as a
+    fresh insert under a shifted key. Broadcast-anti + union — the
+    canonical table is never reshuffled."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    upd = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 600000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    return merge_upsert(o, upd.unionByName(ins), "o_orderkey")

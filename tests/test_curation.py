@@ -1,0 +1,187 @@
+"""Semantic tests for the round-5 curation operators (chunking,
+segment dedup, BM25, merge/upsert) on hand-built fixtures where the
+expected output is enumerable. Oracle parity at corpus scale is
+covered by the registry twins (tools/verify_oracle.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.operators.curation import (
+    bm25_scores,
+    chunk_documents,
+    merge_upsert,
+    segment_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_boundaries_and_overlap(spark):
+    """12 words, chunk=5, overlap=2 (stride 3): starts 0,3,6,9 — each
+    chunk repeats the previous chunk's last 2 words, the final chunk
+    is short."""
+    words = [f"w{i}" for i in range(12)]
+    df = _docs(spark, [(1, " ".join(words))])
+    got = {
+        r.chunk_idx: (r.chunk_text, r.n_words)
+        for r in chunk_documents(df, chunk_words=5, overlap=2).collect()
+    }
+    assert got == {
+        0: ("w0 w1 w2 w3 w4", 5),
+        1: ("w3 w4 w5 w6 w7", 5),
+        2: ("w6 w7 w8 w9 w10", 5),
+        3: ("w9 w10 w11", 3),
+    }
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    df = _docs(spark, [(1, "a b c")])
+    rows = chunk_documents(df, chunk_words=50, overlap=10).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_text == "a b c" and rows[0].n_words == 3
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    df = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_words=5, overlap=5)
+
+
+def test_segment_dedup_strips_shared_boilerplate(spark):
+    """A 4-word boilerplate segment planted in 3 docs is removed from
+    all of them; doc-unique segments survive; within-doc repetition
+    alone (min_docs=2 across docs) does NOT trigger removal."""
+    boiler = "all rights reserved today"
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " epsilon zeta eta theta"),
+        (3, boiler + " iota kappa lamda mu"),
+        # doc 4: repeats ITS OWN segment twice, shared with nobody
+        (4, "self repeat only here self repeat only here"),
+    ]
+    got = {
+        r.doc_id: r
+        for r in segment_dedup(
+            _docs(spark, rows), seg_words=4, min_docs=2
+        ).collect()
+    }
+    assert got[1].clean_text == "alpha beta gamma delta"
+    assert got[2].clean_text == "epsilon zeta eta theta"
+    assert got[3].clean_text == "iota kappa lamda mu"
+    assert all(got[d].n_removed == 1 and got[d].n_segments == 2 for d in (1, 2, 3))
+    # within-doc duplicate counts ONE distinct doc -> kept
+    assert got[4].n_removed == 0
+    assert got[4].clean_text == rows[3][1]
+
+
+def test_segment_dedup_fully_removed_doc_is_empty_string(spark):
+    rows = [(1, "same words here"), (2, "same words here")]
+    got = {
+        r.doc_id: r
+        for r in segment_dedup(
+            _docs(spark, rows), seg_words=3, min_docs=2
+        ).collect()
+    }
+    assert got[1].clean_text == "" and got[1].n_removed == 1
+    assert got[2].clean_text == "" and got[2].n_removed == 1
+
+
+def test_segment_dedup_reassembly_preserves_order(spark):
+    """Kept segments rejoin in original position order regardless of
+    which segment was removed."""
+    shared = "x x x"
+    rows = [
+        (1, f"one two three {shared} seven eight nine"),
+        (2, f"a b c {shared} g h i"),
+    ]
+    got = {
+        r.doc_id: r.clean_text
+        for r in segment_dedup(_docs(spark, rows), seg_words=3, min_docs=2).collect()
+    }
+    assert got[1] == "one two three seven eight nine"
+    assert got[2] == "a b c g h i"
+
+
+def test_bm25_matches_closed_form(spark):
+    """Score of a tiny corpus equals the hand-computed Okapi formula."""
+    rows = [
+        (1, "data data spark"),
+        (2, "other words only here"),
+        (3, "data x y z w q"),
+    ]
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(_docs(spark, rows), terms=["data", "spark"]).collect()
+    }
+    n, avgdl = 3, (3 + 4 + 6) / 3
+    k1, b = 1.2, 0.75
+
+    def idf(dfreq):
+        return math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+
+    def s(tf, dl, dfreq):
+        return idf(dfreq) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[2] == 0.0
+    assert got[1] == pytest.approx(round(s(2, 3, 2) + s(1, 3, 1), 4), abs=1e-4)
+    assert got[3] == pytest.approx(round(s(1, 6, 2), 4), abs=1e-4)
+
+
+def test_bm25_rarer_term_scores_higher(spark):
+    """One occurrence of a rare term beats one occurrence of a common
+    term at equal doc length — the idf ordering."""
+    rows = [(i, "common filler words") for i in range(1, 9)]
+    rows += [(9, "rare filler words")]
+    common = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(_docs(spark, rows), terms=["common"]).collect()
+    }
+    rare = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(_docs(spark, rows), terms=["rare"]).collect()
+    }
+    assert rare[9] > common[1] > 0
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    got = {r.k: (r.name, r.v) for r in merge_upsert(target, updates, "k").collect()}
+    assert got == {
+        1: ("a", 10.0),
+        2: ("b2", 99.0),  # replaced
+        3: ("c", 30.0),
+        4: ("d", 40.0),  # inserted
+    }
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark):
+    target = spark.createDataFrame([(1, "a")], "k long, name string")
+    updates = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(target, updates, "k")
+
+
+def test_merge_upsert_target_not_reshuffled(spark):
+    """Plan hygiene: the anti-join probes a broadcast key set — no
+    exchange on the target side before the union."""
+    target = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    updates = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(-1.0).alias("v")
+    )
+    plan = merge_upsert(target, updates, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

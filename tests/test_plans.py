@@ -166,6 +166,7 @@ def test_no_accidental_cartesians_registry_wide(spark):
         "q_domain_mix",
         "q_tfidf",
         "q_dsir_weights",  # two one-row broadcast scalars (totals, vocab)
+        "q_bm25",  # one-row broadcast corpus stats (N, avgdl, df per term)
     }
     # construction executes jobs (index builds / iterative components);
     # their inner joins are covered by their own tests
