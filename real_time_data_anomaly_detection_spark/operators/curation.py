@@ -205,6 +205,144 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ExactSubstr-style duplicated-span removal
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove every token covered by a corpus-duplicated k-token gram
+    (ANY alignment — the generalization fixed windows miss); returns
+    (id, clean_text, n_removed, n_tokens).
+
+    The ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"): duplicated spans recur at
+    arbitrary offsets, so fixed segmentation (``segment_dedup``)
+    misses a copy shifted by one token. Here every k-gram occurring
+    ``min_count``+ times corpus-wide (including within one document)
+    marks its k covering tokens for removal; overlapping marks merge
+    naturally. Unlike the paper's suffix array we drop ALL copies of a
+    duplicated span, not all-but-one — the spark-native formulation
+    keeps the pass embarrassingly parallel and is the common policy in
+    distributed reimplementations.
+
+    Scale shape, in shuffles: (1) gram digests partial-aggregate to
+    the duplicated set — sha2-256 digests shuffle, never text; the
+    duplicated set is boilerplate-sized and rejoins BROADCAST;
+    (2) tokens exchange once on the doc id for the coverage window
+    (``max(dup_start) over [p-k+1, p]`` — one pass, no interval
+    algebra, no range join) and the final reassembly groupBy reuses
+    that same hash partitioning, so it costs no further exchange.
+    """
+    toks = df.select(id_col, F.split(F.col(text_col), " ").alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    # (id, s, dig): digest of the k-gram starting at 1-based position s
+    grams = toks.filter(F.size("_t") >= k).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - (k - 1)),
+                lambda s: F.sha2(F.array_join(F.slice("_t", s, k), " "), 256),
+            )
+        ).alias("_s0", "_dig"),
+    ).select(id_col, (F.col("_s0") + 1).alias("_s"), "_dig")
+
+    dup = (
+        grams.groupBy("_dig")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_dig")
+    )
+    dup_starts = (
+        grams.join(F.broadcast(dup), "_dig")
+        .select(id_col, "_s", F.lit(1).alias("_isd"))
+        .distinct()
+    )
+
+    tokens = toks.select(
+        id_col, F.posexplode("_t").alias("_p0", "tok")
+    ).select(id_col, (F.col("_p0") + 1).alias("_p"), "tok")
+    flagged = tokens.join(
+        dup_starts,
+        (tokens[id_col] == dup_starts[id_col]) & (F.col("_p") == F.col("_s")),
+        "left",
+    ).select(tokens[id_col], "_p", "tok", F.coalesce("_isd", F.lit(0)).alias("_isd"))
+
+    from pyspark.sql import Window
+
+    cover = (
+        Window.partitionBy(id_col).orderBy("_p").rowsBetween(-(k - 1), 0)
+    )
+    marked = flagged.withColumn("_rm", F.max("_isd").over(cover) == 1)
+    kept = F.filter(
+        F.sort_array(F.collect_list(F.struct("_p", "_rm", "tok"))),
+        lambda s: ~s["_rm"],
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(F.transform(kept, lambda s: s["tok"]), " ").alias("clean_text"),
+        F.sum(F.col("_rm").cast("long")).alias("n_removed"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+@query(
+    "q_exact_substring_dedup",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, t, CAST(i AS INT) AS p
+            FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+            WHERE len(t) > 0
+        ),
+        grams AS (
+            SELECT doc_id, p AS s, array_to_string(t[p : p + 9], ' ') AS g
+            FROM pos WHERE p <= len(t) - 9
+        ),
+        dup AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+        ),
+        ds AS (
+            SELECT DISTINCT gr.doc_id, gr.s
+            FROM grams gr JOIN dup d ON gr.g = d.g
+        ),
+        flagged AS (
+            SELECT pos.doc_id, pos.p, t[pos.p] AS tok,
+                   CASE WHEN ds.s IS NOT NULL THEN 1 ELSE 0 END AS isd
+            FROM pos LEFT JOIN ds
+              ON pos.doc_id = ds.doc_id AND pos.p = ds.s
+        ),
+        marked AS (
+            SELECT doc_id, p, tok,
+                   max(isd) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                       AS rm
+            FROM flagged
+        )
+        SELECT doc_id,
+               coalesce(string_agg(tok, ' ' ORDER BY p)
+                            FILTER (WHERE rm = 0), '') AS clean_text,
+               CAST(sum(rm) AS BIGINT) AS n_removed,
+               count(*) AS n_tokens
+        FROM marked GROUP BY doc_id
+    """,
+)
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-alignment duplicated-span removal at k=10 tokens over
+    the documents corpus — the ExactSubstr complement to
+    q_segment_dedup's fixed windows. Oracle replays gram marking and
+    the coverage window exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_substring_dedup(d, k=10, min_count=2)
+
+
+# ---------------------------------------------------------------------------
 # BM25
 
 

@@ -109,6 +109,70 @@ def test_segment_dedup_reassembly_preserves_order(spark):
     assert got[2] == "a b c g h i"
 
 
+def test_exact_substring_dedup_catches_shifted_copy(spark):
+    """A 5-token span copied at a DIFFERENT offset in doc 2 is removed
+    from both docs — the arbitrary-alignment case fixed-window
+    segmentation misses — and neighboring unique tokens survive."""
+    from real_time_data_anomaly_detection_spark.operators.curation import (
+        exact_substring_dedup,
+    )
+
+    span = "p q r s t"
+    rows = [
+        (1, f"a1 b1 {span} c1 d1"),  # span at offset 2
+        (2, f"a2 {span} b2 c2 d2"),  # span at offset 1
+        (3, "u v w x y z u2 v2 w2"),  # no duplication
+    ]
+    got = {
+        r.doc_id: r
+        for r in exact_substring_dedup(
+            _docs(spark, rows), k=5, min_count=2
+        ).collect()
+    }
+    assert got[1].clean_text == "a1 b1 c1 d1" and got[1].n_removed == 5
+    assert got[2].clean_text == "a2 b2 c2 d2" and got[2].n_removed == 5
+    assert got[3].clean_text == rows[2][1] and got[3].n_removed == 0
+    # sanity: the fixed-window pass does NOT catch the shifted copy
+    seg = {
+        r.doc_id: r.n_removed
+        for r in segment_dedup(_docs(spark, rows), seg_words=5, min_docs=2).collect()
+    }
+    assert seg[1] == 0 and seg[2] == 0
+
+
+def test_exact_substring_dedup_overlapping_marks_merge(spark):
+    """Two duplicated grams overlapping by k-1 tokens mark a single
+    merged span: removal counts cover the union, not the sum."""
+    from real_time_data_anomaly_detection_spark.operators.curation import (
+        exact_substring_dedup,
+    )
+
+    # 6-token shared run => two overlapping 5-grams, union = 6 tokens
+    run = "m n o p q r"
+    rows = [(1, f"x1 {run} y1"), (2, f"x2 {run} y2")]
+    got = {
+        r.doc_id: r
+        for r in exact_substring_dedup(
+            _docs(spark, rows), k=5, min_count=2
+        ).collect()
+    }
+    assert got[1].n_removed == 6 and got[1].clean_text == "x1 y1"
+    assert got[2].n_removed == 6 and got[2].clean_text == "x2 y2"
+
+
+def test_exact_substring_dedup_within_doc_repeat(spark):
+    """min_count counts TOTAL occurrences: a k-gram repeated twice
+    inside one document is removed (both copies)."""
+    from real_time_data_anomaly_detection_spark.operators.curation import (
+        exact_substring_dedup,
+    )
+
+    rows = [(1, "a b c a b c x y z")]
+    got = exact_substring_dedup(_docs(spark, rows), k=3, min_count=2).collect()[0]
+    # grams 'a b c' at positions 1 and 4 both dup; coverage = 1..6
+    assert got.clean_text == "x y z" and got.n_removed == 6
+
+
 def test_bm25_matches_closed_form(spark):
     """Score of a tiny corpus equals the hand-computed Okapi formula."""
     rows = [
