@@ -267,8 +267,11 @@ def exact_substring_dedup(
     tokens = toks.select(
         id_col, F.posexplode("_t").alias("_p0", "tok")
     ).select(id_col, (F.col("_p0") + 1).alias("_p"), "tok")
+    # dup_starts is boilerplate-sized by the same argument as dup —
+    # broadcast explicitly so the token stream is shuffled exactly
+    # once (for the coverage window), under any size estimate.
     flagged = tokens.join(
-        dup_starts,
+        F.broadcast(dup_starts),
         (tokens[id_col] == dup_starts[id_col]) & (F.col("_p") == F.col("_s")),
         "left",
     ).select(tokens[id_col], "_p", "tok", F.coalesce("_isd", F.lit(0)).alias("_isd"))
