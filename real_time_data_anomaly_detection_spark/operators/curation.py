@@ -105,6 +105,7 @@ def segment_dedup(
     id_col: str = "doc_id",
     seg_words: int = 10,
     min_docs: int = 2,
+    broadcast_dups: bool = True,
 ) -> DataFrame:
     """Remove segments (fixed ``seg_words``-word windows) whose exact
     text recurs in >= ``min_docs`` distinct documents; returns
@@ -122,9 +123,11 @@ def segment_dedup(
     Scale shape: segments shuffle as sha2-256 digests, never text
     (same rule as exact doc dedup); the duplicated-digest set is the
     output of a partial-aggregated count and is joined back BROADCAST
-    (boilerplate is, by definition, a small distinct set — the valve
-    for a pathological corpus is the same stop-segment cap as
-    jaccard's ``max_posting_size``). Reassembly is one groupBy on the
+    (boilerplate is, by definition, a small distinct set; for a
+    DUP-HEAVY corpus where the duplicated set itself scales with n,
+    pass ``broadcast_dups=False`` and the flag-back becomes a shuffle
+    join on the digest — still linear, never driver-sized).
+    Reassembly is one groupBy on the
     doc id with a sort_array over (seg_idx, seg) structs — order
     restored deterministically regardless of partitioning.
     """
@@ -150,7 +153,8 @@ def segment_dedup(
         .filter(F.col("_nd") >= min_docs)
         .select("_dig", F.lit(True).alias("_dup"))
     )
-    flagged = segs.join(F.broadcast(dup), "_dig", "left").withColumn(
+    dup_side = F.broadcast(dup) if broadcast_dups else dup
+    flagged = segs.join(dup_side, "_dig", "left").withColumn(
         "_dup", F.coalesce("_dup", F.lit(False))
     )
     kept = F.filter(
@@ -214,6 +218,7 @@ def exact_substring_dedup(
     id_col: str = "doc_id",
     k: int = 10,
     min_count: int = 2,
+    broadcast_dups: bool = True,
 ) -> DataFrame:
     """Remove every token covered by a corpus-duplicated k-token gram
     (ANY alignment — the generalization fixed windows miss); returns
@@ -231,12 +236,16 @@ def exact_substring_dedup(
     distributed reimplementations.
 
     Scale shape, in shuffles: (1) gram digests partial-aggregate to
-    the duplicated set — sha2-256 digests shuffle, never text; the
-    duplicated set is boilerplate-sized and rejoins BROADCAST;
-    (2) tokens exchange once on the doc id for the coverage window
-    (``max(dup_start) over [p-k+1, p]`` — one pass, no interval
-    algebra, no range join) and the final reassembly groupBy reuses
-    that same hash partitioning, so it costs no further exchange.
+    the duplicated set — sha2-256 digests shuffle, never text; in a
+    boilerplate-light corpus the duplicated set is tiny and rejoins
+    BROADCAST (default); in a DUP-HEAVY corpus the duplicated-start
+    set scales with n — pass ``broadcast_dups=False`` and both
+    flag-backs become shuffle joins (still linear, never
+    driver-sized); (2) tokens exchange once on the doc id for the
+    coverage window (``max(dup_start) over [p-k+1, p]`` — one pass,
+    no interval algebra, no range join) and the final reassembly
+    groupBy reuses that same hash partitioning, so it costs no
+    further exchange.
     """
     toks = df.select(id_col, F.split(F.col(text_col), " ").alias("_t")).filter(
         F.size("_t") > 0
@@ -259,7 +268,7 @@ def exact_substring_dedup(
         .select("_dig")
     )
     dup_starts = (
-        grams.join(F.broadcast(dup), "_dig")
+        grams.join(F.broadcast(dup) if broadcast_dups else dup, "_dig")
         .select(id_col, "_s", F.lit(1).alias("_isd"))
         .distinct()
     )
@@ -267,11 +276,11 @@ def exact_substring_dedup(
     tokens = toks.select(
         id_col, F.posexplode("_t").alias("_p0", "tok")
     ).select(id_col, (F.col("_p0") + 1).alias("_p"), "tok")
-    # dup_starts is boilerplate-sized by the same argument as dup —
-    # broadcast explicitly so the token stream is shuffled exactly
-    # once (for the coverage window), under any size estimate.
+    # Under broadcast_dups the token stream is shuffled exactly once
+    # (for the coverage window) regardless of size estimates; without
+    # it the (doc_id, pos) join co-partitions with the window's key.
     flagged = tokens.join(
-        F.broadcast(dup_starts),
+        F.broadcast(dup_starts) if broadcast_dups else dup_starts,
         (tokens[id_col] == dup_starts[id_col]) & (F.col("_p") == F.col("_s")),
         "left",
     ).select(tokens[id_col], "_p", "tok", F.coalesce("_isd", F.lit(0)).alias("_isd"))

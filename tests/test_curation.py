@@ -173,6 +173,33 @@ def test_exact_substring_dedup_within_doc_repeat(spark):
     assert got.clean_text == "x y z" and got.n_removed == 6
 
 
+def test_exact_substring_dedup_shuffle_mode_identical(spark):
+    """broadcast_dups=False (dup-heavy-corpus mode) returns exactly
+    the same rows as the broadcast default."""
+    from real_time_data_anomaly_detection_spark.operators.curation import (
+        exact_substring_dedup,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i * 15 + j}" for j in range(35))) for i in range(30)
+    ]
+    a = {
+        tuple(r)
+        for r in exact_substring_dedup(
+            _docs(spark, rows), k=10, broadcast_dups=True
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in exact_substring_dedup(
+            _docs(spark, rows), k=10, broadcast_dups=False
+        ).collect()
+    }
+    assert a == b and len(a) == 30
+    # the sliding-window construction plants real duplicated runs
+    assert any(r[2] > 0 for r in a)
+
+
 def test_bm25_matches_closed_form(spark):
     """Score of a tiny corpus equals the hand-computed Okapi formula."""
     rows = [

@@ -94,6 +94,10 @@ def scaling_main() -> None:
         minhash_neardup_pairs,
         neardup_dedup,
     )
+    from real_time_data_anomaly_detection_spark.operators.curation import (
+        exact_substring_dedup,
+        segment_dedup,
+    )
     from real_time_data_anomaly_detection_spark.operators.pipeline_ops import (
         decontaminate,
     )
@@ -143,6 +147,16 @@ def scaling_main() -> None:
         "minhash_neardup": ("docs", lambda d: minhash_neardup_pairs(d, threshold=0.3)),
         "neardup_dedup": ("docs", lambda d: neardup_dedup(d, threshold=0.3).select("doc_id")),
         "decontaminate": ("docs", lambda d: decontaminate(d, bench).select("doc_id")),
+        # this corpus is DUP-HEAVY (adjacent docs share 20-token runs,
+        # so the duplicated-gram set itself scales with n): run
+        # exact-substring with broadcast_dups=False — the honest scale
+        # mode for this regime; segment windows never align across
+        # docs here, so segment_dedup measures the pipeline floor.
+        "segment_dedup": ("docs", lambda d: segment_dedup(d)),
+        "exact_substring": (
+            "docs",
+            lambda d: exact_substring_dedup(d, broadcast_dups=False),
+        ),
         "kmeans_fit": ("emb", _kmeans_op),
         "semantic_dup_pairs": ("emb", _sem_op),
         "pq_encode": ("emb", _pq_op),
