@@ -119,6 +119,54 @@ def hash_sample(
     return df.filter(bucket < rate_expr)
 
 
+def fixed_size_sample(
+    df: DataFrame, stratum_col: str, m: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """EXACTLY ``m`` rows per stratum (fewer if the stratum is
+    smaller), chosen deterministically: rank rows within each stratum
+    by md5(key) and keep the first m. Unlike rate-based hash sampling
+    (approximate counts) this pins the output size — the shape an
+    eval-set builder or per-domain quota needs — while staying stable
+    across runs, partitionings, and engines.
+
+    Scale shape: one shuffle on the stratum key; Spark plans the
+    rank-then-filter as WindowGroupLimit (per-partition top-m heaps
+    before the exchange), so the shuffle carries only candidate rows,
+    not whole strata."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), key_col
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= m)
+        .drop("_rn")
+    )
+
+
+@query(
+    "q_sample_fixed_per_group",
+    oracle="""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 20
+    """,
+)
+def q_sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language, deterministically chosen by md5
+    rank — the fixed-quota companion to q_sample_stratified's
+    rate-based thresholding. Same rows on any engine and any
+    partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    return fixed_size_sample(d, "lang", 20).select("doc_id", "lang")
+
+
 @query(
     "q_sample_stratified",
     oracle="""
