@@ -120,6 +120,9 @@ def main() -> None:
         "q_semantic_dedup",
         "q_pq_topk",
         "q_gopher_rules",
+        "q_segment_dedup",
+        "q_exact_substring_dedup",
+        "q_bm25",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s
