@@ -491,6 +491,130 @@ def merge_upsert(
     return untouched.select(cols).unionByName(updates.select(cols))
 
 
+def incremental_agg_merge(
+    state: DataFrame, delta: DataFrame, key_col: str, sum_cols: list[str]
+) -> DataFrame:
+    """Merge a delta batch of partial aggregates into an aggregate
+    state table: counts/sums add, keys present in only one side pass
+    through. The core of incremental materialized-view maintenance —
+    at 100 TB you re-aggregate the day's delta, never the history.
+
+    Works for any re-aggregatable (commutative-monoid) measures:
+    count, sum, min, max — avg must be carried as (sum, count).
+
+    Scale shape: one full-outer join on the key (FULL OUTER cannot
+    broadcast in Spark, so both sides exchange once; bucket the state
+    table on the key to amortize its side into the write)."""
+    cols = [key_col, *sum_cols]
+    for side, df in (("state", state), ("delta", delta)):
+        missing = set(cols) - set(df.columns)
+        if missing:
+            raise ValueError(f"{side} missing columns {sorted(missing)}")
+    s = state.select([F.col(c).alias(f"_s_{c}") for c in cols])
+    d = delta.select([F.col(c).alias(f"_d_{c}") for c in cols])
+    joined = s.join(
+        d, s[f"_s_{key_col}"] == d[f"_d_{key_col}"], "full_outer"
+    )
+    return joined.select(
+        F.coalesce(f"_s_{key_col}", f"_d_{key_col}").alias(key_col),
+        *[
+            (
+                F.coalesce(F.col(f"_s_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in sum_cols
+        ],
+    )
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+        SELECT o_custkey, count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_custkey
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance proof: per-customer order
+    count/revenue state built from 90% of orders, then the remaining
+    10% merged in as a delta batch — the oracle is the FULL
+    recompute, so the hash match proves state+delta == scratch
+    aggregation cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("double")).alias("total"),
+        )
+
+    state = agg(o.filter(F.col("o_orderkey") % 10 != 0))
+    delta = agg(o.filter(F.col("o_orderkey") % 10 == 0))
+    merged = incremental_agg_merge(state, delta, "o_custkey", ["cnt", "total"])
+    return merged.select(
+        "o_custkey", "cnt", F.round("total", 2).alias("total")
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        changes AS (
+            SELECT user_id, event_type, ts AS valid_from, event_id
+            FROM marked
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY valid_from, event_id
+               ) AS valid_to
+        FROM changes
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history derivation over the events stream: each user's
+    event_type collapsed into validity intervals."""
+    e = load_table(spark, sf_dir, "events")
+    return scd2_intervals(e, "user_id", "event_type", "ts", "event_id")
+
+
+def scd2_intervals(
+    df: DataFrame, key_col: str, attr_col: str, ts_col: str, tiebreak_col: str
+) -> DataFrame:
+    """Collapse a change stream into SCD2 validity intervals:
+    (key, attr, valid_from, valid_to) — consecutive repeats of the
+    same attribute value drop via lag(), valid_to is the next
+    change's timestamp, NULL marks the open current interval.
+    ``tiebreak_col`` must totally order rows within (key, ts).
+
+    Scale shape: two window passes over the SAME key partitioning —
+    the second (lead over the much smaller change rows) reuses the
+    first's exchange, so the stream shuffles once."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    marked = df.withColumn("_prev", F.lag(attr_col).over(w))
+    changes = marked.filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col))
+    ).select(
+        key_col, attr_col, F.col(ts_col).alias("valid_from"), tiebreak_col
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from", tiebreak_col)
+    return changes.select(
+        key_col,
+        attr_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
 @query(
     "q_merge_upsert",
     oracle="""

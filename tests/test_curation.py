@@ -241,6 +241,72 @@ def test_bm25_rarer_term_scores_higher(spark):
     assert rare[9] > common[1] > 0
 
 
+def test_incremental_agg_merge_semantics(spark):
+    """Keys in both sides add; one-sided keys pass through with the
+    other side treated as zero."""
+    from real_time_data_anomaly_detection_spark.operators.curation import (
+        incremental_agg_merge,
+    )
+
+    state = spark.createDataFrame(
+        [(1, 3, 30.0), (2, 2, 20.0)], "k long, cnt long, total double"
+    )
+    delta = spark.createDataFrame(
+        [(2, 1, 5.0), (3, 4, 40.0)], "k long, cnt long, total double"
+    )
+    got = {
+        r.k: (r.cnt, r.total)
+        for r in incremental_agg_merge(state, delta, "k", ["cnt", "total"]).collect()
+    }
+    assert got == {1: (3, 30.0), 2: (3, 25.0), 3: (4, 40.0)}
+
+
+def test_incremental_agg_merge_rejects_missing_columns(spark):
+    from real_time_data_anomaly_detection_spark.operators.curation import (
+        incremental_agg_merge,
+    )
+
+    state = spark.createDataFrame([(1, 3)], "k long, cnt long")
+    delta = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="delta missing"):
+        incremental_agg_merge(state, delta, "k", ["cnt"])
+
+
+def test_scd2_intervals_collapse_and_chain(spark):
+    """Consecutive repeats collapse into one interval; valid_to chains
+    to the next change; the latest state is open (NULL valid_to)."""
+    import datetime as dt
+
+    from real_time_data_anomaly_detection_spark.operators.curation import (
+        scd2_intervals,
+    )
+
+    t = lambda m: dt.datetime(2026, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, t(0), 7, "login"),
+        (2, t(1), 7, "login"),    # repeat -> collapsed
+        (3, t(2), 7, "click"),    # change
+        (4, t(3), 7, "login"),    # change back (re-entry = new interval)
+        (5, t(0), 8, "view"),     # second user independent
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = sorted(
+        (r.user_id, r.event_type, r.valid_from.minute,
+         None if r.valid_to is None else r.valid_to.minute)
+        for r in scd2_intervals(
+            e, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    )
+    assert got == [
+        (7, "click", 2, 3),
+        (7, "login", 0, 2),
+        (7, "login", 3, None),
+        (8, "view", 0, None),
+    ]
+
+
 def test_merge_upsert_semantics(spark):
     target = spark.createDataFrame(
         [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
