@@ -413,6 +413,129 @@ def semantic_dedup(
     return comp.select(F.col("node").alias(id_col), F.col("comp").alias("keeper"))
 
 
+def pca_fit(
+    df: DataFrame, vec_col: str = "embedding", r: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One-pass distributed PCA fit: returns (mean d, components r×d,
+    explained_variance r). The scan emits per-partition partial sums
+    (n, Σx, ΣxᵀX — d + d² doubles per task, CONSTANT in corpus size);
+    the driver assembles the covariance and eigendecomposes d×d. At
+    100 TB this is exactly one pruned column scan with a
+    kilobyte-sized reduce — the classic out-of-core covariance PCA.
+
+    Determinism: eigenvector SIGN is fixed by forcing each
+    component's largest-|coordinate| entry positive, so fits are
+    reproducible across runs and partitionings (up to fp addition
+    order in the partial sums)."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = None
+        ss = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += len(X)
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            g = X.T @ X
+            ss = g if ss is None else ss + g
+        if n == 0:
+            return
+        d = len(s)
+        yield pd.DataFrame(
+            {
+                "n": [n],
+                "s": [s.tolist()],
+                "ss": [ss.ravel().tolist()],
+                "d": [d],
+            }
+        )
+
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+        .mapInPandas(partials, "n long, s array<double>, ss array<double>, d int")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty input")
+    d = rows[0]["d"]
+    n = sum(row["n"] for row in rows)
+    s = np.sum([np.asarray(row["s"]) for row in rows], axis=0)
+    ss = np.sum([np.asarray(row["ss"]).reshape(d, d) for row in rows], axis=0)
+    mu = s / n
+    cov = ss / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    r = r or d
+    comp = evecs[:, order[:r]].T  # r×d
+    # canonical sign: largest-|coordinate| entry positive
+    for i in range(len(comp)):
+        j = np.argmax(np.abs(comp[i]))
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    return mu, comp, np.maximum(evals[order[:r]], 0.0)
+
+
+def pca_project(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+    explained_variance: np.ndarray | None = None,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Project each row onto the fitted components: one Arrow pass,
+    the (r×d) matrix shipped as a closure constant. With
+    ``whiten=True`` each output coordinate is scaled to unit variance
+    (requires ``explained_variance``)."""
+    mu = np.asarray(mean, dtype=np.float64)
+    W = np.asarray(components, dtype=np.float64)
+    if whiten:
+        if explained_variance is None:
+            raise ValueError("whiten=True requires explained_variance")
+        W = W / np.sqrt(np.asarray(explained_variance)[:, None] + eps)
+    cols = df.columns
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            P = (X - mu) @ W.T
+            out = pdf[cols].copy()
+            out[out_col] = list(P)
+            yield out
+
+    return df.mapInPandas(project, f"{fields}, {out_col} array<double>")
+
+
+@query("q_pca_project")  # eigendecomposition → rows-only (parity tests)
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA of the embeddings corpus to r=8 components: per-vector
+    projection norms (vec_id, r, norm2). Fit is one partial-sum scan +
+    a d×d driver eigh; reconstruction-error and whitening properties
+    are pinned in tests/test_clustering.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mu, comp, ev = pca_fit(e, r=8)
+    proj = pca_project(e.select("vec_id", "embedding"), mu, comp)
+    return proj.select(
+        "vec_id",
+        F.lit(8).alias("r"),
+        F.round(
+            F.aggregate(
+                "pca", F.lit(0.0), lambda acc, x: acc + x * x
+            ),
+            4,
+        ).alias("norm2"),
+    ).orderBy("vec_id")
+
+
 @query("q_kmeans")  # iterative + float-boundary sensitive → rows-only
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means over the embeddings corpus: cluster sizes +

@@ -462,6 +462,131 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bigram LM perplexity (CCNet-style quality filter)
+
+
+def lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document perplexity under an add-one-smoothed bigram LM
+    trained on the corpus itself: (id, n_bigrams, ppl).
+
+    The CCNet recipe scores documents with an n-gram LM and drops the
+    high-perplexity tail (gibberish, boilerplate soup) — here the LM
+    is trained in-engine on the same corpus in one pass:
+    ``p(w2|w1) = (C(w1,w2) + 1) / (C(w1) + V)`` and
+    ``ppl = exp(-mean ln p)`` over the document's bigram stream.
+    Single-token documents carry no bigram evidence: ppl null.
+
+    Scale shape: the doc side pre-aggregates to (id, w1, w2, m)
+    multiplicities before joining the global bigram counts (shuffle
+    keyed on the bigram — cardinality is DISTINCT bigrams, which
+    saturates at vocab², typically far below corpus tokens); the
+    unigram-count table is vocab-sized and joins BROADCAST; V is a
+    one-row broadcast. Per-doc reduction is a groupBy on the id.
+    """
+    toks = df.select(id_col, F.split(F.col(text_col), " ").alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    bigrams = toks.filter(F.size("_t") >= 2).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - 1),
+                lambda i: F.struct(
+                    F.element_at("_t", i).alias("w1"),
+                    F.element_at("_t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+    doc_bg = bigrams.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    c_bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    unigrams = toks.select(id_col, F.explode("_t").alias("w"))
+    c_uni = unigrams.groupBy(F.col("w").alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    vocab = unigrams.agg(F.countDistinct("w").alias("v"))
+
+    logp = F.log(
+        (F.col("c12") + 1).cast("double")
+        / (F.col("c1") + F.col("v")).cast("double")
+    )
+    scored = (
+        doc_bg.join(c_bg, ["w1", "w2"])
+        .join(F.broadcast(c_uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            (F.sum(F.col("m") * logp) / F.sum("m")).alias("_avg_lp"),
+        )
+    )
+    return toks.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.round(F.exp(-F.col("_avg_lp")), 4).alias("ppl"),
+    )
+
+
+@query(
+    "q_lm_perplexity",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) > 0
+        ),
+        bigrams AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 2
+        ),
+        doc_bg AS (
+            SELECT doc_id, w1, w2, count(*) AS m
+            FROM bigrams GROUP BY 1, 2, 3
+        ),
+        c_bg AS (
+            SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2
+        ),
+        unigrams AS (
+            SELECT doc_id, unnest(t) AS w FROM toks
+        ),
+        c_uni AS (
+            SELECT w AS w1, count(*) AS c1 FROM unigrams GROUP BY 1
+        ),
+        vocab AS (
+            SELECT count(DISTINCT w) AS v FROM unigrams
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   CAST(sum(d.m) AS BIGINT) AS n_bigrams,
+                   sum(d.m * ln((c12 + 1.0) / (c1 + v))) / sum(d.m) AS avg_lp
+            FROM doc_bg d
+            JOIN c_bg USING (w1, w2)
+            JOIN c_uni USING (w1), vocab
+            GROUP BY d.doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(s.n_bigrams, 0) AS n_bigrams,
+               round(exp(-s.avg_lp), 4) AS ppl
+        FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+    """,
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM perplexity per document (add-one
+    smoothing) — the CCNet quality-filter signal, trained and applied
+    in one engine pass. Oracle replays counts, smoothing, and the
+    exp(-mean ln p) fold exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    return lm_perplexity(d)
+
+
+# ---------------------------------------------------------------------------
 # Merge / upsert
 
 

@@ -263,3 +263,61 @@ def test_semantic_dup_pairs_stop_cluster_valve(spark):
         df, k=2, threshold=0.9, n_iters=4, seed=2, max_cluster_size=10
     )
     assert capped.count() == 0
+
+
+def test_pca_fit_matches_numpy_and_is_partition_invariant(spark):
+    """Distributed partial-sum covariance == numpy covariance: same
+    eigenvalues and (sign-canonical) components, under 1 or 13
+    partitions."""
+    from real_time_data_anomaly_detection_spark.operators.clustering import (
+        pca_fit,
+    )
+
+    rng = np.random.RandomState(11)
+    # anisotropic cloud: variance concentrated in 3 directions
+    A = rng.randn(16, 16)
+    X = rng.randn(400, 16) @ (A * np.array([5, 3, 2] + [0.3] * 13)[None, :])
+    ids = np.arange(400)
+
+    ref_cov = np.cov(X.T, bias=True)
+    ref_evals = np.sort(np.linalg.eigvalsh(ref_cov))[::-1]
+
+    got = {}
+    for parts in (1, 13):
+        df = _blob_df(spark, ids, X).repartition(parts)
+        mu, comp, ev = pca_fit(df, r=5)
+        assert np.allclose(mu, X.mean(axis=0), atol=1e-8)
+        assert np.allclose(ev, ref_evals[:5], rtol=1e-8)
+        got[parts] = comp
+    assert np.allclose(got[1], got[13], atol=1e-8)
+
+
+def test_pca_project_reconstruction_and_whitening(spark):
+    """Full-rank projection preserves total variance; top-r captures
+    the dominant share on anisotropic data; whitened coordinates have
+    ~unit variance."""
+    from real_time_data_anomaly_detection_spark.operators.clustering import (
+        pca_fit,
+        pca_project,
+    )
+
+    rng = np.random.RandomState(12)
+    X = rng.randn(300, 8) * np.array([10, 5, 1, 0.5, 0.2, 0.1, 0.1, 0.1])
+    ids = np.arange(300)
+    df = _blob_df(spark, ids, X)
+
+    mu, comp, ev = pca_fit(df)
+    assert ev[0] > ev[1] > ev[2] > 0
+    # total variance preserved at full rank
+    assert np.isclose(ev.sum(), np.var(X, axis=0, ddof=0).sum(), rtol=1e-8)
+    # top-2 dominates this spectrum
+    assert ev[:2].sum() / ev.sum() > 0.9
+
+    proj = pca_project(df, mu, comp[:2], whiten=True, explained_variance=ev[:2])
+    P = np.stack([r.pca for r in proj.orderBy("vec_id").collect()])
+    assert P.shape == (300, 2)
+    assert np.allclose(P.var(axis=0, ddof=0), 1.0, atol=1e-3)
+    # unwhitened projection reproduces the eigenvalue variances
+    raw = pca_project(df, mu, comp[:2])
+    R = np.stack([r.pca for r in raw.orderBy("vec_id").collect()])
+    assert np.allclose(R.var(axis=0, ddof=0), ev[:2], rtol=1e-6)

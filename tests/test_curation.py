@@ -307,6 +307,40 @@ def test_scd2_intervals_collapse_and_chain(spark):
     ]
 
 
+def test_lm_perplexity_orders_fluent_before_gibberish(spark):
+    """Docs built from the corpus's dominant bigram patterns score
+    lower perplexity than a doc of one-off bigrams; single-token docs
+    get null ppl and 0 bigrams."""
+    from real_time_data_anomaly_detection_spark.operators.curation import (
+        lm_perplexity,
+    )
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(10)]
+    rows += [(100, "zq xv jk wm yb pn")]  # bigrams seen once each
+    rows += [(200, "solo")]
+    got = {r.doc_id: r for r in lm_perplexity(_docs(spark, rows)).collect()}
+    assert got[0].ppl < got[100].ppl
+    assert got[200].n_bigrams == 0 and got[200].ppl is None
+    # all copies of the common doc score identically
+    assert len({got[i].ppl for i in range(10)}) == 1
+
+
+def test_lm_perplexity_smoothing_handles_unseen_denominator(spark):
+    """Every observed bigram gets p < 1 and ppl > 1 under add-one
+    smoothing (the +V denominator), even for a deterministic corpus."""
+    from real_time_data_anomaly_detection_spark.operators.curation import (
+        lm_perplexity,
+    )
+
+    rows = [(1, "a b a b a b"), (2, "a b")]
+    got = {r.doc_id: r for r in lm_perplexity(_docs(spark, rows)).collect()}
+    assert got[1].ppl > 1.0 and got[2].ppl > 1.0
+    # doc 2's only bigram (a,b) is the corpus's most reinforced one;
+    # doc 1 mixes in the rarer (b,a) so it scores strictly higher ppl
+    assert got[2].ppl < got[1].ppl
+
+
 def test_merge_upsert_semantics(spark):
     target = spark.createDataFrame(
         [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],

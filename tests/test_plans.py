@@ -167,6 +167,7 @@ def test_no_accidental_cartesians_registry_wide(spark):
         "q_tfidf",
         "q_dsir_weights",  # two one-row broadcast scalars (totals, vocab)
         "q_bm25",  # one-row broadcast corpus stats (N, avgdl, df per term)
+        "q_lm_perplexity",  # one-row broadcast vocab size V
     }
     # construction executes jobs (index builds / iterative components);
     # their inner joins are covered by their own tests
@@ -178,6 +179,7 @@ def test_no_accidental_cartesians_registry_wide(spark):
         "q_semantic_dedup",
         "q_ivfpq_topk",
         "q_components_md5",
+        "q_pca_project",  # pca_fit collects d² partials at build
     }
     offenders = {}
     for name, q in sorted(REGISTRY.items()):
