@@ -586,6 +586,33 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity(d)
 
 
+@query("q_quality_classifier")  # iterative GD model → rows-only
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-style quality classifier demo: logistic regression
+    over hashed bag-of-words trained in-engine on a weak label
+    (lang == 'en'), then applied corpus-wide — (doc_id, pred).
+    Training = one Arrow partial-gradient scan per iteration;
+    convergence, numpy-GD parity, partition invariance, and
+    streaming==batch scoring are pinned in
+    tests/test_quality_classifier.py."""
+    from real_time_data_anomaly_detection_spark.functions.quality_classifier import (
+        featurize_hashed,
+        logreg_fit,
+        logreg_score,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    feats = featurize_hashed(d, dim=256)
+    w, b, _ = logreg_fit(feats, "y", dim=256, n_iters=15)
+    return (
+        logreg_score(feats, w, b)
+        .select("doc_id", (F.col("p") > 0.5).cast("int").alias("pred"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Merge / upsert
 
