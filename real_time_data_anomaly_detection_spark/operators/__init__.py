@@ -28,6 +28,8 @@ from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F40
     clustering,
     quantization,
     curation,
+    graph,
+    bloom,
 )
 
 __all__ = ["REGISTRY", "Query", "query"]

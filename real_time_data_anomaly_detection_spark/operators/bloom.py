@@ -1,0 +1,147 @@
+"""Bloom-filter join pruning: a JVM-side pre-filter that cuts the big
+side of a selective join BEFORE its shuffle.
+
+Spark's own runtime bloom-filter rewrite (`spark.sql.optimizer.
+runtime.bloomFilter.enabled`) covers the planner-visible cases; this
+operator makes the same pattern available as an explicit, composable
+step — the way a 100 TB pipeline prunes a fact scan against a
+dimension that is too large to broadcast: rows that fail the bloom
+test never enter the exchange, and the exact join afterwards removes
+the (bounded-rate) false positives, so the RESULT is exactly the
+semi-join — which is what the DuckDB oracle pins.
+
+Everything stays JVM-side and codegen'd: bit positions are
+``pmod(xxhash64(key, seed), m)`` expressions, the bitmap ships as a
+single array<long> literal (m/64 words; 16 KiB at the default
+m = 2^17), and membership is ``getbit`` on ``element_at`` of that
+literal — no Python on the data path. Building the filter collects
+only the DISTINCT set bit positions (≤ min(|small|·k, m) ints), the
+same driver-size bound as broadcasting the dimension's key set.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.io import load_table
+from real_time_data_anomaly_detection_spark.operators.registry import query
+
+DEFAULT_BITS = 1 << 17
+DEFAULT_HASHES = 5
+
+
+def _bit_positions(key: Column, num_bits: int, k: int) -> list[Column]:
+    """k bloom bit positions per key: pmod(xxhash64(key, seed), m).
+    The seed rides along as a second hashed column — xxhash64's own
+    seed is fixed in the SQL surface."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(num_bits)) for seed in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = DEFAULT_BITS,
+    k: int = DEFAULT_HASHES,
+) -> list[int]:
+    """Distributed bloom build: returns the bitmap as m/64 int64
+    words. Only distinct bit positions reach the driver."""
+    pos = (
+        df.select(
+            F.explode(F.array(*_bit_positions(F.col(key_col), num_bits, k))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = np.zeros(num_bits // 64, dtype=np.uint64)
+    for r in pos:
+        words[r.p // 64] |= np.uint64(1) << np.uint64(r.p % 64)
+    return [int(w) for w in words.view(np.int64)]
+
+
+def bloom_might_contain(
+    key: Column, words: list[int], num_bits: int, k: int
+) -> Column:
+    """Membership predicate against a built bitmap — pure codegen'd
+    expressions (element_at + getbit on an array<long> literal)."""
+    # Explicit cast: F.lit infers array<int> when every word happens
+    # to fit in 32 bits, and getbit then rejects positions >= 32.
+    bmp = F.lit(words).cast("array<bigint>")
+    tests = [
+        F.getbit(
+            F.element_at(bmp, (pos / F.lit(64)).cast("int") + F.lit(1)),
+            pos % F.lit(64),
+        )
+        == F.lit(1)
+        for pos in _bit_positions(key, num_bits, k)
+    ]
+    return functools.reduce(operator.and_, tests)
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    num_bits: int = DEFAULT_BITS,
+    k: int = DEFAULT_HASHES,
+) -> DataFrame:
+    """Exact left-semi join of ``big`` against ``small`` on
+    ``key_col``, with a bloom pre-filter pruning ``big`` before the
+    join. False positives are removed by the exact join; false
+    negatives cannot occur (every true key set all its bits), so the
+    result is identical to ``big.join(small, key, "left_semi")`` —
+    pinned by the declared oracle and tests/test_bloom.py."""
+    keys = small.select(key_col).distinct()
+    words = bloom_build(keys, key_col, num_bits, k)
+    pruned = big.filter(bloom_might_contain(F.col(key_col), words, num_bits, k))
+    return pruned.join(keys, key_col, "left_semi")
+
+
+@query(
+    "q_bloom_semi_join",
+    oracle="""
+        SELECT l_returnflag, count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        WHERE l_suppkey IN (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_nationkey < 5)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side bloom pruning: lineitem semi-joined to a
+    5-nation supplier subset through a bloom pre-filter; result is exactly the plain
+    semi-join (the oracle), the bloom only cuts what reaches the
+    join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_returnflag", "l_extendedprice"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        bloom_semi_join(li, supp, "l_suppkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,160 @@
+"""Graph propagation operators: PageRank over a DataFrame edge list.
+
+Web-scale curation pipelines score documents by the link structure of
+their hosts (PageRank/harmonic centrality over the host graph is a
+standard crawl-quality signal); the same join-aggregate iteration
+underlies label propagation and trust propagation. The reference app
+has no graph surface — this extends the engine the same way the dedup
+connected-components operator does (dedup.py:886), and shares its
+scaling discipline: a driver LOOP whose every round is fully
+distributed (one join + one groupBy), with ``localCheckpoint`` lineage
+truncation so Catalyst analysis stays O(1) per round instead of
+growing with the iteration count.
+
+100 TB shape: the edge list is the corpus-sized side; it is persisted
+ONCE with its out-degrees attached, and every iteration shuffles only
+the rank vector (|V| rows, two exchanges: join on src, groupBy dst).
+Nothing corpus-sized is ever collected or broadcast. On a real
+cluster, pre-partitioning the persisted edges by ``src`` makes the
+per-iteration join co-located with the rank shuffle's output
+partitioning.
+
+Correctness is pinned cross-engine: the declared query's DuckDB oracle
+replays the SAME fixed-iteration recurrence as plain SQL with the
+iterations unrolled into chained CTEs — no recursive-CTE aggregate
+restrictions, bit-comparable after the registry's round-to-4 contract
+(ranks are scaled by |V| so the rounding keeps ~4 significant digits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.io import load_table
+from real_time_data_anomaly_detection_spark.operators.registry import query
+
+DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 5,
+    damping: float = DAMPING,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list; returns
+    (node, pr) with ranks summing to ≤ 1 (dangling mass leaks, per the
+    plain recurrence r'(v) = (1-d)/N + d·Σ_{u→v} r(u)/deg(u)).
+
+    Fixed iteration count, not a convergence test: the declared oracle
+    replays the recurrence exactly, and at 100 TB a known round budget
+    (PageRank contracts at rate d, so ~20 rounds ≈ 3-digit precision)
+    beats a convergence check that costs an extra full pass per round.
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).distinct()
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    # Persist the degree-annotated edges FIRST — every iteration joins
+    # them, and without materialization each round would recompute the
+    # edge derivation's full upstream lineage (cf. dedup.py:908).
+    ew = e.join(deg, "_src").persist()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if stats is not None:
+        stats["n_nodes"] = n
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(n_iters):
+        contrib = (
+            ew.join(ranks, ew._src == ranks.node)
+            .select("_dst", (F.col("pr") / F.col("_deg")).alias("_c"))
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib._dst, "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("_sum", F.lit(0.0))).alias(
+                    "pr"
+                ),
+            )
+            # Truncate lineage each round — bare chaining doubles the
+            # logical plan per iteration (cf. dedup.py:941).
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def _interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric customer↔supplier interaction edges from orders ⋈
+    lineitem, node ids prefixed 'c'/'s' (the key spaces overlap)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+
+
+def _pagerank_oracle(n_iters: int) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (DuckDB)."""
+    ctes = [
+        """pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cust,
+                             's' || CAST(l_suppkey AS VARCHAR) AS supp
+             FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        edges AS (SELECT cust AS src, supp AS dst FROM pairs
+                  UNION ALL SELECT supp, cust FROM pairs),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+                FROM edges GROUP BY src),
+        r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"""r{i} AS (SELECT nodes.node,
+                    0.15 / nn.n + 0.85 * coalesce(c.s, 0) AS pr
+             FROM nodes CROSS JOIN nn
+             LEFT JOIN (SELECT e.dst AS node, sum(r{i - 1}.pr / deg.d) AS s
+                        FROM edges e
+                        JOIN r{i - 1} ON r{i - 1}.node = e.src
+                        JOIN deg ON deg.src = e.src
+                        GROUP BY e.dst) c ON c.node = nodes.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT node, round(pr * nn.n, 4) AS pr_scaled
+        FROM r{n_iters} CROSS JOIN nn ORDER BY node"""
+    )
+
+
+@query("q_pagerank", oracle=_pagerank_oracle(5))
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-iteration PageRank over the symmetric customer↔supplier
+    interaction graph (the host-graph quality-signal shape); ranks
+    scaled by |V| (≈1.0 = average centrality) and rounded per the
+    registry contract. Oracle = the identical recurrence unrolled into
+    chained SQL CTEs."""
+    stats: dict = {}
+    ranks = pagerank(_interaction_edges(spark, sf_dir), n_iters=5, stats=stats)
+    scale = float(stats["n_nodes"])
+    return ranks.select(
+        "node", F.round(F.col("pr") * F.lit(scale), 4).alias("pr_scaled")
+    ).orderBy("node")

@@ -547,3 +547,77 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     constructed two-domain corpus."""
     d = load_table(spark, sf_dir, "documents")
     return dsir_log_weights(d, F.col("lang") == "en")
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    weight_col,
+    m: int,
+    stratum_col: str | None = None,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis
+    A-ES: each row gets the key ln(u)/w (u a deterministic md5-derived
+    uniform in (0,1), w its positive weight) and the top-``m`` keys
+    per stratum are the sample. Inclusion probability scales with
+    weight, the output size is pinned at m, and — unlike the
+    rate-based ``hash_sample`` tiers — weights stay CONTINUOUS.
+
+    Deterministic by construction (u from md5(key), total order with
+    key tiebreak), so the same sample comes back on any run, any
+    partitioning, any engine — the auditability contract all the
+    samplers here share.
+
+    Scale shape: same as ``fixed_size_sample`` — one shuffle on the
+    stratum, with Spark's WindowGroupLimit running per-partition
+    top-m heaps before the exchange, so the shuffle carries candidate
+    rows only."""
+    from pyspark.sql import Window
+
+    u32 = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    # +0.5 keeps u strictly inside (0,1): ln(0) is -inf and u=1 would
+    # collapse all weights to key 0.
+    u = (u32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.log(u) / weight_col
+    strata = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*strata).orderBy(F.desc("_aes_key"), key_col)
+    return (
+        df.withColumn("_aes_key", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= m)
+        .drop("_aes_key", "_rn")
+    )
+
+
+@query(
+    "q_weighted_topk_sample",
+    oracle="""
+        SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                                   / 4294967296.0)
+                                / (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                                   / len(string_split(text, ' '))) DESC,
+                            doc_id) AS rn
+            FROM documents)
+        WHERE rn <= 20
+        ORDER BY lang, doc_id
+    """,
+)
+def q_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language, drawn WITHOUT replacement with
+    probability proportional to a continuous quality weight (the
+    type-token ratio) via the A-ES exponential-key trick; oracle
+    replays the identical ln(u)/w ranking."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    return (
+        weighted_topk_sample(d.withColumn("_w", ttr), F.col("_w"), 20, "lang")
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )

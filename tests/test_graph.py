@@ -1,0 +1,77 @@
+"""PageRank operator: structural properties + engine-parity pins."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.operators.graph import pagerank
+
+
+def _ranks(df):
+    return {r.node: r.pr for r in df.collect()}
+
+
+def test_ring_graph_uniform(spark):
+    # A directed cycle is vertex-transitive: every node must get 1/n.
+    n = 8
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src int, dst int"
+    )
+    r = _ranks(pagerank(edges, n_iters=6))
+    assert len(r) == n
+    for v in r.values():
+        assert v == pytest.approx(1.0 / n, rel=1e-9)
+
+
+def test_star_center_dominates(spark):
+    # All leaves point at node 0: the center must outrank every leaf.
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 11)], "src int, dst int"
+    )
+    r = _ranks(pagerank(edges, n_iters=5))
+    assert all(r[0] > r[i] for i in range(1, 11))
+
+
+def test_mass_conserved_without_dangling(spark):
+    # Symmetric edges -> every node has out-degree -> total rank == 1.
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src int, dst int"
+    )
+    stats: dict = {}
+    r = _ranks(pagerank(edges, n_iters=10, stats=stats))
+    assert stats["n_nodes"] == 4
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_partition_invariance(spark):
+    pairs = [(i, (i * 7 + 3) % 50) for i in range(200)]
+    edges = spark.createDataFrame(pairs, "src int, dst int")
+    a = _ranks(pagerank(edges.repartition(1), n_iters=4))
+    b = _ranks(pagerank(edges.repartition(13), n_iters=4))
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-9)
+
+
+def test_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 3)]
+    edges = spark.createDataFrame(pairs, "src int, dst int")
+    r = _ranks(pagerank(edges, n_iters=7))
+
+    n = 4
+    deg = np.zeros(n)
+    for a, _ in pairs:
+        deg[a] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(7):
+        nxt = np.full(n, 0.15 / n)
+        for a, b in pairs:
+            nxt[b] += 0.85 * pr[a] / deg[a]
+        pr = nxt
+    for i in range(n):
+        assert r[i] == pytest.approx(pr[i], rel=1e-12)

@@ -139,3 +139,72 @@ def test_dsir_weights_separate_domains(spark):
         assert w[i] > 0, (i, w[i])
         assert w[10 + i] < 0, (i, w[10 + i])
     assert w[10] < w[20] < w[0], w
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis–Spirakis weighted top-k sampling
+
+
+def _weighted_corpus(spark):
+    # ids 0..399: even ids weight 10.0, odd ids weight 0.1
+    rows = [(i, 10.0 if i % 2 == 0 else 0.1) for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, w double")
+
+
+def test_weighted_topk_exact_size_and_determinism(spark):
+    from real_time_data_anomaly_detection_spark.operators.pipeline_ops import (
+        weighted_topk_sample,
+    )
+    from pyspark.sql import functions as F
+
+    d = _weighted_corpus(spark)
+    a = sorted(
+        r.doc_id
+        for r in weighted_topk_sample(d.repartition(1), F.col("w"), 50).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in weighted_topk_sample(d.repartition(11), F.col("w"), 50).collect()
+    )
+    assert len(a) == 50 and a == b
+
+
+def test_weighted_topk_prefers_heavy_rows(spark):
+    from real_time_data_anomaly_detection_spark.operators.pipeline_ops import (
+        weighted_topk_sample,
+    )
+    from pyspark.sql import functions as F
+
+    d = _weighted_corpus(spark)
+    picked = [
+        r.doc_id for r in weighted_topk_sample(d, F.col("w"), 50).collect()
+    ]
+    heavy = sum(1 for i in picked if i % 2 == 0)
+    # with a 100x weight ratio the heavy class must dominate hard
+    assert heavy >= 45
+
+
+def test_weighted_topk_matches_numpy_replay(spark):
+    import hashlib
+    import math
+
+    from real_time_data_anomaly_detection_spark.operators.pipeline_ops import (
+        weighted_topk_sample,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, 0.25 + (i % 13) / 13.0) for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sorted(
+        r.doc_id for r in weighted_topk_sample(d, F.col("w"), 30).collect()
+    )
+
+    def key(i, w):
+        u32 = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (u32 + 0.5) / 2**32
+        return math.log(u) / w
+
+    want = sorted(
+        i for i, _ in sorted(rows, key=lambda t: (-key(*t), t[0]))[:30]
+    )
+    assert got == want
