@@ -123,6 +123,9 @@ def main() -> None:
         "q_segment_dedup",
         "q_exact_substring_dedup",
         "q_bm25",
+        "q_pagerank",
+        "q_bloom_semi_join",
+        "q_weighted_topk_sample",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s
