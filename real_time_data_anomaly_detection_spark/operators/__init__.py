@@ -30,6 +30,7 @@ from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F40
     curation,
     graph,
     bloom,
+    sketch,
 )
 
 __all__ = ["REGISTRY", "Query", "query"]

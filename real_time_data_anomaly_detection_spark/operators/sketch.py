@@ -1,0 +1,231 @@
+"""Deterministic, cross-engine-checked sketches: Count-Min frequency
+estimation and HyperLogLog cardinality — md5-hashed so the ENTIRE
+sketch algebra (bucketing, register maxima, bias-corrected estimate)
+is replayed by a DuckDB oracle and hash-compared, the same discipline
+as the md5 MinHash/SimHash twins (dedup.py:1006).
+
+Sketches are the scale story for frequency/cardinality questions a
+100 TB pipeline asks constantly (vocabulary heads, per-shard distinct
+counts, stream heavy hitters): the shuffle carries the FIXED-size
+sketch (d·w counters / m registers), never the key space. Both
+operators here are single groupBy aggregations over codegen'd JVM
+expressions — no UDFs, no driver-side state beyond the final
+fixed-size result.
+
+Spark's built-ins (`approx_count_distinct`, `count_min_sketch`) use
+engine-private hashing and so can only be tested against tolerance
+bands (q_approx_distinct is the declared NO-ORACLE example); these md5
+variants trade hash speed for exact cross-engine reproducibility —
+the same estimate, bit-for-bit, on any engine and any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.io import load_table
+from real_time_data_anomaly_detection_spark.operators.registry import query
+
+
+def _md5_u32(col: Column, prefix: Column | None = None) -> Column:
+    """First 8 md5 hex digits as BIGINT — bit-identical in DuckDB as
+    ('0x' || substr(md5(x), 1, 8))::BIGINT (cf. dedup.py:996)."""
+    src = F.concat(prefix, col) if prefix is not None else col
+    return F.conv(F.substring(F.md5(src), 1, 8), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+
+
+def countmin_build(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """d×w Count-Min sketch as a (row, bucket, cnt) DataFrame (sparse:
+    untouched counters are absent = 0). One explode (d rows per item
+    occurrence) + one groupBy — the partial aggregation means each
+    map task emits at most d·w counters regardless of input size."""
+    rows = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+        F.col(item_col).alias("_it"),
+    )
+    bucket = _md5_u32(
+        F.col("_it").cast("string"), F.concat(F.col("row").cast("string"), F.lit(":"))
+    ) % F.lit(width)
+    return rows.groupBy("row", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame, probes: DataFrame, item_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-query the sketch for each probe item: est = min over the
+    d rows of the counter at that row's bucket. Missing counters are
+    0 (sparse representation), so a probe absent from every row
+    estimates 0. Never underestimates the true count."""
+    p = probes.select(F.col(item_col).alias("_it")).withColumn(
+        "row", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    )
+    p = p.withColumn(
+        "bucket",
+        _md5_u32(
+            F.col("_it").cast("string"),
+            F.concat(F.col("row").cast("string"), F.lit(":")),
+        )
+        % F.lit(width),
+    )
+    return (
+        p.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("_it")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+        .select(F.col("_it").alias(item_col), "cms_est")
+    )
+
+
+@query(
+    "q_countmin_freq",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        exact AS (
+            SELECT token, count(*) AS exact_n FROM toks GROUP BY token),
+        probes AS (
+            SELECT token, exact_n FROM exact
+            ORDER BY exact_n DESC, token LIMIT 20),
+        sk AS (
+            SELECT i AS row,
+                   ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || token), 1, 8))::BIGINT % 256
+                       AS bucket,
+                   count(*) AS cnt
+            FROM toks CROSS JOIN UNNEST(generate_series(0, 3)) AS s(i)
+            GROUP BY 1, 2),
+        est AS (
+            SELECT p.token, p.exact_n, min(coalesce(sk.cnt, 0)) AS cms_est
+            FROM (SELECT token, exact_n, i AS row,
+                         ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || token), 1, 8))::BIGINT % 256
+                             AS bucket
+                  FROM probes CROSS JOIN UNNEST(generate_series(0, 3)) AS s(i)) p
+            LEFT JOIN sk ON sk.row = p.row AND sk.bucket = p.bucket
+            GROUP BY 1, 2)
+        SELECT token, exact_n, cms_est FROM est ORDER BY token
+    """,
+)
+def q_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min (d=4, w=256) over the document token stream, probed
+    at the 20 exact-top tokens; output (token, exact_n, cms_est) with
+    cms_est ≥ exact_n guaranteed. Oracle replays the identical md5
+    bucketing and min-of-rows estimate."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.orderBy(F.desc("exact_n"), "token").limit(20)
+    sketch = countmin_build(toks, "token", depth=4, width=256)
+    est = countmin_estimate(sketch, probes, "token", depth=4, width=256)
+    return (
+        probes.join(est, "token")
+        .select("token", "exact_n", "cms_est")
+        .orderBy("token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+
+
+def hll_estimate(
+    df: DataFrame, key_col: str, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate with 2^p
+    registers (Flajolet et al. 2007): bucket = low p bits of the
+    32-bit md5 hash, rho = leading-zero rank of the remaining
+    (32-p)-bit field, registers = per-bucket max rho, raw estimate
+    alpha·m² / Σ 2^{-M_j} with the small-range linear-counting
+    correction. Empty registers participate as 2^0 via a dense
+    m-row scaffold per group (a broadcast range join — m rows, never
+    data-sized)."""
+    m = 1 << p
+    rest_bits = 32 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = _md5_u32(F.col(key_col).cast("string"))
+    rest = F.floor(h / F.lit(m))
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits + 1) - F.length(F.bin(rest))
+    )
+    regs = (
+        df.withColumn("_b", h % F.lit(m))
+        .withColumn("_rho", rho)
+        .groupBy(*group_cols, "_b")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    # dense scaffold: every (group, bucket) slot, empty slots M=0
+    groups = df.select(*group_cols).distinct()
+    slots = groups.crossJoin(
+        F.broadcast(
+            df.sparkSession.range(m).select(F.col("id").cast("bigint").alias("_b"))
+        )
+    )
+    dense = slots.join(regs, [*group_cols, "_b"], "left").select(
+        *group_cols, F.coalesce("_m", F.lit(0)).alias("_m")
+    )
+    agg = dense.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_m"))).alias("_z"),
+        F.sum(F.when(F.col("_m") == 0, 1).otherwise(0)).alias("_v"),
+    )
+    raw = F.lit(alpha * m * m) / F.col("_z")  # == 2905.460551022604 at p=6
+    # linear counting when the raw estimate is small and empty
+    # registers remain
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("_v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_v")),
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("hll_est"))
+
+
+@query(
+    "q_hll_md5",
+    oracle="""
+        WITH hashed AS (
+            SELECT l_returnflag,
+                   ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS h
+            FROM lineitem),
+        regs AS (
+            SELECT l_returnflag, h % 64 AS b,
+                   max(CASE WHEN floor(h / 64) = 0 THEN 27
+                            ELSE 27 - length(bin(CAST(floor(h / 64) AS BIGINT))) END)
+                       AS m
+            FROM hashed GROUP BY 1, 2),
+        slots AS (
+            SELECT g.l_returnflag, s.b, coalesce(regs.m, 0) AS m
+            FROM (SELECT DISTINCT l_returnflag FROM lineitem) g
+            CROSS JOIN UNNEST(generate_series(0, 63)) AS s(b)
+            LEFT JOIN regs ON regs.l_returnflag = g.l_returnflag AND regs.b = s.b),
+        agg AS (
+            SELECT l_returnflag,
+                   sum(power(2.0, -m)) AS z,
+                   sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v
+            FROM slots GROUP BY 1),
+        est AS (
+            SELECT l_returnflag,
+                   CASE WHEN (2905.460551022604 / z) <= 160.0 AND v > 0
+                        THEN 64.0 * ln(64.0 / v)
+                        ELSE 2905.460551022604 / z END AS e
+            FROM agg)
+        SELECT l_returnflag, round(e, 4) AS hll_est,
+               (SELECT count(DISTINCT l_partkey) FROM lineitem li
+                WHERE li.l_returnflag = est.l_returnflag) AS exact_nd
+        FROM est ORDER BY l_returnflag
+    """,
+)
+def q_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL (m=64) distinct l_partkey per l_returnflag, alongside the
+    exact count — the oracle replays the full register algebra, and
+    tests pin the relative error within the HLL accuracy bound."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    est = hll_estimate(li, "l_partkey", ["l_returnflag"], p=6)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_nd")
+    )
+    return est.join(exact, "l_returnflag").orderBy("l_returnflag")
