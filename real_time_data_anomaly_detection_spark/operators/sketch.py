@@ -58,6 +58,17 @@ def countmin_build(
     )
 
 
+def countmin_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS sketches built with the same (depth, width): counters
+    add. This is the property that makes the sketch a 100 TB citizen —
+    per-shard (or per-micro-batch) sketches combine into the corpus
+    sketch with a fixed-size shuffle."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
 def countmin_estimate(
     sketch: DataFrame, probes: DataFrame, item_col: str, depth: int = 4, width: int = 1024
 ) -> DataFrame:
@@ -135,36 +146,50 @@ def q_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HyperLogLog
 
 
-def hll_estimate(
+def hll_registers(
     df: DataFrame, key_col: str, group_cols: list[str], p: int = 6
 ) -> DataFrame:
-    """Per-group HyperLogLog distinct-count estimate with 2^p
-    registers (Flajolet et al. 2007): bucket = low p bits of the
-    32-bit md5 hash, rho = leading-zero rank of the remaining
-    (32-p)-bit field, registers = per-bucket max rho, raw estimate
-    alpha·m² / Σ 2^{-M_j} with the small-range linear-counting
-    correction. Empty registers participate as 2^0 via a dense
-    m-row scaffold per group (a broadcast range join — m rows, never
-    data-sized)."""
+    """Per-group HLL register vector as sparse (group, _b, _m) rows:
+    bucket = low p bits of the 32-bit md5 hash, _m = max leading-zero
+    rank of the remaining (32-p)-bit field."""
     m = 1 << p
     rest_bits = 32 - p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
     h = _md5_u32(F.col(key_col).cast("string"))
     rest = F.floor(h / F.lit(m))
     rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
         F.lit(rest_bits + 1) - F.length(F.bin(rest))
     )
-    regs = (
+    return (
         df.withColumn("_b", h % F.lit(m))
         .withColumn("_rho", rho)
         .groupBy(*group_cols, "_b")
         .agg(F.max("_rho").alias("_m"))
     )
-    # dense scaffold: every (group, bucket) slot, empty slots M=0
-    groups = df.select(*group_cols).distinct()
+
+
+def hll_merge(group_cols: list[str], *register_sets: DataFrame) -> DataFrame:
+    """Merge HLL register sets built with the same p: registers take
+    the max — per-shard sketches combine losslessly (the merged
+    estimate IS the union's estimate, pinned in tests)."""
+    out = register_sets[0]
+    for s in register_sets[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "_b").agg(F.max("_m").alias("_m"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, groups: DataFrame, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Bias-corrected estimate from sparse registers: raw
+    alpha·m² / Σ 2^{-M_j} with the small-range linear-counting branch.
+    ``groups`` supplies the group universe so empty registers
+    participate as 2^0 via a dense m-row scaffold (broadcast range
+    join — m rows, never data-sized)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
     slots = groups.crossJoin(
         F.broadcast(
-            df.sparkSession.range(m).select(F.col("id").cast("bigint").alias("_b"))
+            regs.sparkSession.range(m).select(F.col("id").cast("bigint").alias("_b"))
         )
     )
     dense = slots.join(regs, [*group_cols, "_b"], "left").select(
@@ -182,6 +207,21 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_v")),
     ).otherwise(raw)
     return agg.select(*group_cols, F.round(est, 4).alias("hll_est"))
+
+
+def hll_estimate(
+    df: DataFrame, key_col: str, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate with 2^p
+    registers (Flajolet et al. 2007) — registers + estimate in one
+    call; see hll_registers / hll_estimate_from_registers for the
+    mergeable two-step form."""
+    return hll_estimate_from_registers(
+        hll_registers(df, key_col, group_cols, p),
+        df.select(*group_cols).distinct(),
+        group_cols,
+        p,
+    )
 
 
 @query(

@@ -99,3 +99,73 @@ def test_hll_per_group_independent(spark):
     got = {r.g: r.hll_est for r in hll_estimate(df, "k", ["g"], p=6).collect()}
     assert got["0"] == pytest.approx(500, rel=0.4)
     assert got["1"] == pytest.approx(50, rel=0.4)
+
+
+def test_cms_merge_equals_whole(spark):
+    from real_time_data_anomaly_detection_spark.operators.sketch import countmin_merge
+
+    items = _zipf_items(spark)
+    half_a = items.filter(F.crc32(F.col("item")) % 2 == 0)
+    half_b = items.filter(F.crc32(F.col("item")) % 2 == 1)
+    merged = countmin_merge(
+        countmin_build(half_a, "item", depth=4, width=64),
+        countmin_build(half_b, "item", depth=4, width=64),
+    )
+    whole = countmin_build(items, "item", depth=4, width=64)
+    assert sorted(merged.collect()) == sorted(whole.collect())
+
+
+def test_hll_merge_equals_whole(spark):
+    from real_time_data_anomaly_detection_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(3000).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    # overlapping shards: mergeability must handle shared keys too
+    shard_a = df.filter(F.col("k") < 2000)
+    shard_b = df.filter(F.col("k") >= 1000)
+    merged_regs = hll_merge(
+        ["g"],
+        hll_registers(shard_a, "k", ["g"]),
+        hll_registers(shard_b, "k", ["g"]),
+    )
+    groups = df.select("g").distinct()
+    merged = hll_estimate_from_registers(merged_regs, groups, ["g"]).collect()[0].hll_est
+    whole = hll_estimate_from_registers(
+        hll_registers(df, "k", ["g"]), groups, ["g"]
+    ).collect()[0].hll_est
+    assert merged == whole
+
+
+def test_cms_streaming_equals_batch(spark, tmp_path):
+    """Streaming CMS: the aggregation state is the d*w counter table —
+    BOUNDED regardless of vocabulary size — and the final sketch must
+    equal the batch sketch over the same rows."""
+    import os
+
+    from real_time_data_anomaly_detection_spark.streaming.source import (
+        file_replay_source,
+    )
+
+    items = _zipf_items(spark)
+    path = str(tmp_path / "items")
+    os.makedirs(path)
+    pdf = items.toPandas()
+    for i in range(3):
+        pdf.iloc[i::3].to_parquet(os.path.join(path, f"part-{i}.parquet"), index=False)
+
+    stream = file_replay_source(spark, path, items.schema)
+    sk_stream = countmin_build(stream, "item", depth=4, width=64)
+    q = (
+        sk_stream.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(spark.table("cms_stream").collect())
+    want = sorted(countmin_build(items, "item", depth=4, width=64).collect())
+    assert got == want
