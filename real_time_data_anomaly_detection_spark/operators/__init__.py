@@ -31,6 +31,7 @@ from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F40
     graph,
     bloom,
     sketch,
+    bpe,
 )
 
 __all__ = ["REGISTRY", "Query", "query"]

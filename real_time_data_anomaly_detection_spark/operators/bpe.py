@@ -1,0 +1,132 @@
+"""Distributed BPE merge learning — tokenizer training as DataFrame
+iterations.
+
+Classic byte-pair-encoding training (Sennrich et al. 2016; the GPT-2
+tokenizer recipe) loops: count adjacent symbol pairs over the word
+frequency dictionary, take the most frequent pair, fuse it everywhere,
+repeat. The Spark formulation keeps the WORD DICTIONARY distributed —
+the corpus itself is touched exactly once (the word-count aggregation);
+every merge round then runs over the dict:
+
+- pair counts: one explode of adjacent pairs weighted by word count +
+  one partial-aggregated groupBy (a dict-sized shuffle, never
+  corpus-sized);
+- the argmax pair: a 1-row driver collect (deterministic tiebreak
+  count DESC, then pair ASC);
+- the fuse: a JVM-side ``aggregate`` left fold over each word's symbol
+  array — greedy leftmost-first, matching the reference semantics
+  ("aaa" + merge(a,a) -> ["aa","a"]) — with an eager
+  ``localCheckpoint`` per round so the plan does not accrete one fold
+  per merge (cf. dedup.py connected-components).
+
+No Python touches a row: the fold is a Catalyst higher-order function.
+The driver holds only the learned merge table (n_merges rows).
+
+Iterative + argmax per round => not SQL-expressible; declared
+rows-only (like q_kmeans) with exact-parity tests against a pure
+Python reference implementation (tests/test_bpe.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.io import load_table
+from real_time_data_anomaly_detection_spark.operators.registry import query
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text", out_word: str = "word"
+) -> DataFrame:
+    """(word, cnt) dictionary from whitespace-tokenized documents —
+    the one corpus-sized pass of BPE training."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias(out_word))
+        .filter(F.length(out_word) > 0)
+        .groupBy(out_word)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _fuse(syms: Column, left: str, right: str) -> Column:
+    """Greedy leftmost non-overlapping fuse of the (left, right) pair
+    in a symbol array, as a JVM left fold."""
+    fused = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(fused)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    words: DataFrame,
+    n_merges: int,
+    word_col: str = "word",
+    count_col: str = "cnt",
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges from a (word, count) dictionary;
+    returns [(rank, left, right, pair_count)], deterministic under any
+    partitioning (ties broken count DESC then (left, right) ASC)."""
+    sym = words.select(
+        F.split(F.col(word_col), "").alias("syms"),
+        F.col(count_col).alias("cnt"),
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        # filter BEFORE sequence(1, size-1): Spark's sequence(1, 0)
+        # yields the DESCENDING [1, 0], not an empty array
+        top = (
+            sym.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, n = top[0].l, top[0].r, int(top[0].n)
+        merges.append((rank, left, right, n))
+        sym = sym.withColumn("syms", _fuse(F.col("syms"), left, right)).localCheckpoint()
+    return merges
+
+
+def bpe_apply(
+    df: DataFrame, merges: list[tuple[int, str, str, int]], word_col: str = "word"
+) -> DataFrame:
+    """Tokenize a word column with a learned merge table: the same
+    greedy folds applied in rank order, one chained JVM expression —
+    usable corpus-wide (one pass, no shuffle)."""
+    syms = F.split(F.col(word_col), "")
+    for _, left, right, _ in merges:
+        syms = _fuse(syms, left, right)
+    return df.withColumn("tokens", syms)
+
+
+@query("q_bpe_merges")  # iterative argmax per round -> rows-only
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 BPE merges learned from the documents word dictionary:
+    (rank, left, right, pair_count). Exact-parity with the pure-Python
+    reference implementation, greedy-overlap semantics, and partition
+    invariance are pinned in tests/test_bpe.py."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(word_counts(d), n_merges=10)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    ).orderBy("rank")

@@ -1,0 +1,79 @@
+"""BPE merge learning: exact parity with a pure-Python reference,
+greedy-overlap semantics, determinism, and corpus-apply round trip."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.operators.bpe import (
+    bpe_apply,
+    bpe_train,
+    word_counts,
+)
+
+
+def bpe_reference(word_cnts: dict[str, int], n_merges: int):
+    """Textbook BPE trainer (Sennrich et al. 2016 pseudocode), greedy
+    leftmost fuse, ties broken count DESC then pair ASC."""
+    syms = {w: list(w) for w in word_cnts}
+    merges = []
+    for rank in range(n_merges):
+        pc: Counter = Counter()
+        for w, c in word_cnts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (left, right), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, left, right, n))
+        for w in syms:
+            s, out = syms[w], []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges, syms
+
+
+def test_matches_python_reference_on_documents(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wc = {r.word: r.cnt for r in word_counts(d).collect()}
+    got = bpe_train(word_counts(d), n_merges=8)
+    want, _ = bpe_reference(wc, 8)
+    assert got == want
+
+
+def test_greedy_overlap_semantics(spark):
+    # "aaaa"x3: round 1 pair (a,a) count 9 -> fused to ["aa","aa"];
+    # round 2 must see (aa,aa) count 3, not an overlapping recount.
+    words = spark.createDataFrame([("aaaa", 3)], "word string, cnt long")
+    got = bpe_train(words, n_merges=2)
+    assert got == [(0, "a", "a", 9), (1, "aa", "aa", 3)]
+
+
+def test_partition_invariance(spark):
+    rows = [(w, c) for c, w in enumerate(
+        ["spark", "sparse", "sparrow", "part", "park", "parka", "artful"], start=1
+    )]
+    a = bpe_train(spark.createDataFrame(rows, "word string, cnt long").repartition(1), 6)
+    b = bpe_train(spark.createDataFrame(rows, "word string, cnt long").repartition(7), 6)
+    assert a == b and len(a) == 6
+
+
+def test_apply_round_trip(spark):
+    # applying the learned merges reproduces the trainer's final
+    # symbolization (reference-checked), and concatenating tokens
+    # recovers the word
+    rows = [("banana", 4), ("bandana", 2), ("ananas", 1)]
+    words = spark.createDataFrame(rows, "word string, cnt long")
+    merges = bpe_train(words, 4)
+    wc = dict(rows)
+    _, want_syms = bpe_reference(wc, 4)
+    got = {r.word: r.tokens for r in bpe_apply(words, merges).collect()}
+    assert got == want_syms
+    assert all("".join(toks) == w for w, toks in got.items())
