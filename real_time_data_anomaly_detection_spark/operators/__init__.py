@@ -32,6 +32,7 @@ from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F40
     bloom,
     sketch,
     bpe,
+    behavior,
 )
 
 __all__ = ["REGISTRY", "Query", "query"]
