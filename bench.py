@@ -126,6 +126,9 @@ def main() -> None:
         "q_pagerank",
         "q_bloom_semi_join",
         "q_weighted_topk_sample",
+        "q_countmin_freq",
+        "q_hll_md5",
+        "q_bpe_merges",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s

@@ -5,7 +5,7 @@ no disk), then times the core shuffle-bearing operator shapes. Not part
 of the per-round bench; run manually:
 
     python tools/stress.py [rows]            # operator-shape ceilings
-    python tools/stress.py scaling [base] [factor]
+    python tools/stress.py scaling [base] [factor] [op,op,...]
                                              # 1x vs factor-x slope for
                                              # the LLM-pipeline ops
                                              # (SCALING.md §7.1)
@@ -55,6 +55,18 @@ def _synthetic_embeddings(spark, n: int, d: int = 32, num_partitions: int = 64):
     )
 
 
+def _synthetic_edges(spark, n_edges: int, num_partitions: int = 64):
+    """Directed graph with ~n/10 nodes, avg out-degree 10, hashed
+    endpoints (skewless) — the PageRank scaling input."""
+    from pyspark.sql import functions as F
+
+    n_nodes = max(10, n_edges // 10)
+    return spark.range(n_edges, numPartitions=num_partitions).select(
+        (F.col("id") % n_nodes).alias("src"),
+        F.pmod(F.xxhash64("id"), F.lit(n_nodes)).alias("dst"),
+    )
+
+
 def _shuffle_totals(spark) -> tuple[int, int]:
     """(write_bytes, read_bytes) summed over completed stages, via the
     UI REST API (the scaling session runs with the UI on)."""
@@ -86,6 +98,8 @@ def scaling_main() -> None:
     construction."""
     import math
 
+    from pyspark.sql import functions as F
+
     from real_time_data_anomaly_detection_spark.operators.clustering import (
         kmeans_fit,
         semantic_dup_pairs,
@@ -104,6 +118,16 @@ def scaling_main() -> None:
     from real_time_data_anomaly_detection_spark.operators.quantization import (
         pq_encode,
         pq_train,
+    )
+    from real_time_data_anomaly_detection_spark.operators.bpe import (
+        bpe_train,
+        word_counts,
+    )
+    from real_time_data_anomaly_detection_spark.operators.graph import pagerank
+    from real_time_data_anomaly_detection_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+        hll_estimate,
     )
     from real_time_data_anomaly_detection_spark.session import get_spark
 
@@ -141,6 +165,16 @@ def scaling_main() -> None:
         books = pq_train(d, m=8, k=16, sample=1_024)
         return pq_encode(d, books)
 
+    def _cms_op(d):
+        toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+        sk = countmin_build(toks, "token", depth=4, width=1024)
+        probes = toks.distinct().limit(100)
+        return countmin_estimate(sk, probes, "token", depth=4, width=1024)
+
+    def _bpe_op(d):
+        bpe_train(word_counts(d), n_merges=5)
+        return None  # eager — merge table lives on the driver
+
     # op name -> (input kind, transform); 'docs' ops take the token
     # corpus, 'emb' ops the synthetic embedding corpus.
     ops = {
@@ -160,7 +194,30 @@ def scaling_main() -> None:
         "kmeans_fit": ("emb", _kmeans_op),
         "semantic_dup_pairs": ("emb", _sem_op),
         "pq_encode": ("emb", _pq_op),
+        # round-5 additions: per-iteration rank-vector shuffles over a
+        # persisted edge list; dict-sized sketch shuffles; dict-round
+        # BPE (the corpus pass is the word count — vocab is bounded,
+        # so rounds are fixed-cost and the exponent reads the pass).
+        "pagerank": ("edges", lambda e: pagerank(e, n_iters=5)),
+        "countmin_freq": (
+            "docs",
+            lambda d: _cms_op(d),
+        ),
+        "hll_distinct": (
+            "docs",
+            lambda d: hll_estimate(
+                d.select(F.explode(F.split("text", " ")).alias("token"))
+                .withColumn("g", F.lit("g")),
+                "token",
+                ["g"],
+            ),
+        ),
+        "bpe_train": ("docs", lambda d: _bpe_op(d)),
     }
+    # optional 4th arg: comma-separated op subset
+    if len(sys.argv) > 4:
+        keep = set(sys.argv[4].split(","))
+        ops = {k: v for k, v in ops.items() if k in keep}
 
     def run(df) -> None:
         if df is not None:
@@ -168,7 +225,11 @@ def scaling_main() -> None:
 
     # JIT/codegen warm per op on a small corpus (the 32-signature
     # projection compiles a large method; see the stress stage note).
-    warm = {"docs": _synthetic_docs(spark, 20_000), "emb": _synthetic_embeddings(spark, 20_000)}
+    warm = {
+        "docs": _synthetic_docs(spark, 20_000),
+        "emb": _synthetic_embeddings(spark, 20_000),
+        "edges": _synthetic_edges(spark, 20_000),
+    }
     for kind, fn in ops.values():
         run(fn(warm[kind]))
 
@@ -182,6 +243,7 @@ def scaling_main() -> None:
     tiers = {
         "docs": {s: _synthetic_docs(spark, s) for s in sizes},
         "emb": {s: _synthetic_embeddings(spark, s) for s in sizes},
+        "edges": {s: _synthetic_edges(spark, s) for s in sizes},
     }
     walls: dict[tuple[str, int], list[float]] = {
         (n, s): [] for n in ops for s in sizes
