@@ -160,9 +160,21 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type OLS trend of value over time (slope per day,
     intercept, R²) via the algebraic regr_* aggregates — constant
-    state per group, one partial-aggregated scan."""
+    state per group, one partial-aggregated scan.
+
+    x is whole epoch seconds built TZ-FREE from date/time fields
+    (events.ts is TIMESTAMP_NTZ; unix_timestamp() on NTZ re-interprets
+    in the SESSION time zone, which would shift the intercept under a
+    non-UTC driver — the same hazard io.load_table documents)."""
     ev = load_table(spark, sf_dir, "events")
-    x = (F.unix_timestamp("ts") / F.lit(86400.0)).alias("x")
+    epoch_s = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("bigint")
+        * 86400
+        + F.hour("ts") * 3600
+        + F.minute("ts") * 60
+        + F.second("ts")
+    )
+    x = (epoch_s / F.lit(86400.0)).alias("x")
     d = ev.select("event_type", F.col("value").alias("y"), x)
     return (
         d.groupBy("event_type")

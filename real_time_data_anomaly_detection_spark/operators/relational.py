@@ -1064,3 +1064,40 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return ev.select("event_id", _r(clamp01("value")).alias("clamped01"))
+
+
+@query(
+    "q_skew_salted_join",
+    oracle="""
+        SELECT l_returnflag, flag_label, count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        JOIN (VALUES ('A', 'accepted'), ('N', 'new'), ('R', 'returned'))
+             AS d(l_returnflag, flag_label) USING (l_returnflag)
+        GROUP BY l_returnflag, flag_label
+        ORDER BY l_returnflag
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pathologically skewed join (3 keys, each ~1/3 of lineitem)
+    through functions.skew.salted_join: every key is detected hot,
+    salted across 16 buckets, and the dim replicated per salt — yet
+    row-level results are EXACTLY the plain join's, which is what the
+    oracle pins. The salt is rand()-assigned, so hash-equality here
+    also proves result invariance to salt placement."""
+    from real_time_data_anomaly_detection_spark.functions.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "new"), ("R", "returned")],
+        "l_returnflag string, flag_label string",
+    )
+    return (
+        salted_join(li, dim, "l_returnflag")
+        .groupBy("l_returnflag", "flag_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

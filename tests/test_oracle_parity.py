@@ -15,7 +15,18 @@ from tools.verify_oracle import rows_multiset
 ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
 
 
-@pytest.mark.parametrize("name", ["q_date_funcs", "q_window_tumbling_batch", "q_agg_global", "q_asof_join"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_date_funcs",
+        "q_window_tumbling_batch",
+        "q_agg_global",
+        "q_asof_join",
+        # intercept extrapolates to x=0, so a session-tz-dependent x
+        # would shift it — x is built tz-free from date/time fields
+        "q_regression",
+    ],
+)
 def test_time_queries_session_tz_independent(name, spark, duck):
     """The driver controls its own session tz; time-derived outputs must
     not shift under a non-UTC session (events.ts is TIMESTAMP_NTZ via

@@ -168,6 +168,7 @@ def test_no_accidental_cartesians_registry_wide(spark):
         "q_dsir_weights",  # two one-row broadcast scalars (totals, vocab)
         "q_bm25",  # one-row broadcast corpus stats (N, avgdl, df per term)
         "q_lm_perplexity",  # one-row broadcast vocab size V
+        "q_hll_md5",  # 64-row broadcast register scaffold (dense slots)
     }
     # construction executes jobs (index builds / iterative components);
     # their inner joins are covered by their own tests
@@ -180,6 +181,9 @@ def test_no_accidental_cartesians_registry_wide(spark):
         "q_ivfpq_topk",
         "q_components_md5",
         "q_pca_project",  # pca_fit collects d² partials at build
+        "q_pagerank",  # iterative rank propagation (jobs at build)
+        "q_bpe_merges",  # iterative argmax training (jobs at build)
+        "q_quality_classifier",  # GD training loop (jobs at build)
     }
     offenders = {}
     for name, q in sorted(REGISTRY.items()):
