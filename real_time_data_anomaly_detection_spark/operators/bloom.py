@@ -53,6 +53,8 @@ def bloom_build(
 ) -> list[int]:
     """Distributed bloom build: returns the bitmap as m/64 int64
     words. Only distinct bit positions reach the driver."""
+    if num_bits <= 0 or num_bits % 64:
+        raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
     pos = (
         df.select(
             F.explode(F.array(*_bit_positions(F.col(key_col), num_bits, k))).alias("p")

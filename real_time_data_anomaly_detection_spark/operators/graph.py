@@ -67,6 +67,8 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty edge list")
     if stats is not None:
         stats["n_nodes"] = n
     base = (1.0 - damping) / n

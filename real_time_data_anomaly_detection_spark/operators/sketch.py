@@ -152,6 +152,8 @@ def hll_registers(
     """Per-group HLL register vector as sparse (group, _b, _m) rows:
     bucket = low p bits of the 32-bit md5 hash, _m = max leading-zero
     rank of the remaining (32-p)-bit field."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll precision p must be in [4, 16], got {p}")
     m = 1 << p
     rest_bits = 32 - p
     h = _md5_u32(F.col(key_col).cast("string"))

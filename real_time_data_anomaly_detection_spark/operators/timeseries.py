@@ -290,3 +290,56 @@ def q_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_flag")
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1),
+        dev AS (
+            SELECT e.event_type, abs(e.value - med.med) AS ad, med.med AS med
+            FROM events e JOIN med USING (event_type)),
+        mad AS (
+            SELECT event_type, quantile_cont(ad, 0.5) AS mad
+            FROM dev GROUP BY 1)
+        SELECT d.event_type,
+               round(any_value(d.med), 4) AS med,
+               round(any_value(m.mad), 4) AS mad,
+               sum(CASE WHEN d.ad > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                   AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event_type via median absolute
+    deviation (|x - med| > 3·1.4826·MAD — the robust z-score): unlike
+    the mean/stddev z-score (q_anomaly_zscore), the detection
+    threshold itself is immune to the outliers it hunts. Two grouped
+    exact-percentile passes with the per-group scalars BROADCAST back
+    over the events — no event-sized shuffle beyond the group
+    aggregations."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("ad") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

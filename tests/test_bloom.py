@@ -74,3 +74,11 @@ def test_string_keys(spark):
     small = spark.createDataFrame([("doc7",), ("doc42",), ("nope",)], "k string")
     got = sorted(r.k for r in bloom_semi_join(big, small, "k").collect())
     assert got == ["doc42", "doc7"]
+
+
+def test_bad_num_bits_rejected(spark):
+    import pytest
+
+    small = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(small, "k", num_bits=100)

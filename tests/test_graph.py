@@ -75,3 +75,9 @@ def test_matches_numpy_power_iteration(spark):
         pr = nxt
     for i in range(n):
         assert r[i] == pytest.approx(pr[i], rel=1e-12)
+
+
+def test_empty_edges_raises(spark):
+    edges = spark.createDataFrame([], "src int, dst int")
+    with pytest.raises(ValueError, match="empty edge list"):
+        pagerank(edges)

@@ -169,3 +169,9 @@ def test_cms_streaming_equals_batch(spark, tmp_path):
     got = sorted(spark.table("cms_stream").collect())
     want = sorted(countmin_build(items, "item", depth=4, width=64).collect())
     assert got == want
+
+
+def test_hll_bad_precision_rejected(spark):
+    df = spark.range(5).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="precision p"):
+        hll_estimate(df, "k", ["g"], p=2)

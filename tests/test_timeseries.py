@@ -69,3 +69,29 @@ def test_resample_rejects_multi_unit_calendar_interval(spark):
     )
     with pytest.raises(ValueError, match="variable-width"):
         resample_ffill(df, "k", "ts", "value", "3 months")
+
+
+def test_anomaly_mad_threshold_robust_to_outliers(spark):
+    """The MAD threshold must not move when extreme outliers are
+    injected (the property that distinguishes it from the stddev
+    z-score)."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_anomaly_detection_spark.operators.registry import REGISTRY  # noqa: F401
+    import real_time_data_anomaly_detection_spark.operators.timeseries as ts
+
+    base = [("a", float(v)) for v in range(1, 100)]  # median 50, MAD 25
+    spiked = base + [("a", 1e9), ("a", -1e9)]
+    d1 = spark.createDataFrame(base, "event_type string, value double")
+    d2 = spark.createDataFrame(spiked, "event_type string, value double")
+
+    def run(d):
+        med = d.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+        dev = d.join(F.broadcast(med), "event_type").select(
+            "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+        )
+        mad = dev.groupBy("event_type").agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+        return mad.collect()[0].mad
+
+    assert run(d1) == 25.0
+    assert run(d2) == 25.0  # two spikes in 101 rows cannot move the MAD
