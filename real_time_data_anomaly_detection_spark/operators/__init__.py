@@ -33,6 +33,7 @@ from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F40
     sketch,
     bpe,
     behavior,
+    sharding,
 )
 
 __all__ = ["REGISTRY", "Query", "query"]

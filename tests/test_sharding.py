@@ -1,0 +1,82 @@
+"""Deterministic sharding: assignment stability, balance, write
+round-trip with manifest verification, and within-shard order."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_anomaly_detection_spark.operators.sharding import (
+    shard_assign,
+    shard_manifest,
+    write_shards,
+)
+
+
+def _docs(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("text"), F.col("id")).alias("text")
+    )
+
+
+def test_assignment_partitioning_invariant(spark):
+    d = _docs(spark)
+    a = {r.doc_id: r.shard for r in shard_assign(d.repartition(1), "doc_id", 16).collect()}
+    b = {r.doc_id: r.shard for r in shard_assign(d.repartition(13), "doc_id", 16).collect()}
+    assert a == b
+
+
+def test_shards_balanced(spark):
+    counts = [
+        r.n_docs for r in shard_manifest(_docs(spark, 4000), "doc_id", 16).collect()
+    ]
+    assert len(counts) == 16
+    # hashed assignment: every shard within 40% of the mean at n=4000
+    assert min(counts) > 250 * 0.6 and max(counts) < 250 * 1.4
+
+
+def test_write_round_trip_manifest_verifies(spark, tmp_path):
+    d = _docs(spark, 500)
+    path = str(tmp_path / "shards")
+    manifest = {
+        (r.shard, r.n_docs, r.checksum)
+        for r in write_shards(d, path, "doc_id", 8).collect()
+    }
+    back = spark.read.parquet(path)
+    # recompute the manifest from what was actually written
+    recomputed = {
+        (r.shard, r.n_docs, r.checksum)
+        for r in shard_manifest(
+            back.select("doc_id", "text"), "doc_id", 8
+        ).collect()
+    }
+    assert recomputed == manifest
+    assert back.count() == 500
+    # shard column on disk equals the recomputed assignment
+    mismatch = (
+        back.withColumnRenamed("shard", "disk_shard")
+        .transform(lambda df: shard_assign(df, "doc_id", 8))
+        .filter(F.col("disk_shard") != F.col("shard"))
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_within_shard_order_deterministic(spark, tmp_path):
+    d = _docs(spark, 300)
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_shards(d.repartition(1), p1, "doc_id", 4)
+    write_shards(d.repartition(7), p2, "doc_id", 4)
+    for shard in range(4):
+        r1 = [r.doc_id for r in spark.read.parquet(f"{p1}/shard={shard}").collect()]
+        r2 = [r.doc_id for r in spark.read.parquet(f"{p2}/shard={shard}").collect()]
+        assert r1 == r2 and len(r1) > 0
+
+
+def test_md5_and_xxhash_paths_agree_on_structure(spark):
+    # different hashers -> different assignments, but both cover all
+    # shards and preserve the corpus (sum of counts).
+    d = _docs(spark, 800)
+    for hasher in ("xxhash64", "md5"):
+        m = shard_manifest(d, "doc_id", 8, hasher=hasher).collect()
+        assert len(m) == 8
+        assert sum(r.n_docs for r in m) == 800
