@@ -129,6 +129,7 @@ def main() -> None:
         "q_countmin_freq",
         "q_hll_md5",
         "q_bpe_merges",
+        "q_curation_pipeline",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s

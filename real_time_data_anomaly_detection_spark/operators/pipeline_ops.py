@@ -621,3 +621,81 @@ def q_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+@query(
+    "q_curation_pipeline",
+    oracle="""
+        WITH stats AS (
+            SELECT doc_id, text,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' ')))::DOUBLE
+                       / len(string_split(text, ' ')) AS ttr
+            FROM documents),
+        quality AS (
+            SELECT doc_id, text FROM stats
+            WHERE n_tokens >= 10 AND ttr >= 0.3),
+        dedup AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper
+                FROM quality)
+            WHERE doc_id = keeper),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+               FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+        flagged AS (
+            SELECT DISTINCT train_id AS doc_id FROM (
+                SELECT tr.doc_id AS train_id, be.doc_id AS bench_id
+                FROM sh tr JOIN sh be ON tr.shingle = be.shingle
+                WHERE tr.doc_id >= 50 AND be.doc_id < 50
+                GROUP BY 1, 2 HAVING count(*) >= 2)),
+        decon AS (
+            SELECT doc_id FROM dedup
+            WHERE doc_id >= 50
+              AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+        sampled AS (
+            SELECT doc_id FROM decon
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'),
+        dig AS (
+            SELECT ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       AS dg
+            FROM sampled)
+        SELECT dg % 4 AS shard, count(*) AS n_docs, sum(dg) AS checksum
+        FROM dig GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as ONE declared query: quality
+    gate (length + type-token ratio) → exact dedup (min-id survivor
+    per sha2 digest) → benchmark decontamination (docs < 50 as the
+    eval set, ≥2 shared 3-grams removes) → deterministic ~50% hash
+    sample → 4-shard manifest with content checksums. Every stage
+    composes lazily — Catalyst sees one plan, so the quality filter
+    prunes before the dedup shuffle and the decontamination join
+    broadcasts the benchmark side; nothing materializes between
+    'steps'. The oracle replays the identical chain as CTEs."""
+    from pyspark.sql import Window as W
+
+    from real_time_data_anomaly_detection_spark.operators.sharding import (
+        shard_manifest,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    quality = d.select("doc_id", "text").filter(
+        (F.size(toks) >= 10) & (ttr >= 0.3)
+    )
+    survivors = (
+        quality.withColumn("_fp", F.sha2("text", 256))
+        .withColumn("_keeper", F.min("doc_id").over(W.partitionBy("_fp")))
+        .filter(F.col("doc_id") == F.col("_keeper"))
+        .select("doc_id", "text")
+    )
+    clean = decontaminate(
+        survivors.filter(F.col("doc_id") >= 50),
+        d.filter(F.col("doc_id") < 50),
+    )
+    sampled = hash_sample(clean, F.lit("80"))
+    return shard_manifest(sampled, "doc_id", 4, hasher="md5")
