@@ -817,3 +817,82 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("N").alias("o_orderstatus"),
     )
     return merge_upsert(o, upd.unionByName(ins), "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Dataset snapshot diff
+
+
+def table_diff(
+    old: DataFrame, new: DataFrame, id_col: str, compare_cols: list[str]
+) -> DataFrame:
+    """Per-row status between two dataset versions: 'added' /
+    'removed' / 'modified' / 'unchanged', decided by comparing sha2
+    digests of the compared columns through a full outer join on the
+    id. The shuffle carries (id, 32-byte digest) — never the rows —
+    so diffing two 100 TB snapshots costs two digest scans + one
+    id-keyed join (the same digest-shuffle discipline as exact
+    dedup)."""
+    def dig(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.sha2(F.concat_ws("\x1f", *compare_cols), 256).alias(name),
+        )
+
+    o, n = dig(old, "_old"), dig(new, "_new")
+    status = (
+        F.when(F.col("_old").isNull(), F.lit("added"))
+        .when(F.col("_new").isNull(), F.lit("removed"))
+        .when(F.col("_old") != F.col("_new"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, id_col, "full_outer").select(id_col, status.alias("status"))
+
+
+@query(
+    "q_table_diff",
+    oracle="""
+        WITH v1 AS (SELECT doc_id, text FROM documents),
+        v2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+            FROM documents WHERE doc_id % 97 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5),
+        j AS (
+            SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                   CASE WHEN v1.doc_id IS NULL THEN 'added'
+                        WHEN v2.doc_id IS NULL THEN 'removed'
+                        WHEN v1.text <> v2.text THEN 'modified'
+                        ELSE 'unchanged' END AS status
+            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff report between the documents corpus and a
+    deterministically perturbed v2 (every 97th doc dropped, every 11th
+    text edited, 5 docs appended): per-status counts via the
+    digest-shuffle table_diff. The oracle compares raw text where the
+    engine compares sha2 digests — equivalent up to collisions."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 11 == 0, F.upper("text")).otherwise(
+                F.col("text")
+            ),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return (
+        table_diff(d, v2, "doc_id", ["text"])
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )

@@ -160,3 +160,55 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node", F.round(F.col("pr") * F.lit(scale), 4).alias("pr_scaled")
     ).orderBy("node")
+
+
+@query(
+    "q_triangles",
+    oracle="""
+        WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        edges AS (
+            SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+            FROM os x JOIN os y
+              ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey)
+        SELECT (SELECT count(*) FROM edges) AS n_edges,
+               (SELECT count(*)
+                FROM edges e1
+                JOIN edges e2 ON e2.a = e1.b
+                JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-supply graph (suppliers sharing an
+    order, a < b edges): the standard clustering-coefficient primitive
+    via the ordered two-path join e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) —
+    ordering (a<b<c) counts each triangle exactly once and caps the
+    join fan-out to the wedge count. Scale note: on skewed graphs
+    wedges concentrate on hubs; the a<b orientation (degree-ordering's
+    cheap cousin) keeps per-key fan-out bounded by the smaller
+    endpoint's degree."""
+    os_ = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    x, y = os_.alias("x"), os_.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
+        .distinct()
+        .persist()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .count()
+    )
+    n_edges = edges.count()
+    return spark.createDataFrame(
+        [(n_edges, tri)], "n_edges long, n_triangles long"
+    )

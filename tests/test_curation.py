@@ -376,3 +376,16 @@ def test_merge_upsert_target_not_reshuffled(spark):
     )
     plan = merge_upsert(target, updates, "k")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_table_diff_statuses(spark):
+    from real_time_data_anomaly_detection_spark.operators.curation import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in table_diff(old, new, "doc_id", ["text"]).collect()}
+    assert got == {1: "unchanged", 2: "modified", 3: "removed", 4: "added"}

@@ -81,3 +81,22 @@ def test_empty_edges_raises(spark):
     edges = spark.createDataFrame([], "src int, dst int")
     with pytest.raises(ValueError, match="empty edge list"):
         pagerank(edges)
+
+
+def test_triangle_count_known_graphs(spark):
+    from real_time_data_anomaly_detection_spark.operators.graph import q_triangles  # noqa: F401
+    from pyspark.sql import functions as F
+
+    # reuse the same join shape on a constructed edge set: K4 has 4
+    # triangles; adding a pendant edge adds none.
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b] + [(3, 9)],
+        "a int, b int",
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .count()
+    )
+    assert tri == 4

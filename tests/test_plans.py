@@ -184,6 +184,7 @@ def test_no_accidental_cartesians_registry_wide(spark):
         "q_pagerank",  # iterative rank propagation (jobs at build)
         "q_bpe_merges",  # iterative argmax training (jobs at build)
         "q_quality_classifier",  # GD training loop (jobs at build)
+        "q_triangles",  # counts executed at build (persisted edge set)
     }
     offenders = {}
     for name, q in sorted(REGISTRY.items()):
