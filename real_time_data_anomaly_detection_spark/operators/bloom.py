@@ -68,14 +68,9 @@ def bloom_build(
     return [int(w) for w in words.view(np.int64)]
 
 
-def bloom_might_contain(
-    key: Column, words: list[int], num_bits: int, k: int
-) -> Column:
-    """Membership predicate against a built bitmap — pure codegen'd
-    expressions (element_at + getbit on an array<long> literal)."""
-    # Explicit cast: F.lit infers array<int> when every word happens
-    # to fit in 32 bits, and getbit then rejects positions >= 32.
-    bmp = F.lit(words).cast("array<bigint>")
+def _bitmap_tests(key: Column, bmp: Column, num_bits: int, k: int) -> Column:
+    """Membership predicate for a bitmap column — pure codegen'd
+    expressions (element_at + getbit per hash)."""
     tests = [
         F.getbit(
             F.element_at(bmp, (pos / F.lit(64)).cast("int") + F.lit(1)),
@@ -85,6 +80,20 @@ def bloom_might_contain(
         for pos in _bit_positions(key, num_bits, k)
     ]
     return functools.reduce(operator.and_, tests)
+
+
+def bloom_might_contain(
+    key: Column, words: list[int], num_bits: int, k: int
+) -> Column:
+    """Membership predicate against a built bitmap, inlined as an
+    array literal. NOTE: a LITERAL bitmap costs O(m/64) Python-side
+    per expression build (py4j marshals each word; ~1.6 s at the
+    2^17-bit default) — fine for small filters and tests, but
+    ``bloom_semi_join`` ships the bitmap as a one-row broadcast
+    DataFrame instead, which is O(1) plan-side at any m."""
+    # Explicit cast: F.lit infers array<int> when every word happens
+    # to fit in 32 bits, and getbit then rejects positions >= 32.
+    return _bitmap_tests(key, F.lit(words).cast("array<bigint>"), num_bits, k)
 
 
 def bloom_semi_join(
@@ -99,10 +108,20 @@ def bloom_semi_join(
     join. False positives are removed by the exact join; false
     negatives cannot occur (every true key set all its bits), so the
     result is identical to ``big.join(small, key, "left_semi")`` —
-    pinned by the declared oracle and tests/test_bloom.py."""
+    pinned by the declared oracle and tests/test_bloom.py.
+
+    The bitmap rides as a ONE-ROW broadcast relation (a single
+    Arrow-serialized array cell), not a plan literal: a 2^17-bit
+    literal costs ~2.7 s of py4j marshalling + analysis per query
+    build, the broadcast row ~10 ms — and the plan stays O(1) in m."""
     keys = small.select(key_col).distinct()
     words = bloom_build(keys, key_col, num_bits, k)
-    pruned = big.filter(bloom_might_contain(F.col(key_col), words, num_bits, k))
+    bmp_df = big.sparkSession.createDataFrame([(words,)], "_bmp array<bigint>")
+    pruned = (
+        big.crossJoin(F.broadcast(bmp_df))
+        .filter(_bitmap_tests(F.col(key_col), F.col("_bmp"), num_bits, k))
+        .drop("_bmp")
+    )
     return pruned.join(keys, key_col, "left_semi")
 
 

@@ -169,6 +169,7 @@ def test_no_accidental_cartesians_registry_wide(spark):
         "q_bm25",  # one-row broadcast corpus stats (N, avgdl, df per term)
         "q_lm_perplexity",  # one-row broadcast vocab size V
         "q_hll_md5",  # 64-row broadcast register scaffold (dense slots)
+        "q_bloom_semi_join",  # one-row broadcast bloom bitmap
     }
     # construction executes jobs (index builds / iterative components);
     # their inner joins are covered by their own tests
