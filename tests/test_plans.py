@@ -240,3 +240,25 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     is the failure mode this operator exists to avoid."""
     plan = formatted_plan(REGISTRY["q_decontaminate"].spark_fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_weighted_sample_plans_window_group_limit(spark):
+    """The A-ES sampler's docstring claims per-partition top-m heaps
+    before the exchange — pin WindowGroupLimit in the plan."""
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(
+        REGISTRY["q_weighted_topk_sample"].spark_fn(spark, SF_DIR)
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_funnel_stage_filters_pushed(spark):
+    """Each funnel stage filters event_type at the scan — the filter
+    must reach PushedFilters, not evaluate post-scan only."""
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_funnel"].spark_fn(spark, SF_DIR))
+    assert "PushedFilters" in plan and "event_type" in plan
