@@ -251,6 +251,105 @@ def _decode_png_builtin(payload: bytes) -> np.ndarray | None:
     return _gray_histogram(gray)
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int] | None:
+    """GIF-variant LZW decode (LSB-first packed codes, clear/EOI
+    codes, width growth at table-full, 12-bit cap)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits:
+        code = 0
+        for i in range(code_size):
+            b = data[(bitpos + i) >> 3]
+            code |= ((b >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += code_size
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table) or not table[code]:
+                return None
+            entry = table[code]
+        else:
+            if code < len(table) and table[code]:
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + [prev[0]]  # the KwKwK case
+            else:
+                return None
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def _decode_gif_builtin(payload: bytes) -> np.ndarray | None:
+    """Codec-free GIF decode (87a/89a, non-interlaced, first frame):
+    header + color-table parse in numpy/stdlib, pure-Python GIF-LZW.
+    Interlaced images fall through (None) to the codec path / stub.
+    Same _gray_histogram feature contract as the other decoders."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos).reshape(
+            -1, 3
+        )
+        pos += n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            width = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            height = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:  # local color table
+                n = 3 * (2 << (ipacked & 0x07))
+                ct = np.frombuffer(
+                    payload, dtype=np.uint8, count=n, offset=pos
+                ).reshape(-1, 3)
+                pos += n
+            if ipacked & 0x40 or ct is None:  # interlaced / no palette
+                return None
+            min_code_size = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw_decode(min_code_size, b"".join(chunks))
+            if idx is None or len(idx) < width * height:
+                return None
+            px = ct[np.asarray(idx[: width * height]) % len(ct)]
+            return _gray_histogram(_rgb_to_gray(px.astype(np.float64)))
+        elif block == 0x3B:
+            break
+        else:
+            return None
+    return None
+
+
 def _decode_bmp_builtin(payload: bytes) -> np.ndarray | None:
     """Codec-free uncompressed 24bpp BMP decode with numpy alone."""
     if payload[:2] != b"BM":
@@ -274,9 +373,10 @@ def _decode_bmp_builtin(payload: bytes) -> np.ndarray | None:
 
 def _decode_payload(media_type: str, payload: bytes) -> np.ndarray:
     """Decode kernel: builtin parsers for codec-free formats (8-bit
-    PNG via stdlib zlib, WAV PCM, PPM, 24bpp BMP — numpy + stdlib,
-    REAL in this env), optional codec libraries (Pillow/soundfile) for
-    other formats when importable, deterministic sha256 stub otherwise.
+    PNG via stdlib zlib, GIF via pure-Python GIF-LZW, WAV PCM, PPM,
+    24bpp BMP — numpy + stdlib, REAL in this env), optional codec
+    libraries (Pillow/soundfile) for other formats when importable,
+    deterministic sha256 stub otherwise.
 
     The stub only remains for JPEG/MP3-style lossy codecs without
     libraries and for video (which would need libav/ffmpeg); tests
@@ -294,6 +394,7 @@ def _decode_payload(media_type: str, payload: bytes) -> np.ndarray:
                 real = _decode_png_builtin(payload)
                 real = _decode_ppm_builtin(payload) if real is None else real
                 real = _decode_bmp_builtin(payload) if real is None else real
+                real = _decode_gif_builtin(payload) if real is None else real
                 real = _decode_image_real(payload) if real is None else real
             elif media_type == "audio":
                 real = _decode_wav_builtin(payload)
