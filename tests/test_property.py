@@ -112,3 +112,101 @@ def test_asof_join_null_value_col_not_stitched(spark):
     ).head()
     assert row.asof_b == "y" and row.asof_ts == ts(2)
     assert row.asof_a is None, "NULL a must come from the ts=2 row, not ts=1"
+
+
+def _gif_lzw_encode(min_code_size: int, seq: list[int]) -> bytes:
+    """Reference GIF-LZW COMPRESSOR (greedy longest-match, width
+    growth at table-full, 12-bit cap with explicit clear) — the real
+    algorithm, so the decoder property test covers dictionary hits,
+    the KwKwK case, and width changes, not just literal streams."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out_codes: list[tuple[int, int]] = []  # (code, width-at-emit)
+
+    def reset():
+        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    out_codes.append((clear, width))
+    buf: tuple[int, ...] = ()
+    for s in seq:
+        cand = buf + (s,)
+        if cand in table:
+            buf = cand
+            continue
+        out_codes.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == (1 << 12):  # table full: clear
+            out_codes.append((clear, width))
+            table, next_code, width = reset()
+        buf = (s,)
+    if buf:
+        out_codes.append((table[buf], width))
+    out_codes.append((eoi, width))
+    acc, nbits, bs = 0, 0, bytearray()
+    for code, w in out_codes:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            bs.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        bs.append(acc & 0xFF)
+    return bytes(bs)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(2, 8).flatmap(
+        lambda mcs: st.tuples(
+            st.just(mcs),
+            st.lists(st.integers(0, (1 << mcs) - 1), min_size=1, max_size=4000),
+        )
+    )
+)
+def test_gif_lzw_decode_inverts_reference_compressor(case):
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _gif_lzw_decode,
+    )
+
+    mcs, seq = case
+    assert _gif_lzw_decode(mcs, _gif_lzw_encode(mcs, seq)) == seq
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 8),
+    st.integers(1, 8),
+    st.sampled_from([1, 2, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_filter_round_trip(h, w, c, seed):
+    """Forward-filter (test encoder) then unfilter (engine decoder)
+    must reproduce the exact pixels for every filter type mix."""
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _png_unfilter,
+    )
+    from tests.test_multimodal import _png_bytes
+    import zlib
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    filters = rng.integers(0, 5, size=h).tolist()
+    payload = _png_bytes(px, filters=filters)
+    # pull the IDAT back out and unfilter it directly
+    pos, idat = 8, b""
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    recon = _png_unfilter(raw, h, w * c, c)
+    assert recon is not None
+    assert np.array_equal(
+        recon.reshape(h, w, c).astype(np.uint8), px
+    )
