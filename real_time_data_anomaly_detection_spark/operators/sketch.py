@@ -217,10 +217,14 @@ def hll_estimate(
     """Per-group HyperLogLog distinct-count estimate with 2^p
     registers (Flajolet et al. 2007) — registers + estimate in one
     call; see hll_registers / hll_estimate_from_registers for the
-    mergeable two-step form."""
+    mergeable two-step form. The group universe derives from the
+    REGISTERS (register-sized distinct), not a second corpus scan —
+    every non-empty group owns at least one register, so nothing is
+    lost."""
+    regs = hll_registers(df, key_col, group_cols, p)
     return hll_estimate_from_registers(
-        hll_registers(df, key_col, group_cols, p),
-        df.select(*group_cols).distinct(),
+        regs,
+        regs.select(*group_cols).distinct(),
         group_cols,
         p,
     )
