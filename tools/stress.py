@@ -123,6 +123,9 @@ def scaling_main() -> None:
         bpe_train,
         word_counts,
     )
+    from real_time_data_anomaly_detection_spark.operators.bloom import (
+        bloom_semi_join,
+    )
     from real_time_data_anomaly_detection_spark.operators.graph import pagerank
     from real_time_data_anomaly_detection_spark.operators.sketch import (
         countmin_build,
@@ -175,6 +178,17 @@ def scaling_main() -> None:
         bpe_train(word_counts(d), n_merges=5)
         return None  # eager — merge table lives on the driver
 
+    # bloom vs plain semi-join twins: same fixed 500-key dim side, the
+    # big side scales — the pair measures what the bloom prefilter
+    # saves (shuffle bytes on the pruned exchange) as n grows.
+    _bloom_dim = spark.range(500).select((F.col("id") * 37).alias("doc_id"))
+
+    def _bloom_op(d):
+        return bloom_semi_join(d.select("doc_id"), _bloom_dim, "doc_id")
+
+    def _plain_semi_op(d):
+        return d.select("doc_id").join(_bloom_dim, "doc_id", "left_semi")
+
     # op name -> (input kind, transform); 'docs' ops take the token
     # corpus, 'emb' ops the synthetic embedding corpus.
     ops = {
@@ -213,6 +227,8 @@ def scaling_main() -> None:
             ),
         ),
         "bpe_train": ("docs", lambda d: _bpe_op(d)),
+        "bloom_semi": ("docs", _bloom_op),
+        "plain_semi": ("docs", _plain_semi_op),
     }
     # optional 4th arg: comma-separated op subset
     if len(sys.argv) > 4:
