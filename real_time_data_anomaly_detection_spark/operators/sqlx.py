@@ -585,3 +585,96 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").select("r_name")
     n = load_table(spark, sf_dir, "nation").select("n_name")
     return r.crossJoin(n)
+
+
+@query(
+    "q_lateral_join",
+    oracle="""
+        SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        FROM nation n,
+        LATERAL (
+            SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 2) t
+        ORDER BY n.n_name, o_totalprice DESC, t.o_orderkey
+    """,
+)
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: per nation, its two highest-value
+    orders — the per-row-subquery join form (Spark 3.4+ LATERAL,
+    planned as a WindowGroupLimit-style per-group top-k here rather
+    than N correlated executions)."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        FROM _lat_nation n,
+        LATERAL (
+            SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+            FROM _lat_orders o JOIN _lat_customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 2) t
+        ORDER BY n.n_name, o_totalprice DESC, t.o_orderkey
+        """
+    )
+
+
+@query(
+    "q_cume_dist",
+    oracle="""
+        SELECT event_type, event_id,
+               round(cume_dist() OVER (PARTITION BY event_type ORDER BY value), 4)
+                   AS cd
+        FROM events
+        WHERE event_id < 500
+        ORDER BY event_type, event_id
+    """,
+)
+def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist window — the distribution-function companion to
+    percent_rank/ntile already declared."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+    ).orderBy("event_type", "event_id")
+
+
+@query(
+    "q_json_flatten",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+               max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        FROM events
+        WHERE props IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON flattening: from_json with a DECLARED
+    struct schema (not per-field get_json_object — one parse per row,
+    then ordinary typed columns) feeding a grouped aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p.k").alias("sum_k"),
+            F.max("p.k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
