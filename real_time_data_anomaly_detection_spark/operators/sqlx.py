@@ -678,3 +678,40 @@ def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_grouping_id",
+    oracle="""
+        SELECT coalesce(l_returnflag, '<all>') AS flag,
+               coalesce(l_linestatus, '<all>') AS status,
+               GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY gid, flag, status
+    """,
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping-bit disambiguation: the gid column
+    tells subtotal rows apart from genuine NULL group values — the
+    detail q_grouping_sets elides. Same partial-aggregated single-scan
+    plan; the expand operator fans each input row per set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gid_lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '<all>') AS flag,
+               coalesce(l_linestatus, '<all>') AS status,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+                   AS gid,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM _gid_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY gid, flag, status
+        """
+    )
