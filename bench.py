@@ -76,6 +76,41 @@ def _median_rounds(
     return med, spread
 
 
+def _calibration(spark, sf_dir, rounds: int = 5) -> dict[str, float]:
+    """Fixed-cost host-speed probe (round-6 judge item #2).
+
+    r5's recorded headline "regression" (8.10 -> 11.49 s) turned out to
+    be uniform ~1.3x host drift on unchanged plans — it took judge solo
+    re-runs to attribute. These two probes never change across rounds,
+    so round-over-round headline deltas can be normalized by the
+    calibration delta: a plan regression moves queries but not the
+    probes; host drift moves both by the same factor.
+
+    Probe 1: pure-JVM codegen arithmetic (CPU speed, no I/O) —
+    sum over a fixed 200M-row range.
+    Probe 2: fixed parquet scan+agg over lineitem (I/O + decode path).
+    """
+    jvm_ts, scan_ts = [], []
+    li = f"{sf_dir}/lineitem.parquet"
+    for _ in range(rounds):
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr("sum(id * 2 + 1) AS s").collect()
+        jvm_ts.append(time.time() - t0)
+        t0 = time.time()
+        spark.read.parquet(li).selectExpr(
+            "sum(l_extendedprice * (1 - l_discount)) AS s"
+        ).collect()
+        scan_ts.append(time.time() - t0)
+    jvm_ts.sort()
+    scan_ts.sort()
+    return {
+        "jvm_sum_median": round(jvm_ts[len(jvm_ts) // 2], 3),
+        "jvm_sum_spread": round(jvm_ts[-1] - jvm_ts[0], 3),
+        "scan_agg_median": round(scan_ts[len(scan_ts) // 2], 3),
+        "scan_agg_spread": round(scan_ts[-1] - scan_ts[0], 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from real_time_data_anomaly_detection_spark.operators import REGISTRY
@@ -94,6 +129,11 @@ def main() -> None:
             stream_rps = _stream_throughput(spark)
         except Exception as exc:  # never let the stream kill the metric line
             print(f"stream bench failed: {exc!r}", file=sys.stderr)
+
+    # Fixed-cost calibration BEFORE the headline timings, on a quiet
+    # JVM: two probes whose plans never change across rounds, so
+    # round-over-round deltas can be drift-normalized.
+    calibration = _calibration(spark, sf_dir)
 
     # Warm-up pass: JIT/codegen compilation + parquet footer reads are
     # one-time costs a long-lived engine doesn't pay per query; timings
@@ -150,6 +190,7 @@ def main() -> None:
         "extended": extended,
         "spread": spread,
         "extended_spread": extended_spread,
+        "calibration": calibration,
     }
     if stream_rps is not None:
         result["stream_rows_per_sec"] = stream_rps[0]

@@ -267,9 +267,13 @@ def exact_substring_dedup(
         .filter(F.col("_c") >= min_count)
         .select("_dig")
     )
+    # Rename the id on this side (_did): both branches descend from
+    # ``toks``, and joining on a same-named column from shared lineage
+    # trips Spark's "trivially true equals predicate" disambiguation
+    # warning — the rename makes the self-join unambiguous by name.
     dup_starts = (
         grams.join(F.broadcast(dup) if broadcast_dups else dup, "_dig")
-        .select(id_col, "_s", F.lit(1).alias("_isd"))
+        .select(F.col(id_col).alias("_did"), "_s", F.lit(1).alias("_isd"))
         .distinct()
     )
 
@@ -281,9 +285,9 @@ def exact_substring_dedup(
     # it the (doc_id, pos) join co-partitions with the window's key.
     flagged = tokens.join(
         F.broadcast(dup_starts) if broadcast_dups else dup_starts,
-        (tokens[id_col] == dup_starts[id_col]) & (F.col("_p") == F.col("_s")),
+        (F.col(id_col) == F.col("_did")) & (F.col("_p") == F.col("_s")),
         "left",
-    ).select(tokens[id_col], "_p", "tok", F.coalesce("_isd", F.lit(0)).alias("_isd"))
+    ).select(id_col, "_p", "tok", F.coalesce("_isd", F.lit(0)).alias("_isd"))
 
     from pyspark.sql import Window
 
@@ -618,7 +622,10 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def merge_upsert(
-    target: DataFrame, updates: DataFrame, key_col: str
+    target: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    broadcast_keys: bool = True,
 ) -> DataFrame:
     """Upsert ``updates`` into ``target`` on ``key_col``: rows whose
     key exists in updates are replaced, new keys are appended,
@@ -630,8 +637,10 @@ def merge_upsert(
     set — the 100 TB target is never reshuffled, and the union is a
     metadata-only concatenation. (On a table format with partition
     pruning, the same plan rewrites only partitions containing update
-    keys.) For a change batch too large to broadcast, drop the hint
-    and both sides shuffle on the key — still one exchange each.
+    keys.) For a change batch too large to broadcast, pass
+    ``broadcast_keys=False`` and both sides shuffle on the key —
+    still one exchange each (mirrors segment_dedup's
+    ``broadcast_dups`` pattern).
     """
     cols = target.columns
     if set(updates.columns) != set(cols):
@@ -639,7 +648,9 @@ def merge_upsert(
             f"schema mismatch: target {cols} vs updates {updates.columns}"
         )
     keys = updates.select(key_col).distinct()
-    untouched = target.join(F.broadcast(keys), key_col, "left_anti")
+    untouched = target.join(
+        F.broadcast(keys) if broadcast_keys else keys, key_col, "left_anti"
+    )
     return untouched.select(cols).unionByName(updates.select(cols))
 
 

@@ -44,6 +44,7 @@ def pagerank(
     n_iters: int = 5,
     damping: float = DAMPING,
     stats: dict | None = None,
+    pre_partition: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list; returns
     (node, pr) with ranks summing to ≤ 1 (dangling mass leaks, per the
@@ -53,45 +54,85 @@ def pagerank(
     replays the recurrence exactly, and at 100 TB a known round budget
     (PageRank contracts at rate d, so ~20 rounds ≈ 3-digit precision)
     beats a convergence check that costs an extra full pass per round.
+
+    ``pre_partition=True`` (the default) repartitions the persisted
+    edge set by ``_src`` BEFORE caching, making the co-partitioning
+    of the per-iteration join CONTRACTUAL: the InMemoryTableScan's
+    outputPartitioning is hash(_src) by construction, so the join
+    never re-shuffles the corpus-sized edge side regardless of how
+    the planner built the cache. Without it, co-partitioning is a
+    planner accident: when the degree join plans as SMJ the cache
+    inherits hash(_src) and iterations are free anyway, but when AQE
+    broadcasts the degree side (observed under the test config) the
+    cache keeps the pre-join edge partitioning and EVERY iteration
+    re-exchanges the edges — the exact per-round corpus shuffle this
+    operator's 100 TB story forbids. The repartition cost is paid
+    once at cache fill. Both regimes are plan-pinned in
+    tests/test_graph.py; ``stats["iter_live_exchanges"]`` exposes the
+    measured per-iteration non-cache-fill exchange list.
     """
+    from real_time_data_anomaly_detection_spark.plans import live_exchanges
+
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).distinct()
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     # Persist the degree-annotated edges FIRST — every iteration joins
     # them, and without materialization each round would recompute the
     # edge derivation's full upstream lineage (cf. dedup.py:908).
-    ew = e.join(deg, "_src").persist()
+    ew = e.join(deg, "_src")
+    if pre_partition:
+        ew = ew.repartition("_src")
+    ew = ew.persist()
+    # Fill the cache EAGERLY: an unmaterialized AQE cached plan reports
+    # unknown outputPartitioning to consumers, so without this count the
+    # first iterations re-exchange the edges even when pre-partitioned
+    # (observed: hash(_src) live exchange until the cache finalizes).
+    ew.count()
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
         .persist()
     )
-    n = nodes.count()
-    if n == 0:
-        raise ValueError("pagerank: empty edge list")
-    if stats is not None:
-        stats["n_nodes"] = n
-    base = (1.0 - damping) / n
-    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
-    for _ in range(n_iters):
-        contrib = (
-            ew.join(ranks, ew._src == ranks.node)
-            .select("_dst", (F.col("pr") / F.col("_deg")).alias("_c"))
-            .groupBy("_dst")
-            .agg(F.sum("_c").alias("_sum"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib._dst, "left")
-            .select(
-                "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("_sum", F.lit(0.0))).alias(
-                    "pr"
-                ),
+    try:
+        n = nodes.count()
+        if n == 0:
+            raise ValueError("pagerank: empty edge list")
+        if stats is not None:
+            stats["n_nodes"] = n
+        base = (1.0 - damping) / n
+        ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+        for i in range(n_iters):
+            contrib = (
+                ew.join(ranks, ew._src == ranks.node)
+                .select("_dst", (F.col("pr") / F.col("_deg")).alias("_c"))
+                .groupBy("_dst")
+                .agg(F.sum("_c").alias("_sum"))
             )
-            # Truncate lineage each round — bare chaining doubles the
-            # logical plan per iteration (cf. dedup.py:941).
-            .localCheckpoint(eager=False)
-        )
+            if i == 0 and stats is not None:
+                # Live (non-cache-fill) exchanges one iteration pays:
+                # must be rank-vector-sized only (hash(node) into the
+                # join + hash(_dst) for the contribution groupBy).
+                stats["iter_live_exchanges"] = live_exchanges(contrib)
+            ranks = (
+                nodes.join(contrib, nodes.node == contrib._dst, "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base) + F.lit(damping) * F.coalesce("_sum", F.lit(0.0))
+                    ).alias("pr"),
+                )
+                # Truncate lineage each round — bare chaining doubles the
+                # logical plan per iteration (cf. dedup.py:941).
+                .localCheckpoint(eager=False)
+            )
+        # Materialize the final rank vector (|V| rows — small), then
+        # drop the session-lifetime caches: bench/verify runs execute
+        # many registry queries in one process, and un-released edge
+        # blocks accumulate across them (round-6 advice).
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        ew.unpersist()
+        nodes.unpersist()
     return ranks
 
 
@@ -202,13 +243,21 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
-        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
-        .count()
-    )
-    n_edges = edges.count()
+    try:
+        e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+            .join(
+                e3,
+                (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+            )
+            .count()
+        )
+        n_edges = edges.count()
+    finally:
+        # Both actions are done; the result is two scalars — release
+        # the cached edge blocks (round-6 advice).
+        edges.unpersist()
     return spark.createDataFrame(
         [(n_edges, tri)], "n_edges long, n_triangles long"
     )

@@ -5,6 +5,7 @@ from real_time_data_anomaly_detection_spark.plans.inspect import (
     formatted_plan,
     has_broadcast_join,
     has_pushed_filters,
+    live_exchanges,
     scan_read_schema,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "has_broadcast_join",
     "has_pushed_filters",
     "count_exchanges",
+    "live_exchanges",
     "scan_read_schema",
 ]

@@ -54,3 +54,41 @@ def scan_read_schema(df: DataFrame, table_hint: str = "") -> list[str]:
             inner = ln.split("struct<", 1)[-1].rsplit(">", 1)[0]
             return [p.split(":")[0] for p in inner.split(",") if ":" in p]
     return []
+
+
+def live_exchanges(df: DataFrame) -> list[str]:
+    """Shuffle-exchange lines OUTSIDE InMemoryRelation cached-plan
+    subtrees — the exchanges a consumer of an already-materialized
+    cache actually pays per execution (cache-build exchanges are a
+    one-time fill cost and are excluded, as are ReusedExchange and
+    broadcast exchanges).
+
+    Used by iterative operators (pagerank) to pin that per-round
+    shuffles carry only iteration-state-sized relations, not the
+    persisted corpus-sized side."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    def indent_of(ln: str) -> int:
+        return len(re.match(r"^[\s:+|-]*", ln).group(0))
+
+    out: list[str] = []
+    skip_to: int | None = None
+    for ln in plan.splitlines():
+        ind = indent_of(ln)
+        if skip_to is not None:
+            if ind > skip_to:
+                continue
+            skip_to = None
+        if "InMemoryRelation" in ln:
+            skip_to = ind
+            continue
+        s = ln.strip()
+        if (
+            "Exchange" in s
+            and "ReusedExchange" not in s
+            and "BroadcastExchange" not in s
+        ):
+            out.append(s)
+    return out

@@ -40,6 +40,68 @@ def bpe_reference(word_cnts: dict[str, int], n_merges: int):
     return merges, syms
 
 
+def bpe_reference_batched(word_cnts: dict[str, int], n_merges: int, b: int):
+    """Reference for the SAME batching rule bpe_train(batch_size=B)
+    implements: per round, rank all pairs (count DESC, pair ASC), scan
+    the top 4*want candidates, greedily keep up to ``want`` pairs with
+    pairwise-disjoint symbol sets, fuse them all, recount."""
+    syms = {w: list(w) for w in word_cnts}
+    merges = []
+    while len(merges) < n_merges:
+        want = min(b, n_merges - len(merges))
+        pc: Counter = Counter()
+        for w, c in word_cnts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        cap = want if want == 1 else want * 4
+        used: set[str] = set()
+        batch = []
+        for (left, right), n in ranked[:cap]:
+            if len(batch) >= want:
+                break
+            if left in used or right in used:
+                continue
+            used.update((left, right))
+            batch.append((left, right, n))
+        for left, right, n in batch:
+            merges.append((len(merges), left, right, n))
+            for w in syms:
+                s, out = syms[w], []
+                for x in s:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(x)
+                syms[w] = out
+    return merges, syms
+
+
+def test_batched_matches_batched_reference_on_documents(spark):
+    """B=8 batching: merge-for-merge parity with the pure-Python
+    reference implementing the same disjoint-batch rule, and the
+    recorded counts stay exact (disjoint symbol sets make each
+    pair_count invariant under the rest of its batch)."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wc = {r.word: r.cnt for r in word_counts(d).collect()}
+    got = bpe_train(word_counts(d), n_merges=16, batch_size=8)
+    want, _ = bpe_reference_batched(wc, 16, 8)
+    assert got == want
+
+
+def test_batch_size_one_is_sequential_bpe(spark):
+    """batch_size=1 must reproduce the classic sequential algorithm
+    exactly (same code path the round-5 parity pin covered)."""
+    rows = [("banana", 4), ("bandana", 2), ("ananas", 1), ("cabana", 3)]
+    words = spark.createDataFrame(rows, "word string, cnt long")
+    got = bpe_train(words, 5, batch_size=1)
+    want, _ = bpe_reference(dict(rows), 5)
+    assert got == want
+
+
 def test_matches_python_reference_on_documents(spark):
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     wc = {r.word: r.cnt for r in word_counts(d).collect()}

@@ -43,6 +43,34 @@ def test_time_queries_session_tz_independent(name, spark, duck):
     assert rows_multiset(scols, srows) == rows_multiset(dcols, res.fetchall())
 
 
+def test_driver_gate_window_is_cross_family():
+    """The driver's CORRECTNESS artifact samples the FIRST 50 registry
+    entries. Pin that the curated window (operators/__init__.py) is
+    all oracle-backed and spans every §2.3 family — a future import
+    reshuffle must not silently revert it to all-relational."""
+    window = list(REGISTRY)[:50]
+    assert all(REGISTRY[n].oracle is not None for n in window)
+    flagship = {
+        "q_dedup_exact",        # dedup
+        "q_minhash_neardup_md5",  # LSH sketch algebra
+        "q_components_md5",     # graph connectivity
+        "q_exact_substring_dedup",  # curation
+        "q_bm25",               # retrieval
+        "q_countmin_freq",      # sketch
+        "q_hll_md5",            # sketch
+        "q_pagerank",           # iterative graph
+        "q_funnel",             # behavior
+        "q_shard_manifest",     # output layout
+        "q_merge_upsert",       # CDC
+        "q_curation_pipeline",  # end-to-end pipeline
+        "q_cosine_topk",        # similarity
+        "q_text_tokens",        # text analysis
+        "q_resample_ffill_15m",  # time-series
+        "q_lm_perplexity",      # LM scoring
+    }
+    assert flagship <= set(window), flagship - set(window)
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(name, spark, duck):
     q = REGISTRY[name]
