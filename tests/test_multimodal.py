@@ -370,3 +370,320 @@ def test_builtin_gif_real_lzw_stream():
         bs.append(acc & 0xFF)
     out = _gif_lzw_decode(2, bytes(bs))
     assert out == [0, 0, 0, 0]
+
+
+# --- Baseline JPEG: pure-Python encoder (test-side) + decoder tests --------
+#
+# The encoder mirrors ITU T.81 baseline sequential: level shift, 8x8
+# forward DCT, quantization (Annex K luminance table), zigzag, DC
+# prediction, canonical Huffman (Annex K typical tables), 0xFF byte
+# stuffing, optional restart intervals, 1-component grayscale or
+# 3-component 4:4:4 / 4:2:0 YCbCr. It exists so the numpy decoder in
+# operators/multimodal.py is exercised on REAL baseline streams without
+# Pillow in the environment.
+
+_JQT = [  # Annex K Table K.1 luminance quantization
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits, vals):
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpegWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        while self.nbits:
+            self.put(1, 1)  # pad with 1s per spec
+
+
+def _cat(v):
+    a, t = abs(v), 0
+    while a:
+        a >>= 1
+        t += 1
+    return t
+
+
+def _encode_block(w, blk, q, dc_codes, ac_codes, pred, zigzag, C):
+    import numpy as np
+
+    coef = C @ (blk - 128.0) @ C.T
+    zz = np.round(coef.reshape(64)[zigzag] / q[zigzag]).astype(int)
+    diff = int(zz[0]) - pred
+    t = _cat(diff)
+    ln, code = dc_codes[t]
+    w.put(code, ln)
+    if t:
+        w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = max([k for k in range(1, 64) if zz[k]] or [0])
+    for k in range(1, 64):
+        if k > last_nz:
+            ln, code = ac_codes[0x00]  # EOB
+            w.put(code, ln)
+            break
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_codes[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        s = _cat(v)
+        ln, code = ac_codes[(run << 4) | s]
+        w.put(code, ln)
+        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    return int(zz[0])
+
+
+def _jpeg_bytes(img, subsampling="gray", restart_interval=0):
+    """Baseline JFIF encode of a grayscale (h,w) or RGB (h,w,3) uint8
+    array. subsampling: 'gray' (1 comp), '444', or '420'."""
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _DCT_C,
+        _JPEG_ZIGZAG,
+    )
+
+    q = np.array(_JQT, dtype=np.float64)
+    qzz = np.empty(64)
+    qzz[_JPEG_ZIGZAG] = q  # _JQT is in zigzag order per the spec table
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+
+    img = np.asarray(img, dtype=np.float64)
+    if subsampling == "gray":
+        planes = [img]
+        samp = [(1, 1)]
+    else:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        if subsampling == "444":
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:  # 420
+            cb2 = cb[::2, ::2]
+            cr2 = cr[::2, ::2]
+            planes = [y, cb2, cr2]
+            samp = [(2, 2), (1, 1), (1, 1)]
+    h, w_ = planes[0].shape
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w_ // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    def pad(p, th, tw):
+        ph = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        return ph
+
+    padded = [
+        pad(p, mcus_y * 8 * sv, mcus_x * 8 * sh)
+        for p, (sh, sv) in zip(planes, samp)
+    ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT (zigzag order, table 0)
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00"
+    out += bytes(int(v) for v in _JQT)
+    # SOF0
+    ncomp = len(planes)
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w_.to_bytes(2, "big")
+    sof.append(ncomp)
+    for cid, (sh, sv) in enumerate(samp, start=1):
+        sof += bytes([cid, (sh << 4) | sv, 0])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    # DHT: DC table 0 + AC table 0 (shared by all components)
+    dht = bytearray([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht += bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    out += b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
+    if restart_interval:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") + restart_interval.to_bytes(
+            2, "big"
+        )
+    # SOS
+    sos = bytearray([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    wtr = _JpegWriter()
+    preds = [0] * ncomp
+    mcu = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wtr.flush()
+                out += wtr.out
+                wtr = _JpegWriter()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = [0] * ncomp
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = p[y0 : y0 + 8, x0 : x0 + 8]
+                        preds[ci] = _encode_block(
+                            wtr, blk, qzz, dc_codes, ac_codes, preds[ci],
+                            _JPEG_ZIGZAG, _DCT_C,
+                        )
+            mcu += 1
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def test_builtin_jpeg_decode_grayscale():
+    """Generated baseline grayscale JPEG decodes codec-free and the
+    histogram matches the source image within quantization error."""
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _decode_jpeg_builtin,
+        _decode_payload,
+        _gray_histogram,
+    )
+
+    rng = np.random.default_rng(7)
+    x = np.linspace(0, 255, 64)
+    img = np.clip(
+        np.add.outer(x, x) / 2 + rng.normal(0, 8, (64, 64)), 0, 255
+    ).astype(np.uint8)
+    payload = _jpeg_bytes(img, "gray")
+    got = _decode_jpeg_builtin(payload)
+    assert got is not None
+    want = _gray_histogram(img.astype(np.float64))
+    assert float(np.abs(got - want).sum()) < 0.12  # lossy: small L1 drift
+    # and the dispatcher routes JPEG to the real decoder, not the stub
+    assert np.allclose(_decode_payload("image", payload), got)
+
+
+def test_builtin_jpeg_decode_color_444_and_420():
+    """3-component baseline JPEGs (4:4:4 and 4:2:0): the luma-only
+    decode matches the encoder's own Y plane histogram — chroma blocks
+    advance the bitstream correctly in both interleave shapes."""
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _decode_jpeg_builtin,
+        _gray_histogram,
+    )
+
+    # smooth gradients: DCT quantization error stays tiny, so the
+    # histogram (bin width 16) barely migrates across bin edges
+    gx = np.linspace(0, 255, 40)
+    gy = np.linspace(0, 255, 48)
+    img = np.stack(
+        [
+            np.add.outer(gy, gx) / 2,
+            np.tile(gx, (48, 1)),
+            np.tile(gy[:, None], (1, 40)),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    y = (
+        0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    ).astype(np.float64)
+    want = _gray_histogram(y)
+    for mode in ("444", "420"):
+        got = _decode_jpeg_builtin(_jpeg_bytes(img, mode))
+        assert got is not None, mode
+        assert float(np.abs(got - want).sum()) < 0.15, mode
+
+
+def test_builtin_jpeg_restart_markers():
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _decode_jpeg_builtin,
+        _gray_histogram,
+    )
+
+    rng = np.random.default_rng(3)
+    img = np.clip(rng.normal(128, 40, (40, 56)), 0, 255).astype(np.uint8)
+    payload = _jpeg_bytes(img, "gray", restart_interval=3)
+    assert b"\xff\xd0" in payload or b"\xff\xd1" in payload  # RSTn emitted
+    got = _decode_jpeg_builtin(payload)
+    assert got is not None
+    want = _gray_histogram(img.astype(np.float64))
+    assert float(np.abs(got - want).sum()) < 0.12
+
+
+def test_progressive_jpeg_falls_to_stub():
+    """A SOF2 (progressive) header must return None from the builtin
+    decoder — the dispatcher then yields the deterministic stub."""
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _decode_jpeg_builtin,
+        _decode_payload,
+    )
+
+    # SOI + minimal SOF2 segment, then EOI
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + (11).to_bytes(2, "big")
+        + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    assert _decode_jpeg_builtin(payload) is None
+    feat = _decode_payload("image", payload)
+    assert len(feat) == 16 and all(0 <= v < 1 for v in feat)  # sha256 stub

@@ -4,12 +4,19 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet fixtures, comparing row count, column-name
 schema, and an order-insensitive value multiset. Usage:
 
-    python tools/verify_oracle.py [sf_dir] [query ...]
+    python tools/verify_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes a per-query machine-readable artifact
+(same shape of evidence as the driver's CORRECTNESS files but covering
+the full registry, not just its 50-entry window) — committed as
+CORRECTNESS_FULL.json each round so the "N oracle-backed, all green"
+claim is backed by a checked-in artifact.
 """
 
 from __future__ import annotations
 
 import datetime
+import json
 import math
 import sys
 import time
@@ -48,8 +55,14 @@ def rows_multiset(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
@@ -66,20 +79,26 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_noracle = 0
+    records = []
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
         t0 = time.time()
+        rec = {"name": name}
+        records.append(rec)
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
+            rec.update(status="fail", err=f"spark error: {ex}")
             n_fail += 1
             continue
+        rec["rows"] = len(srows)
         if name not in oracles:
             print(f"  -- {name}: no oracle, rows={len(srows)} ({time.time()-t0:.1f}s)")
+            rec.update(status="no_oracle", sec=round(time.time() - t0, 1))
             n_noracle += 1
             continue
         try:
@@ -88,14 +107,17 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
+            rec.update(status="fail", err=f"duckdb error: {ex}")
             n_fail += 1
             continue
         ok = True
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: schema spark={sorted(scols)} duck={sorted(dcols)}")
+            rec["err"] = "schema mismatch"
             ok = False
         elif len(srows) != len(drows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            rec["err"] = f"rowcount {len(srows)} vs {len(drows)}"
             ok = False
         else:
             sm, dm = rows_multiset(scols, srows), rows_multiset(dcols, drows)
@@ -103,13 +125,31 @@ def main() -> int:
                 diff_s = list((sm - dm).items())[:3]
                 diff_d = list((dm - sm).items())[:3]
                 print(f"FAIL {name}: value mismatch\n  spark-only: {diff_s}\n  duck-only:  {diff_d}")
+                rec["err"] = "value mismatch"
                 ok = False
+        rec["sec"] = round(time.time() - t0, 1)
         if ok:
             print(f"  ok {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            rec["status"] = "pass"
             n_pass += 1
         else:
+            rec["status"] = "fail"
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} no-oracle")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_no_oracle": n_noracle,
+                    "queries": records,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
