@@ -178,6 +178,13 @@ def scaling_main() -> None:
         bpe_train(word_counts(d), n_merges=5)
         return None  # eager — merge table lives on the driver
 
+    def _bpe_b8_op(d):
+        # batched mode: 16 merges in ~2 rounds (B=8 disjoint pairs per
+        # round) — measures that the per-round corpus cost, not the
+        # driver round-trip count, is what scales with n.
+        bpe_train(word_counts(d), n_merges=16, batch_size=8)
+        return None
+
     # bloom vs plain semi-join twins: same fixed 500-key dim side, the
     # big side scales — the pair measures what the bloom prefilter
     # saves (shuffle bytes on the pruned exchange) as n grows.
@@ -227,6 +234,7 @@ def scaling_main() -> None:
             ),
         ),
         "bpe_train": ("docs", lambda d: _bpe_op(d)),
+        "bpe_train_b8": ("docs", lambda d: _bpe_b8_op(d)),
         "bloom_semi": ("docs", _bloom_op),
         "plain_semi": ("docs", _plain_semi_op),
     }
