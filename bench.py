@@ -170,6 +170,8 @@ def main() -> None:
         "q_hll_md5",
         "q_bpe_merges",
         "q_curation_pipeline",
+        # round-6 addition
+        "q_edit_neardup",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s

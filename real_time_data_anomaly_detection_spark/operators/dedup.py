@@ -1276,3 +1276,94 @@ def q_components_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (Levenshtein) near-dup — short-string variant detection
+
+
+def edit_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    title_len: int = 64,
+    block_prefix: int = 16,
+    max_dist: int = 2,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Near-identical short-string pairs by bounded edit distance —
+    the standard curation pass for title/URL variants (trailing
+    punctuation, single-token edits) that n-gram Jaccard under-weighs
+    on short strings.
+
+    Semantics (replicated verbatim by the DuckDB oracle): compare the
+    first ``title_len`` chars; candidate pairs are blocked on
+    (first ``block_prefix`` chars, exact length) — the DECLARED
+    blocking contract, i.e. a variant differing inside its first
+    ``block_prefix`` chars or in length is out of scope for this pass
+    (MinHash-LSH covers those) — then verified with
+    ``levenshtein(a, b) <= max_dist``, i < j dedup on the id.
+
+    100 TB shape: one digest-light shuffle on the block key; pairs are
+    BLOCK-LOCAL i<j (never corpus-crossing), and the block key's
+    prefix+length makes skew self-limiting for natural-language
+    titles. For adversarial prefix-heavy corpora the
+    ``max_block_size`` valve (same pattern as n-gram Jaccard's
+    ``max_posting_size``) drops over-sized blocks — boilerplate
+    prefixes that belong to the boilerplate pass, not this one.
+
+    Spark's ``levenshtein`` is a codegen'd JVM expression; with the
+    blocking done relationally the whole operator stays in
+    whole-stage codegen.
+    """
+    t = df.select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, title_len).alias("_title"),
+    ).withColumn("_blk", F.struct(
+        F.substring("_title", 1, block_prefix).alias("p"),
+        F.length("_title").alias("n"),
+    ))
+    if max_block_size is not None:
+        sizes = t.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bs"))
+        t = t.join(
+            sizes.filter(F.col("_bs") <= max_block_size).select("_blk"), "_blk"
+        )
+    a = t.select(
+        F.col("_blk"), F.col(id_col).alias("id_a"), F.col("_title").alias("_ta")
+    )
+    b = t.select(
+        F.col("_blk"), F.col(id_col).alias("id_b"), F.col("_title").alias("_tb")
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("_ta", "_tb") <= max_dist)
+        .select("id_a", "id_b", F.levenshtein("_ta", "_tb").alias("edit_dist"))
+    )
+
+
+@query(
+    "q_edit_neardup",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   substring(text, 1, 64) AS title,
+                   substring(text, 1, 16) AS p,
+                   length(substring(text, 1, 64)) AS n
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               levenshtein(a.title, b.title) AS edit_dist
+        FROM t a JOIN t b
+          ON a.p = b.p AND a.n = b.n AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.title, b.title) <= 2
+        ORDER BY id_a, id_b
+    """,
+)
+def q_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs over document title prefixes
+    (first 64 chars; blocked on 16-char prefix + length, distance
+    <= 2) — fully oracle-backed: Spark's codegen'd levenshtein vs
+    DuckDB's, over the identical blocking contract."""
+    d = load_table(spark, sf_dir, "documents")
+    return edit_neardup_pairs(d).orderBy("id_a", "id_b")

@@ -419,3 +419,44 @@ def test_arr_signature_path_equals_exploded_path(spark):
     sh.unpersist()
     assert new_pairs == old_pairs
     assert len(new_pairs) > 0  # planted near-dups are actually found
+
+
+def test_edit_neardup_pairs_semantics(spark):
+    """Known variants: same 16-char prefix + same length + distance<=2
+    pair up with the right distance; different-length or far strings
+    don't."""
+    from real_time_data_anomaly_detection_spark.operators.dedup import (
+        edit_neardup_pairs,
+    )
+
+    base = "the quick brown fox jumps over"  # 30 chars
+    rows = [
+        (1, base),
+        (2, base[:-2] + "xz"),          # same length, dist 2
+        (3, base[:-1] + "!"),           # same length, dist 1
+        (4, base[:-5]),                 # shorter -> different length block
+        (5, "a completely different pad to len30"[:30]),  # other prefix
+        (6, base[:-4] + "QRST"),        # same length, dist 4 -> filtered
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in edit_neardup_pairs(df, title_len=30).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 2}
+
+
+def test_edit_neardup_block_valve(spark):
+    """max_block_size drops over-sized prefix blocks (boilerplate
+    belongs to the boilerplate pass), keeping pair fan-out bounded."""
+    from real_time_data_anomaly_detection_spark.operators.dedup import (
+        edit_neardup_pairs,
+    )
+
+    boiler = [(i, "identical boilerplate prefix here") for i in range(10)]
+    pair = [(100, "some unique title padded to size!"), (101, "some unique title padded to size?")]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+    unlimited = edit_neardup_pairs(df).count()
+    capped = edit_neardup_pairs(df, max_block_size=5).collect()
+    assert unlimited == 45 + 1  # C(10,2) boilerplate pairs + the real one
+    assert {(r.id_a, r.id_b) for r in capped} == {(100, 101)}
