@@ -57,38 +57,43 @@ def scan_read_schema(df: DataFrame, table_hint: str = "") -> list[str]:
 
 
 def live_exchanges(df: DataFrame) -> list[str]:
-    """Shuffle-exchange lines OUTSIDE InMemoryRelation cached-plan
-    subtrees — the exchanges a consumer of an already-materialized
-    cache actually pays per execution (cache-build exchanges are a
-    one-time fill cost and are excluded, as are ReusedExchange and
-    broadcast exchanges).
+    """Shuffle exchanges OUTSIDE InMemoryRelation cached-plan subtrees
+    — the exchanges a consumer of an already-materialized cache
+    actually pays per execution (cache-build exchanges are a one-time
+    fill cost and are excluded, as are ReusedExchange and broadcast
+    exchanges).
+
+    Implemented as a py4j TREE walk rather than explain-string
+    parsing: ``InMemoryTableScanExec`` is a childless leaf in the plan
+    tree (the cached plan is only rendered by toString, where nested
+    AQE sections break indentation conventions), so walking children
+    never descends into cache-fill plans. ``AdaptiveSparkPlanExec``
+    wraps its input with no children; its ``initialPlan`` (input plan
+    AFTER EnsureRequirements inserted the exchanges, BEFORE runtime
+    re-optimization) is the honest static answer — ``inputPlan`` would
+    show no exchanges at all.
 
     Used by iterative operators (pagerank) to pin that per-round
     shuffles carry only iteration-state-sized relations, not the
     persisted corpus-sized side."""
-    import re
-
-    plan = df._jdf.queryExecution().executedPlan().toString()
-
-    def indent_of(ln: str) -> int:
-        return len(re.match(r"^[\s:+|-]*", ln).group(0))
-
     out: list[str] = []
-    skip_to: int | None = None
-    for ln in plan.splitlines():
-        ind = indent_of(ln)
-        if skip_to is not None:
-            if ind > skip_to:
-                continue
-            skip_to = None
-        if "InMemoryRelation" in ln:
-            skip_to = ind
-            continue
-        s = ln.strip()
-        if (
-            "Exchange" in s
-            and "ReusedExchange" not in s
-            and "BroadcastExchange" not in s
-        ):
-            out.append(s)
+
+    def walk(node) -> None:
+        cname = node.getClass().getSimpleName()
+        if cname.startswith("InMemoryTableScan"):
+            return
+        if cname == "ReusedExchangeExec":
+            return
+        if cname == "ShuffleExchangeExec":
+            out.append(
+                f"Exchange {node.outputPartitioning().toString()}"
+            )
+        if cname == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
     return out
