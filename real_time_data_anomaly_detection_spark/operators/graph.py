@@ -73,15 +73,23 @@ def pagerank(
     """
     from real_time_data_anomaly_detection_spark.plans import live_exchanges
 
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).distinct()
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    if pre_partition:
+        # ONE shuffle funds the whole cache fill: hash(_src) satisfies
+        # the clustered-distribution requirement of BOTH the
+        # (_src,_dst) dedup and the _src degree aggregate (equal _src
+        # ⇒ co-located), so neither re-exchanges, and the degree join
+        # (broadcast or SMJ — both sides already hash(_src)) preserves
+        # it into the cache. The previous shape (distinct → groupBy →
+        # join → repartition) paid three edge-sized shuffles for the
+        # same partitioned result.
+        e = e.repartition("_src")
+    e = e.dropDuplicates(["_src", "_dst"])
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     # Persist the degree-annotated edges FIRST — every iteration joins
     # them, and without materialization each round would recompute the
     # edge derivation's full upstream lineage (cf. dedup.py:908).
-    ew = e.join(deg, "_src")
-    if pre_partition:
-        ew = ew.repartition("_src")
-    ew = ew.persist()
+    ew = e.join(deg, "_src").persist()
     # Fill the cache EAGERLY: an unmaterialized AQE cached plan reports
     # unknown outputPartitioning to consumers, so without this count the
     # first iterations re-exchange the edges even when pre-partitioned
