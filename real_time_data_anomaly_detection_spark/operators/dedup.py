@@ -913,10 +913,18 @@ def connected_components(
         .union(edges.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst")))
         .persist()
     )
+    # Seed comp = min(self, direct neighbors), not comp = self: the
+    # node set needs a groupBy-shaped shuffle either way (the old code
+    # paid it as distinct), and folding the first neighbor-min into it
+    # saves one full propagation round — each round is two edge-sized
+    # joins, the dominant cost at scale.
     comp = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_nmin"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_nmin")).alias("comp"),
+        )
         .persist()
     )
     comp.count()
@@ -930,15 +938,24 @@ def connected_components(
             "node",
             F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
         )
-        # pointer jump: follow the label's own label one hop (labels
-        # are node ids, so the self-join is well-defined)
+        # pointer jump: follow the label's own label (labels are node
+        # ids, so the self-join is well-defined). TWO hops per round,
+        # not one — the second is another label-sized join in the same
+        # job (cheap next to the edge-sized propagation join) and
+        # squares the shortcut reach, so chain-shaped clusters converge
+        # in roughly half the rounds.
         hop = prop.select(F.col("node").alias("_ln"), F.col("comp").alias("_lc"))
+        jumped = prop.join(hop, prop.comp == hop._ln, "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("_lc", "comp")).alias("comp"),
+        )
+        hop2 = jumped.select(F.col("node").alias("_ln"), F.col("comp").alias("_lc"))
         # localCheckpoint, not persist: it TRUNCATES lineage. With bare
         # persist the logical plan doubles per round and Catalyst
         # analysis time explodes after ~10 iterations (minutes-long
         # planning for a 60-node chain).
         new_comp = (
-            prop.join(hop, prop.comp == hop._ln, "left")
+            jumped.join(hop2, jumped.comp == hop2._ln, "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("_lc", "comp")).alias("comp"),

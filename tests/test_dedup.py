@@ -332,9 +332,10 @@ def test_jaccard_posting_cap(spark):
 def test_connected_components_round_scaling(spark):
     """The O(log n) pointer-jump claim, pinned: a 10k-node chain
     (worst-case diameter) and a 10k-node star must converge in
-    <= log2(n)+2 rounds — plain propagation would need ~10k rounds on
-    the chain. Measured growth is ~log2(n)+1 (256->9, 1024->11,
-    4096->13, 10000->14 rounds)."""
+    <= log2(n)/2+2 rounds — plain propagation would need ~10k rounds
+    on the chain. The double pointer jump + neighbor-min seed roughly
+    halve the single-jump round count; measured growth is ~log2(n)/2+1
+    (256->5, 1024->6, 4096->7, 10000->8 rounds)."""
     import math
 
     from real_time_data_anomaly_detection_spark.operators.dedup import (
@@ -345,7 +346,7 @@ def test_connected_components_round_scaling(spark):
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         n = 10_000
-        bound = math.ceil(math.log2(n)) + 2
+        bound = math.ceil(math.log2(n) / 2) + 2
 
         chain = spark.createDataFrame(
             [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
@@ -361,7 +362,7 @@ def test_connected_components_round_scaling(spark):
         s = {}
         comp = connected_components(star, stats=s)
         assert comp.select("comp").distinct().count() == 1
-        assert s["rounds"] <= 3, f"star took {s['rounds']} rounds"
+        assert s["rounds"] <= 2, f"star took {s['rounds']} rounds"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
