@@ -13,11 +13,11 @@ growing with the iteration count.
 
 100 TB shape: the edge list is the corpus-sized side; it is persisted
 ONCE with its out-degrees attached, and every iteration shuffles only
-the rank vector (|V| rows, two exchanges: join on src, groupBy dst).
-Nothing corpus-sized is ever collected or broadcast. On a real
-cluster, pre-partitioning the persisted edges by ``src`` makes the
-per-iteration join co-located with the rank shuffle's output
-partitioning.
+rank-vector-sized relations (|V| rows — at most the hash(node) feed
+into the join plus the hash(dst) contribution groupBy; with the
+pre-partitioned cache the join side reuses compatible hash
+partitioning and the measured live set is the groupBy exchange
+alone). Nothing corpus-sized is ever collected or broadcast.
 
 Correctness is pinned cross-engine: the declared query's DuckDB oracle
 replays the SAME fixed-iteration recurrence as plain SQL with the
