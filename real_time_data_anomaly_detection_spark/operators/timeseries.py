@@ -343,3 +343,80 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Adjusted exponentially-weighted moving average per key:
+    s_t = Σ_{i<=t} (1-α)^(t-i)·x_i / Σ_{i<=t} (1-α)^(t-i) (the
+    pandas ``ewm(adjust=True)`` definition — an unbiased weighted
+    mean at every prefix, no warm-up transient).
+
+    One window pass, SQL-expressible: with i = per-key row position,
+    both sums use weight r^i where r = 1/(1-α) — the common (1-α)^t
+    factor CANCELS in the ratio, so no per-row rescaling and no
+    recurrence. A driver-free single shuffle on the key, identical
+    to any other windowed aggregate at scale.
+
+    Numerics: r^i grows with the per-key series LENGTH (not the
+    corpus) — r^i at i=10³ overflows double for small α, and terms
+    below the dominant one by >2^53 vanish (which is also their true
+    EWMA weight, but the oracle comparison then hinges on fp
+    addition order). Keep per-key series bounded (resampled grids,
+    daily rollups — the shapes this module produces); the query
+    below runs on a 30-point daily series."""
+    r = 1.0 / (1.0 - alpha)
+    w_ord = Window.partitionBy(key_col).orderBy(order_col)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    i = F.row_number().over(w_ord) - F.lit(1)
+    with_w = df.withColumn("_w", F.pow(F.lit(r), i))
+    return with_w.withColumn(
+        out_col,
+        F.sum(F.col(value_col) * F.col("_w")).over(w_run)
+        / F.sum("_w").over(w_run),
+    ).drop("_w")
+
+
+@query(
+    "q_ewma",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS v
+            FROM events GROUP BY 1, 2),
+        pos AS (
+            SELECT event_type, d, v,
+                   row_number() OVER (PARTITION BY event_type ORDER BY d) - 1
+                       AS i
+            FROM daily)
+        SELECT event_type, d, round(v, 4) AS v,
+               round(sum(v * pow(1.0/0.7, i)) OVER w
+                         / sum(pow(1.0/0.7, i)) OVER w, 4) AS ewma
+        FROM pos
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY event_type, d
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed (α=0.3, adjust=True) daily mean value per
+    event_type — the classic monitoring smoother over the daily
+    rollup (30-point series per key, so the weight ratio stays deep
+    inside double range). Oracle replays the identical
+    cancelled-factor ratio formulation."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.avg("value").alias("v"))
+    sm = ewma(daily, "event_type", "d", "v", alpha=0.3)
+    return sm.select(
+        "event_type",
+        "d",
+        F.round("v", 4).alias("v"),
+        F.round("ewma", 4).alias("ewma"),
+    ).orderBy("event_type", "d")

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
+
 from real_time_data_anomaly_detection_spark.operators.timeseries import resample_ffill
 
 
@@ -95,3 +97,27 @@ def test_anomaly_mad_threshold_robust_to_outliers(spark):
 
     assert run(d1) == 25.0
     assert run(d2) == 25.0  # two spikes in 101 rows cannot move the MAD
+
+
+def test_ewma_matches_pandas_adjusted(spark):
+    """ewma() must reproduce pandas ewm(alpha, adjust=True).mean() per
+    key — the definition the docstring claims — including the first
+    row (= raw value, no warm-up transient)."""
+    import pandas as pd
+
+    from real_time_data_anomaly_detection_spark.operators.timeseries import ewma
+
+    vals = {
+        "a": [10.0, 12.0, 9.0, 20.0, 15.0, 14.0, 30.0],
+        "b": [5.0, 5.0, 8.0],
+    }
+    rows = [(k, i, v) for k, series in vals.items() for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = {
+        (r.k, r.t): r.ewma
+        for r in ewma(df, "k", "t", "v", alpha=0.3).collect()
+    }
+    for k, series in vals.items():
+        expect = pd.Series(series).ewm(alpha=0.3, adjust=True).mean()
+        for i, e in enumerate(expect):
+            assert out[(k, i)] == pytest.approx(e, rel=1e-12), (k, i)
