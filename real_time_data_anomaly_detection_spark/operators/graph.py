@@ -152,20 +152,35 @@ def pagerank(
 
 def _interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric customer↔supplier interaction edges from orders ⋈
-    lineitem, node ids prefixed 'c'/'s' (the key spaces overlap)."""
+    lineitem, node ids packed as BIGINT: even = 2·custkey,
+    odd = 2·suppkey+1 (the key spaces overlap).
+
+    Integer ids, not display prefixes: every edge-sized exchange,
+    sort, and dedup downstream hashes and compares these values, and
+    8-byte longs beat per-row string concat + string hashing on all
+    of them — the standard dictionary-encode-before-iterating move.
+    ``_node_label`` maps back to the 'c…'/'s…' strings on the
+    |V|-sized output only."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
+            (F.col("o_custkey") * 2).alias("cust"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp"),
         )
         .distinct()
     )
     return pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
         pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
     )
+
+
+def _node_label(col):
+    """'c<custkey>' / 's<suppkey>' display label for a packed node id."""
+    return F.when(
+        col % 2 == 0, F.concat(F.lit("c"), (col / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("s"), ((col - 1) / 2).cast("long")))
 
 
 def _pagerank_oracle(n_iters: int) -> str:
@@ -213,7 +228,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(_interaction_edges(spark, sf_dir), n_iters=5, stats=stats)
     scale = float(stats["n_nodes"])
     return ranks.select(
-        "node", F.round(F.col("pr") * F.lit(scale), 4).alias("pr_scaled")
+        _node_label(F.col("node")).alias("node"),
+        F.round(F.col("pr") * F.lit(scale), 4).alias("pr_scaled"),
     ).orderBy("node")
 
 
