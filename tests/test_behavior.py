@@ -89,3 +89,35 @@ def test_regression_exact_line(spark):
         .collect()[0]
     )
     assert (row.s, row.i, row.r2) == (3.0, 5.0, 1.0)
+
+
+def test_sessionize_known_boundaries(spark):
+    """Hand-built stream with known 30-min-gap sessions: boundary gap
+    EXACTLY 30 min stays in-session (rule is strictly-greater), 30 min
+    + 1 µs splits; singleton sessions get duration 0."""
+    import datetime as dt
+
+    from real_time_data_anomaly_detection_spark.operators.behavior import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m, us = dt.timedelta(minutes=1), dt.timedelta(microseconds=1)
+    rows = [
+        # user 1, session 1: three events, gaps 10 min and EXACTLY 30 min
+        (1, t0, 1),
+        (1, t0 + 10 * m, 2),
+        (1, t0 + 40 * m, 3),
+        # user 1, session 2: 30 min + 1 µs after the last event
+        (1, t0 + 70 * m + us, 4),
+        # user 2: one lonely event
+        (2, t0, 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long")
+    got = {
+        (r.user_id, r.session_id): (r.session_start, r.n_events, r.duration_s)
+        for r in sessionize(df).collect()
+    }
+    assert got == {
+        (1, 1): (t0, 3, 2400),          # 40 min span, whole seconds
+        (1, 2): (t0 + 70 * m + us, 1, 0),
+        (2, 1): (t0, 1, 0),
+    }
