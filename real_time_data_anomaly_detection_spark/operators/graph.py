@@ -177,10 +177,13 @@ def _interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _node_label(col):
-    """'c<custkey>' / 's<suppkey>' display label for a packed node id."""
-    return F.when(
-        col % 2 == 0, F.concat(F.lit("c"), (col / 2).cast("long"))
-    ).otherwise(F.concat(F.lit("s"), ((col - 1) / 2).cast("long")))
+    """'c<custkey>' / 's<suppkey>' display label for a packed node id.
+    shiftright, not /2: integer halving stays exact for ids past
+    2^52, where double division would round."""
+    return F.concat(
+        F.when(col % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.shiftright(col.cast("bigint"), 1),
+    )
 
 
 def _pagerank_oracle(n_iters: int) -> str:

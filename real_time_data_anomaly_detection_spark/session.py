@@ -64,6 +64,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics (oracle parity).
         .config("spark.sql.session.timeZone", "UTC")
+        # Whole-stage-codegen class cache (STATIC conf — takes effect
+        # only when this call launches the JVM). The 100-entry default
+        # thrashes on mixed workloads: a session cycling through this
+        # engine's full registry (bench/verify: ~180 queries, several
+        # generated classes each) evicts every query's classes between
+        # its own runs, re-paying janino compilation per sample —
+        # measured as a consistent ~2-3 s in-bench overhead on the
+        # iterative queries (pagerank's 5-iteration loop alone
+        # generates ~15 stages). Sized for the registry sweep; a few
+        # KB of bytecode per entry, so ~tens of MB against a 48g heap.
+        .config("spark.sql.codegen.cache.maxEntries", "4000")
         .config("spark.ui.enabled", "false")
     )
     provider = state_store_provider or os.environ.get("SPARK_GRAFT_STATE_STORE")
