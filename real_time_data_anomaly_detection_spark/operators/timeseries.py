@@ -386,17 +386,23 @@ def ewma(
 @query(
     "q_ewma",
     oracle="""
-        WITH daily AS (
-            SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS v
+        WITH sums AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   sum(CAST(round(value * 1000000) AS BIGINT)) AS sm,
+                   count(*) AS n
             FROM events GROUP BY 1, 2),
+        daily AS (
+            SELECT event_type, d,
+                   CAST((sm + 50 * n) // (100 * n) AS DOUBLE) / 10000 AS v
+            FROM sums),
         pos AS (
             SELECT event_type, d, v,
                    row_number() OVER (PARTITION BY event_type ORDER BY d) - 1
                        AS i
             FROM daily)
-        SELECT event_type, d, round(v, 4) AS v,
-               round(sum(v * pow(1.0/0.7, i)) OVER w
-                         / sum(pow(1.0/0.7, i)) OVER w, 4) AS ewma
+        SELECT event_type, d, v,
+               round(sum(v * pow(2.0, i)) OVER w
+                         / sum(pow(2.0, i)) OVER w, 4) AS ewma
         FROM pos
         WINDOW w AS (PARTITION BY event_type ORDER BY d
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -404,19 +410,43 @@ def ewma(
     """,
 )
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EWMA-smoothed (α=0.3, adjust=True) daily mean value per
+    """EWMA-smoothed (α=0.5, adjust=True) daily mean value per
     event_type — the classic monitoring smoother over the daily
-    rollup (30-point series per key, so the weight ratio stays deep
-    inside double range). Oracle replays the identical
-    cancelled-factor ratio formulation."""
+    rollup (30-point series per key, so the weights stay deep inside
+    double range).
+
+    Two deliberate numeric choices make the cross-engine comparison
+    BIT-deterministic instead of merely probably-agreeing:
+    (1) the daily mean runs END-TO-END in exact integer arithmetic:
+    each value is independently rounded to a BIGINT of µ-units (a
+    per-row pure function of the same parquet double in both
+    engines), BIGINT summation is order-independent (double avg()'s
+    engine-dependent order left the mean one ulp apart across
+    engines), and the 4-decimal rounding itself is the integer
+    half-up division (sm + 50n) div (100n) — round(double, 4) is NOT
+    engine-portable on half-boundary inputs (the sf0.001 fixture has
+    a daily mean of exactly 38.37875: Spark's BigDecimal path gave
+    38.3787, DuckDB's multiply-round path 38.3788, on the IDENTICAL
+    input double); (2) the smoother consumes the PUBLISHED (rounded)
+    series with dyadic α = 0.5, so every weight 2^i and product v·2^i
+    is exact fp scaling and both window sums run over identical
+    doubles in identical order. (The integer-half-up form assumes
+    non-negative sums, which events.value guarantees.)"""
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.avg("value").alias("v"))
-    sm = ewma(daily, "event_type", "d", "v", alpha=0.3)
+    micro = F.round(F.col("value") * F.lit(1000000.0), 0).cast("bigint")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.sum(micro).alias("_sm"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "event_type",
+            "d",
+            (
+                F.expr("(_sm + 50 * _n) div (100 * _n)").cast("double")
+                / F.lit(10000.0)
+            ).alias("v"),
+        )
+    )
+    sm = ewma(daily, "event_type", "d", "v", alpha=0.5)
     return sm.select(
-        "event_type",
-        "d",
-        F.round("v", 4).alias("v"),
-        F.round("ewma", 4).alias("ewma"),
+        "event_type", "d", "v", F.round("ewma", 4).alias("ewma")
     ).orderBy("event_type", "d")
