@@ -261,6 +261,23 @@ def exact_substring_dedup(
         ).alias("_s0", "_dig"),
     ).select(id_col, (F.col("_s0") + 1).alias("_s"), "_dig")
 
+    # grams feeds TWO subplans (the duplicated-digest aggregate and the
+    # dup_starts flag-back join), and the gram computation itself is
+    # narrow — no exchange for Spark to reuse — so without
+    # materialization the tokenize + slice + sha2 pass runs twice.
+    # Below a 1 GB input estimate, localCheckpoint once (measured
+    # 2.5 -> 1.9 s at sf0.1); above, recompute wins — a corpus-sized
+    # gram materialization (LARGER than the corpus: ~one digest row
+    # per token) costs more storage traffic than a second codegen'd
+    # scan. Same gate as dedup.minhash_neardup_pairs' arr relation.
+    try:
+        in_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:  # estimate unavailable -> assume big, recompute
+        in_bytes = 1 << 60
+    if in_bytes <= 1 << 30:
+        grams = grams.localCheckpoint(eager=True)
     dup = (
         grams.groupBy("_dig")
         .agg(F.count(F.lit(1)).alias("_c"))
