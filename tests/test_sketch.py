@@ -175,3 +175,16 @@ def test_hll_bad_precision_rejected(spark):
     df = spark.range(5).select(F.lit("g").alias("g"), F.col("id").alias("k"))
     with pytest.raises(ValueError, match="precision p"):
         hll_estimate(df, "k", ["g"], p=2)
+
+
+def test_cms_depth_bounded_by_digest_chunks(spark):
+    """The chunked-digest scheme has exactly four 32-bit chunks per
+    md5; depth > 4 must raise (width is the right error knob), and
+    depth=4 must emit buckets for rows 0..3."""
+    import pytest
+
+    items = spark.createDataFrame([("a",), ("b",)], "item string")
+    with pytest.raises(ValueError, match="widen instead"):
+        countmin_build(items, "item", depth=5, width=64)
+    rows = {r.row for r in countmin_build(items, "item", depth=4, width=64).collect()}
+    assert rows == {0, 1, 2, 3}
