@@ -286,3 +286,49 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     passed. Oracle replays the identical chain."""
     ev = load_table(spark, sf_dir, "events")
     return sessionize(ev, gap="6 hours")
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events),
+        pairs AS (
+            SELECT prev_type, event_type AS next_type, count(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2)
+        SELECT prev_type, next_type, n,
+               round(CAST(n AS DOUBLE)
+                     / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+        FROM pairs ORDER BY prev_type, next_type
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix over per-user event
+    sequences: (prev_type, next_type, n, p) with p row-normalized per
+    prev_type — the classic Markov-chain summary behind next-event
+    prediction and funnel-drop diagnosis. One user-keyed window pass
+    for the lag, then the aggregate and the normalizing window both
+    run on the TYPE-PAIR relation (|types|² rows — tiny at any corpus
+    scale, so the only event-sized exchange is the lag's). The
+    probability divides two engine-identical integers, so the rounded
+    output is bit-deterministic cross-engine (cf. q_ewma's integer
+    discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    norm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(norm), 4).alias("p"),
+    ).orderBy("prev_type", "next_type")
