@@ -934,9 +934,13 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("comp").alias("nmin"))
         )
+        # Carry the start-of-round label (_prev) through the round so
+        # convergence is a scan of the materialized frontier, not a
+        # separate old⋈new join job per round.
         prop = comp.join(neigh_min, comp.node == neigh_min.dst, "left").select(
             "node",
             F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+            F.col("comp").alias("_prev"),
         )
         # pointer jump: follow the label's own label (labels are node
         # ids, so the self-join is well-defined). TWO hops per round,
@@ -948,6 +952,7 @@ def connected_components(
         jumped = prop.join(hop, prop.comp == hop._ln, "left").select(
             "node",
             F.least(F.col("comp"), F.coalesce("_lc", "comp")).alias("comp"),
+            "_prev",
         )
         hop2 = jumped.select(F.col("node").alias("_ln"), F.col("comp").alias("_lc"))
         # localCheckpoint, not persist: it TRUNCATES lineage. With bare
@@ -959,17 +964,13 @@ def connected_components(
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("_lc", "comp")).alias("comp"),
+                "_prev",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        changed = new_comp.filter(F.col("comp") != F.col("_prev")).count()
         comp.unpersist()
-        comp = new_comp
+        comp = new_comp.drop("_prev")
         if changed == 0:
             if stats is not None:
                 stats["rounds"] = _round + 1
