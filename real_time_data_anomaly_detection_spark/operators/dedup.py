@@ -893,13 +893,18 @@ def connected_components(
     iterative min-label propagation.
 
     Each round every node takes the min of its own label and its
-    neighbors' labels, then POINTER-JUMPS (label := label of its
-    label) — the shortcut makes convergence O(log n) rounds even for
-    chain-shaped clusters, where plain propagation needs O(diameter)
-    and would blow the iteration cap. A driver LOOP, but every round
-    is fully distributed (two joins + a groupBy-min). Rounds persist
-    their frontier and stop when no label changes. Raises past
-    ``max_iter`` rather than returning a half-propagated labeling.
+    neighbors' labels, then POINTER-JUMPS TWICE (label := label of
+    its label, squared reach) — the shortcut makes convergence
+    ~log2(n)/2 rounds even for chain-shaped clusters, where plain
+    propagation needs O(diameter) and would blow the iteration cap.
+    Labels seed with min(self, neighbors), folding the first
+    propagation round into the init shuffle. A driver LOOP, but every
+    round is fully distributed: one edge-sized join + groupBy-min,
+    two label-sized jump joins, and a convergence check that is a
+    filter-count SCAN of the round's own checkpointed frontier (the
+    start-of-round label rides along as ``_prev`` — no old-vs-new
+    join job). Stops when no label changes; raises past ``max_iter``
+    rather than returning a half-propagated labeling.
 
     Pass ``stats`` (a dict) to get ``stats["rounds"]`` back — the
     O(log n) round claim is pinned, not assumed, by
