@@ -383,6 +383,25 @@ def ewma(
     ).drop("_w")
 
 
+def _micro_units(col):
+    """Per-row exact integer micro-units: round(value·1e6) as BIGINT —
+    a pure function of the input double, so identical in any engine,
+    and BIGINT sums are order-independent where double sums are not."""
+    return F.round(col * F.lit(1000000.0), 0).cast("bigint")
+
+
+def _exact_mean_4dp(sum_col: str, n_col: str):
+    """4-decimal mean of a micro-unit sum, rounded ENTIRELY in integer
+    arithmetic: (sm + 50n) div (100n) is half-up in 1e-4 units, then
+    one exact double division by 1e4. round(double, 4) is not
+    engine-portable on half-boundary inputs (Spark's BigDecimal path
+    and DuckDB's multiply-round path disagree on the identical
+    double); integer half-up is. Assumes non-negative sums."""
+    return F.expr(
+        f"({sum_col} + 50 * {n_col}) div (100 * {n_col})"
+    ).cast("double") / F.lit(10000.0)
+
+
 @query(
     "q_ewma",
     oracle="""
@@ -433,18 +452,13 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles in identical order. (The integer-half-up form assumes
     non-negative sums, which events.value guarantees.)"""
     e = load_table(spark, sf_dir, "events")
-    micro = F.round(F.col("value") * F.lit(1000000.0), 0).cast("bigint")
     daily = (
         e.groupBy("event_type", F.to_date("ts").alias("d"))
-        .agg(F.sum(micro).alias("_sm"), F.count(F.lit(1)).alias("_n"))
-        .select(
-            "event_type",
-            "d",
-            (
-                F.expr("(_sm + 50 * _n) div (100 * _n)").cast("double")
-                / F.lit(10000.0)
-            ).alias("v"),
+        .agg(
+            F.sum(_micro_units(F.col("value"))).alias("_sm"),
+            F.count(F.lit(1)).alias("_n"),
         )
+        .select("event_type", "d", _exact_mean_4dp("_sm", "_n").alias("v"))
     )
     sm = ewma(daily, "event_type", "d", "v", alpha=0.5)
     return sm.select(

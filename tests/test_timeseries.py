@@ -121,3 +121,26 @@ def test_ewma_matches_pandas_adjusted(spark):
         expect = pd.Series(series).ewm(alpha=0.3, adjust=True).mean()
         for i, e in enumerate(expect):
             assert out[(k, i)] == pytest.approx(e, rel=1e-12), (k, i)
+
+
+def test_exact_mean_4dp_half_boundary(spark):
+    """The half-boundary cell that round(double, 4) got wrong
+    cross-engine: mean exactly 38.37875 must round half-up to 38.3788
+    — in pure integer arithmetic, regardless of engine round()
+    behavior. Also: a just-below-boundary mean must round down."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        _exact_mean_4dp,
+    )
+
+    rows = [
+        (307030000, 8),  # 38.378750... exactly -> half-up 38.3788
+        (307029999, 8),  # 38.37874987... -> 38.3787
+        (100, 1),        # 0.0001 exactly
+        (49, 1),         # 0.000049 -> rounds to 0.0000
+        (50, 1),         # half boundary at the smallest unit -> 0.0001
+    ]
+    df = spark.createDataFrame(rows, "_sm long, _n long")
+    got = [r.v for r in df.select(_exact_mean_4dp("_sm", "_n").alias("v")).collect()]
+    assert got == [38.3788, 38.3787, 0.0001, 0.0, 0.0001]
