@@ -332,3 +332,63 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(norm), 4).alias("p"),
     ).orderBy("prev_type", "next_type")
+
+
+@query(
+    "q_rfm",
+    oracle="""
+        WITH base AS (
+            SELECT o_custkey AS custkey,
+                   date_diff('day', CAST(max(o_orderdate) AS DATE),
+                             DATE '2001-09-01') AS recency_days,
+                   count(*) AS frequency,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS monetary_cents
+            FROM orders GROUP BY 1)
+        SELECT custkey, recency_days, frequency,
+               CAST(monetary_cents AS DOUBLE) / 100 AS monetary,
+               ntile(5) OVER (ORDER BY recency_days ASC, custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary_cents DESC, custkey) AS m_score
+        FROM base ORDER BY custkey
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over the orders fact: per customer,
+    recency (days from last order to a fixed anchor), frequency
+    (order count), monetary (lifetime spend), each quintile-scored
+    with ntile(5) — the classic CRM segmentation, one custkey-keyed
+    aggregate plus three window passes over the CUSTOMER-sized rollup
+    (never the order-sized fact). Determinism discipline: monetary
+    sums exact integer cents (cf. q_ewma), every ntile orders by an
+    integer metric with custkey as tiebreak, and recency is an
+    integer date difference — no engine-dependent double appears
+    before the final exact division.
+
+    Scale note: a global ntile forces the customer rollup through ONE
+    window partition — fine for dimension-sized rollups (TPC-H
+    customers ~ 15M rows/TB of fact data); for larger populations
+    swap in percent_rank bucketing over a range-partitioned sort,
+    which keeps the ordering distributed."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"), F.to_date(F.max("o_orderdate"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.round(F.col("o_totalprice") * F.lit(100.0), 0).cast("bigint")
+        ).alias("monetary_cents"),
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), "custkey")
+    w_f = Window.orderBy(F.desc("frequency"), "custkey")
+    w_m = Window.orderBy(F.desc("monetary_cents"), "custkey")
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        (F.col("monetary_cents").cast("double") / F.lit(100.0)).alias("monetary"),
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    ).orderBy("custkey")
