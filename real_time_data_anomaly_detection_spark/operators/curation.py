@@ -924,3 +924,134 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("status")
     )
+
+
+def cdc_apply(
+    target: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Apply a CDC change batch to a snapshot: per key, the
+    HIGHEST-``seq_col`` change wins ('upsert' replaces-or-appends the
+    row, 'delete' drops it); unchanged target rows pass through. The
+    delete-aware, out-of-order-tolerant completion of
+    ``merge_upsert`` — the semantics of MERGE INTO fed by a log
+    compaction.
+
+    Scale shape: latest-wins is one window pass over the CHANGE BATCH
+    (never the snapshot); the snapshot is touched by exactly one
+    anti-join against the (broadcast by default) changed-key set —
+    the 100 TB target is never reshuffled. ``changes`` carries the
+    target's columns plus (op, seq); delete rows may leave the
+    payload columns null."""
+    from pyspark.sql import Window
+
+    cols = target.columns
+    missing = set(cols) - set(changes.columns)
+    if missing:
+        raise ValueError(f"changes missing target columns: {sorted(missing)}")
+    w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    changed_keys = latest.select(key_col)
+    untouched = target.join(
+        F.broadcast(changed_keys) if broadcast_keys else changed_keys,
+        key_col,
+        "left_anti",
+    )
+    upserts = latest.filter(F.col(op_col) == "upsert").select(cols)
+    return untouched.select(cols).unionByName(upserts)
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+        WITH target AS (
+            SELECT o_orderkey AS k, o_custkey AS custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+            FROM orders),
+        changes AS (
+            -- k%7=0: upsert at seq 1, delete at seq 2 -> net delete
+            SELECT k, custkey, total_cents + 111 AS total_cents,
+                   'upsert' AS op, 1 AS seq FROM target WHERE k % 7 = 0
+            UNION ALL
+            SELECT k, NULL, NULL, 'delete', 2 FROM target WHERE k % 7 = 0
+            -- k%7=1: delete at seq 1, upsert(doubled) at seq 2 -> net upsert
+            UNION ALL
+            SELECT k, NULL, NULL, 'delete', 1 FROM target WHERE k % 7 = 1
+            UNION ALL
+            SELECT k, custkey, total_cents * 2, 'upsert', 2
+            FROM target WHERE k % 7 = 1
+            -- k%7=2: single upsert
+            UNION ALL
+            SELECT k, custkey, total_cents + 555, 'upsert', 1
+            FROM target WHERE k % 7 = 2
+            -- brand-new keys (negative ids cannot collide with target)
+            UNION ALL
+            SELECT -k, custkey, total_cents, 'upsert', 1
+            FROM target WHERE k % 7 = 3),
+        latest AS (
+            SELECT * FROM (
+                SELECT c.*, row_number() OVER (PARTITION BY k
+                                               ORDER BY seq DESC) AS rn
+                FROM changes c) WHERE rn = 1),
+        untouched AS (
+            SELECT t.* FROM target t ANTI JOIN latest l ON t.k = l.k)
+        SELECT k, custkey, total_cents FROM untouched
+        UNION ALL
+        SELECT k, custkey, total_cents FROM latest WHERE op = 'upsert'
+        ORDER BY k
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply over an orders snapshot with a deterministic
+    synthetic change log exercising every path: out-of-order
+    upsert-then-delete (net delete), delete-then-upsert (net upsert,
+    latest wins), plain update, brand-new keys, and untouched
+    pass-through. Monetary carried as exact integer cents (cf. q_rfm)
+    so the doubled/offset payloads stay engine-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    target = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    m = F.col("k") % 7
+    nulls = [F.lit(None).cast("bigint").alias(c) for c in ("custkey", "total_cents")]
+    changes = (
+        target.filter(m == 0)
+        .select("k", "custkey", (F.col("total_cents") + 111).alias("total_cents"),
+                F.lit("upsert").alias("op"), F.lit(1).alias("seq"))
+        .unionByName(
+            target.filter(m == 0).select(
+                "k", *nulls, F.lit("delete").alias("op"), F.lit(2).alias("seq"))
+        )
+        .unionByName(
+            target.filter(m == 1).select(
+                "k", *nulls, F.lit("delete").alias("op"), F.lit(1).alias("seq"))
+        )
+        .unionByName(
+            target.filter(m == 1).select(
+                "k", "custkey", (F.col("total_cents") * 2).alias("total_cents"),
+                F.lit("upsert").alias("op"), F.lit(2).alias("seq"))
+        )
+        .unionByName(
+            target.filter(m == 2).select(
+                "k", "custkey", (F.col("total_cents") + 555).alias("total_cents"),
+                F.lit("upsert").alias("op"), F.lit(1).alias("seq"))
+        )
+        .unionByName(
+            target.filter(m == 3).select(
+                (-F.col("k")).alias("k"), "custkey", "total_cents",
+                F.lit("upsert").alias("op"), F.lit(1).alias("seq"))
+        )
+    )
+    return cdc_apply(target, changes, "k").orderBy("k")

@@ -389,3 +389,30 @@ def test_table_diff_statuses(spark):
     )
     got = {r.doc_id: r.status for r in table_diff(old, new, "doc_id", ["text"]).collect()}
     assert got == {1: "unchanged", 2: "modified", 3: "removed", 4: "added"}
+
+
+def test_cdc_apply_latest_wins_and_deletes(spark):
+    """Out-of-order change application: upsert-then-delete nets a
+    delete, delete-then-upsert nets the upsert, new keys append,
+    untouched rows pass through, and a missing payload column in the
+    change batch raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from real_time_data_anomaly_detection_spark.operators.curation import cdc_apply
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", "upsert", 1), (1, None, "delete", 2),   # net delete
+            (2, None, "delete", 1), (2, "b2", "upsert", 2),   # net upsert
+            (9, "new", "upsert", 1),                          # append
+        ],
+        "k long, v string, op string, seq int",
+    )
+    got = {r.k: r.v for r in cdc_apply(target, changes, "k").collect()}
+    assert got == {2: "b2", 3: "c", 9: "new"}
+    with pytest.raises(ValueError, match="missing target columns"):
+        cdc_apply(target, changes.drop("v"), "k")
