@@ -392,3 +392,80 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(w_f).alias("f_score"),
         F.ntile(5).over(w_m).alias("m_score"),
     ).orderBy("custkey")
+
+
+@query(
+    "q_basket_pairs",
+    oracle="""
+        WITH b AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        nb AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+        item AS (
+            SELECT l_partkey, count(*) AS c FROM b GROUP BY 1),
+        pairs AS (
+            SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS support
+            FROM b x JOIN b y
+              ON x.l_orderkey = y.l_orderkey
+             AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT p.a, p.b, p.support,
+               (p.support * nb.n_orders * 1000000) // (ia.c * ib.c)
+                   AS lift_ppm
+        FROM pairs p
+        JOIN item ia ON ia.l_partkey = p.a
+        JOIN item ib ON ib.l_partkey = p.b
+        CROSS JOIN nb
+        ORDER BY p.support DESC, p.a, p.b
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over order baskets: co-purchased part
+    pairs with support >= 2 and integer-ppm lift — the association-
+    rules support/lift primitive. Pairs are generated BASKET-LOCALLY
+    (collect the order's sorted distinct parts, explode i<j index
+    pairs inside codegen) instead of a basket self-join, so per-order
+    fan-out is bounded by basket size squared (TPC-H baskets <= 7
+    items -> <= 21 pairs) and the only exchanges are the basket
+    groupBy and the pair-count aggregate; the per-item counts rejoin
+    BROADCAST (dimension-sized). Lift is published in exact integer
+    parts-per-million — (support·N·1e6) div (c_a·c_b) — so no
+    engine-dependent double exists anywhere (cf. q_ewma)."""
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = b.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("_items")
+    )
+    idx_pairs = F.expr(
+        """flatten(transform(sequence(0, size(_items) - 2), i ->
+               transform(sequence(i + 1, size(_items) - 1), j ->
+                   struct(_items[i] AS a, _items[j] AS b))))"""
+    )
+    pairs = (
+        baskets.filter(F.size("_items") >= 2)
+        .select(F.explode(idx_pairs).alias("_p"))
+        .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    item = b.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    n_orders = baskets.count()
+    ia = F.broadcast(item.select(F.col("_pk").alias("_pka"), F.col("_c").alias("_ca")))
+    ib = F.broadcast(item.select(F.col("_pk").alias("_pkb"), F.col("_c").alias("_cb")))
+    return (
+        pairs.join(ia, pairs.a == F.col("_pka"))
+        .join(ib, pairs.b == F.col("_pkb"))
+        .select(
+            "a",
+            "b",
+            "support",
+            F.expr(f"(support * {n_orders}L * 1000000L) div (_ca * _cb)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("support"), "a", "b")
+    )
