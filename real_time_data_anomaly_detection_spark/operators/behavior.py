@@ -469,3 +469,81 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("support"), "a", "b")
     )
+
+
+@query(
+    "q_funnel_time",
+    oracle="""
+        WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+        d12 AS (SELECT floor(epoch(s2.t)) - floor(epoch(s1.t)) AS ds
+                FROM s2 JOIN s1 USING (user_id)),
+        d23 AS (SELECT floor(epoch(s3.t)) - floor(epoch(s2.t)) AS ds
+                FROM s3 JOIN s2 USING (user_id))
+        SELECT * FROM (
+            SELECT 'view->click' AS stage_pair, count(*) AS n_users,
+                   round(quantile_cont(ds, 0.5), 4) AS median_s,
+                   round(quantile_cont(ds, 0.9), 4) AS p90_s
+            FROM d12
+            UNION ALL
+            SELECT 'click->purchase', count(*),
+                   round(quantile_cont(ds, 0.5), 4),
+                   round(quantile_cont(ds, 0.9), 4)
+            FROM d23)
+        ORDER BY stage_pair
+    """,
+)
+def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-stage conversion latency for the view→click→purchase
+    funnel: per stage pair, converting-user count plus median and p90
+    seconds between the stages' first-touch conversion times — the
+    companion to q_funnel's counts (how MANY convert vs how FAST).
+    Stage frontiers are the same user-keyed min-aggregates as
+    funnel(); the percentile inputs are whole-second integer diffs
+    (tz-free, cf. q_regression), so the quantile interpolation runs
+    on engine-identical integer multisets and the rounded output is
+    deterministic. All aggregates are user-rollup-sized — events are
+    touched only by the three stage scans."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ep = _epoch_s_tzfree("ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(ep).alias("_t1"), F.min("ts").alias("_ts1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("_ts1"))
+        .groupBy("user_id")
+        .agg(F.min(ep).alias("_t2"), F.min("ts").alias("_ts2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("_ts2"))
+        .groupBy("user_id")
+        .agg(F.min(ep).alias("_t3"))
+    )
+    d12 = s2.join(s1, "user_id").select((F.col("_t2") - F.col("_t1")).alias("ds"))
+    d23 = s3.join(s2, "user_id").select((F.col("_t3") - F.col("_t2")).alias("ds"))
+
+    def agg(d, label):
+        return d.agg(
+            F.lit(label).alias("stage_pair"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.expr("percentile(ds, 0.5)"), 4).alias("median_s"),
+            F.round(F.expr("percentile(ds, 0.9)"), 4).alias("p90_s"),
+        )
+
+    return (
+        agg(d12, "view->click")
+        .unionByName(agg(d23, "click->purchase"))
+        .orderBy("stage_pair")
+    )
