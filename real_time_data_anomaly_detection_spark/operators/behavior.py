@@ -547,3 +547,87 @@ def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(d23, "click->purchase"))
         .orderBy("stage_pair")
     )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+        WITH cohort AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+            FROM events WHERE event_type = 'signup' GROUP BY 1),
+        buys AS (
+            SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+                   CAST(round(value * 1000000) AS BIGINT) AS v_micro
+            FROM events WHERE event_type = 'purchase'),
+        weekly AS (
+            SELECT c.cohort_week,
+                   CAST(floor(date_diff('day', c.cohort_week, b.wk) / 7.0)
+                        AS INT) AS week_n,
+                   count(DISTINCT b.user_id) AS n_buyers,
+                   sum(b.v_micro) AS spend_micro
+            FROM buys b JOIN cohort c USING (user_id)
+            WHERE b.wk >= c.cohort_week
+            GROUP BY 1, 2)
+        SELECT cohort_week, week_n, n_buyers,
+               CAST(spend_micro AS DOUBLE) / 1000000 AS spend,
+               CAST(sum(spend_micro) OVER (PARTITION BY cohort_week
+                                           ORDER BY week_n
+                                           ROWS UNBOUNDED PRECEDING)
+                    AS DOUBLE) / 1000000 AS cum_spend
+        FROM weekly ORDER BY cohort_week, week_n
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: per signup-cohort week, weekly
+    purchase spend and its running cumulative — the revenue companion
+    to q_retention's activity counts. Spend is summed and accumulated
+    in exact integer micro-units (order-independent BIGINT arithmetic,
+    cf. q_ewma), converted by one exact division at publication; the
+    running window orders by the integer week index, so every value is
+    engine-identical. Aggregates are cohort-week-sized — the events
+    fact is touched by two filtered scans."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("_wk"),
+        _ltv_micro(F.col("value")).alias("_v"),
+    )
+    weekly = (
+        buys.join(cohort, "user_id")
+        .filter(F.col("_wk") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff("_wk", "cohort_week") / 7).cast("int").alias("week_n"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_buyers"),
+            F.sum("_v").alias("_spend_micro"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return weekly.select(
+        "cohort_week",
+        "week_n",
+        "n_buyers",
+        (F.col("_spend_micro").cast("double") / F.lit(1000000.0)).alias("spend"),
+        (
+            F.sum("_spend_micro").over(w).cast("double") / F.lit(1000000.0)
+        ).alias("cum_spend"),
+    ).orderBy("cohort_week", "week_n")
+
+
+def _ltv_micro(col):
+    """Exact integer micro-units of a monetary double (cf.
+    timeseries._micro_units — duplicated locally to keep behavior.py
+    import-independent of the timeseries module)."""
+    return F.round(col * F.lit(1000000.0), 0).cast("bigint")
