@@ -1301,6 +1301,52 @@ def q_components_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_neardup_dedup_md5",
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_MD5_CTES},
+        nodes AS (SELECT doc_a AS n FROM pairs UNION SELECT doc_b FROM pairs),
+        sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, comp) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN sym e ON e.src = r.node
+        ),
+        comp AS (SELECT node, min(comp) AS component FROM reach GROUP BY 1),
+        survivors AS (
+            SELECT DISTINCT component AS doc_id FROM comp
+            UNION ALL
+            SELECT d.doc_id FROM documents d
+            ANTI JOIN comp ON d.doc_id = comp.node)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+        ORDER BY d.doc_id
+    """,
+)
+def q_neardup_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dup removal on the md5 twin path, ORACLE-
+    BACKED: pairs -> connected components -> one survivor per cluster
+    (the min id — which IS the component label under min-label
+    propagation) plus every unpaired document. Extends
+    q_components_md5 one step further: not just the group closure but
+    the final KEEP/DROP decision per document is hash-compared
+    cross-engine. The production xxhash64 removal (q_neardup_dedup)
+    keeps its recall tests; this twin proves the survivor algebra."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_md5_pairs(d)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    keepers = comp.select(F.col("comp").alias("doc_id")).distinct()
+    clustered = comp.select(F.col("node").alias("doc_id"))
+    unpaired = d.select("doc_id").join(clustered, "doc_id", "left_anti")
+    survivors = keepers.unionByName(unpaired)
+    return (
+        d.join(survivors, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Edit-distance (Levenshtein) near-dup — short-string variant detection
 
