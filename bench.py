@@ -189,19 +189,29 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration": calibration,
+    }
+    detail = {
         "extended": extended,
         "spread": spread,
         "extended_spread": extended_spread,
-        "calibration": calibration,
     }
     if stream_rps is not None:
         result["stream_rows_per_sec"] = stream_rps[0]
-        result["stream_rows_per_sec_spread"] = stream_rps[1]
+        detail["stream_rows_per_sec_spread"] = stream_rps[1]
 
     # The metric line is the LAST stdout write, after all Spark jobs
     # (batch and stream) have finished — nothing can interleave with it.
+    # The harness that records BENCH_r*.json keeps only the final ~2000
+    # chars of output and parses the metric line out of that window, so
+    # the last line must stay compact (r5/r6 "parsed": null was this
+    # line outgrowing the window once extended+spread were inlined);
+    # the full diagnostics go on their own line just before it.
     sys.stdout.flush()
-    print(json.dumps(result), flush=True)
+    print("BENCH_DETAIL " + json.dumps(detail), flush=True)
+    line = json.dumps(result)
+    assert len(line) < 1800, f"metric line too long ({len(line)} chars)"
+    print(line, flush=True)
 
 
 def _stream_throughput(

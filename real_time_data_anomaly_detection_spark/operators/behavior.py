@@ -301,8 +301,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM seq WHERE prev_type IS NOT NULL
             GROUP BY 1, 2)
         SELECT prev_type, next_type, n,
-               round(CAST(n AS DOUBLE)
-                     / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+               ((20000 * n + sum(n) OVER (PARTITION BY prev_type))
+                // (2 * sum(n) OVER (PARTITION BY prev_type)))
+               / 10000.0 AS p
         FROM pairs ORDER BY prev_type, next_type
     """,
 )
@@ -313,10 +314,12 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     prediction and funnel-drop diagnosis. One user-keyed window pass
     for the lag, then the aggregate and the normalizing window both
     run on the TYPE-PAIR relation (|types|² rows — tiny at any corpus
-    scale, so the only event-sized exchange is the lag's). The
-    probability divides two engine-identical integers, so the rounded
-    output is bit-deterministic cross-engine (cf. q_ewma's integer
-    discipline)."""
+    scale, so the only event-sized exchange is the lag's). The 4-dp
+    probability is rounded in INTEGER arithmetic — half-up via
+    (20000·n + N) div (2N) — because round(double, 4) is NOT portable
+    on half-boundary doubles (the _exact_mean_4dp lesson); dividing
+    the engine-identical integer by 10000.0 then yields the identical
+    IEEE double on both engines."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -326,11 +329,17 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type", F.col("event_type").alias("next_type")
     ).agg(F.count(F.lit(1)).alias("n"))
     norm = Window.partitionBy("prev_type")
+    tot = F.sum("n").over(norm)
+    num = F.lit(20000) * F.col("n") + tot
+    den = F.lit(2) * tot
+    # exact bigint div: subtract the remainder first, so the double
+    # division is of exactly-divisible ints (quotient <= 10000)
+    p4 = ((num - F.pmod(num, den)) / den).cast("bigint")
     return pairs.select(
         "prev_type",
         "next_type",
         "n",
-        F.round(F.col("n").cast("double") / F.sum("n").over(norm), 4).alias("p"),
+        (p4 / F.lit(10000.0)).alias("p"),
     ).orderBy("prev_type", "next_type")
 
 

@@ -78,11 +78,15 @@ def bpe_train(
 
     ``batch_size=B`` applies the standard merge-batching trick (round-6
     judge item #5): each round collects the top candidates once and
-    greedily picks up to B pairs whose SYMBOL SETS are pairwise
-    disjoint, fusing them all in one pass. Disjointness makes the batch
-    exact w.r.t. its own rule — fusing (a,b) cannot create, destroy, or
-    re-rank occurrences of (c,d) when {a,b} ∩ {c,d} = ∅, so every
-    recorded pair_count equals its pre-batch count. B=1 reproduces the
+    greedily picks up to B pairs that are pairwise disjoint on SYMBOLS
+    (no member consumes another's operand) and on CREATIONS (no member
+    touches a symbol equal to an earlier member's left+right
+    concatenation — without this, ('a','b') then ('ab','x') would let
+    the second fusion consume 'ab' tokens that did not exist when its
+    count was measured), fusing them all in one pass. Under both rules
+    fusing (a,b) cannot create, destroy, or re-rank occurrences of
+    (c,d), so every recorded pair_count equals its pre-batch count.
+    B=1 reproduces the
     classic sequential algorithm merge-for-merge. At a real 32k-merge
     vocabulary, B=8 cuts driver round-trips (one collect + one
     checkpoint per ROUND, not per merge) ~8×; the batched schedule can
@@ -125,13 +129,23 @@ def bpe_train(
         if not top:
             break
         used: set[str] = set()
+        created: set[str] = set()
         batch: list[tuple[str, str, int]] = []
         for row in top:
             if len(batch) >= want:
                 break
+            # disjointness is on SYMBOLS (no member may consume another
+            # member's operand) AND on CREATION: a candidate touching a
+            # symbol an earlier member's fusion CREATES (its left+right
+            # concatenation) would see tokens that did not exist when
+            # its pair_count was measured — e.g. ('a','b') then
+            # ('ab','x') — making the recorded count stale.
             if row.l in used or row.r in used:
                 continue
+            if row.l in created or row.r in created:
+                continue
             used.update((row.l, row.r))
+            created.add(row.l + row.r)
             batch.append((row.l, row.r, int(row.n)))
         col = F.col("syms")
         for left, right, n in batch:

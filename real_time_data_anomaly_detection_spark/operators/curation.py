@@ -946,14 +946,26 @@ def cdc_apply(
     anti-join against the (broadcast by default) changed-key set —
     the 100 TB target is never reshuffled. ``changes`` carries the
     target's columns plus (op, seq); delete rows may leave the
-    payload columns null."""
+    payload columns null.
+
+    Ties on ``seq_col`` (a log that re-emits the same sequence number
+    for a key) are resolved DETERMINISTICALLY, not by partition luck:
+    delete beats upsert at equal seq (the conservative compaction
+    choice), and identical (seq, op) rows fall back to the payload
+    columns themselves — the winner is a pure function of the row
+    multiset, stable under any partitioning or retry."""
     from pyspark.sql import Window
 
     cols = target.columns
     missing = set(cols) - set(changes.columns)
     if missing:
         raise ValueError(f"changes missing target columns: {sorted(missing)}")
-    w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
+    payload_tiebreak = [
+        F.asc_nulls_first(c) for c in cols if c != key_col
+    ]
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(seq_col), F.asc(op_col), *payload_tiebreak
+    )
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

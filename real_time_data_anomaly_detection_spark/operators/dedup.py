@@ -1130,7 +1130,8 @@ def minhash_md5_pairs(d: DataFrame) -> DataFrame:
                  FROM h, UNNEST(generate_series(0, 31)) AS u(b)
                  GROUP BY 1, 2)
         SELECT doc_id,
-               sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+               CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                    AS BIGINT) AS simhash
         FROM bits GROUP BY 1
     """,
 )

@@ -340,7 +340,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         j AS (SELECT w.lang, toks, share FROM w JOIN tgt ON w.lang = tgt.lang),
         b AS (SELECT min(toks / share) AS budget FROM j)
-        SELECT lang, toks AS available_tokens,
+        SELECT lang, CAST(toks AS BIGINT) AS available_tokens,
                CAST(floor(share * budget) AS BIGINT) AS target_tokens,
                round(least(1.0, share * budget / toks), 4) AS keep_rate
         FROM j, b
@@ -661,7 +661,8 @@ def q_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                        AS dg
             FROM sampled)
-        SELECT dg % 4 AS shard, count(*) AS n_docs, sum(dg) AS checksum
+        SELECT dg % 4 AS shard, count(*) AS n_docs,
+               CAST(sum(dg) AS BIGINT) AS checksum
         FROM dig GROUP BY 1 ORDER BY 1
     """,
 )

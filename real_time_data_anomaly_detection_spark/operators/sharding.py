@@ -111,7 +111,8 @@ def write_shards(
             SELECT ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                        AS dig
             FROM documents)
-        SELECT dig % 8 AS shard, count(*) AS n_docs, sum(dig) AS checksum
+        SELECT dig % 8 AS shard, count(*) AS n_docs,
+               CAST(sum(dig) AS BIGINT) AS checksum
         FROM d GROUP BY 1 ORDER BY 1
     """,
 )

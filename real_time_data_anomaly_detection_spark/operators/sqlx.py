@@ -654,7 +654,8 @@ def q_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                count(*) AS n,
-               sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                    AS BIGINT) AS sum_k,
                max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         FROM events
         WHERE props IS NOT NULL

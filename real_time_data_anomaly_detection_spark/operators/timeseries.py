@@ -307,8 +307,8 @@ def q_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.event_type,
                round(any_value(d.med), 4) AS med,
                round(any_value(m.mad), 4) AS mad,
-               sum(CASE WHEN d.ad > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
-                   AS n_outliers
+               CAST(sum(CASE WHEN d.ad > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
         FROM dev d JOIN mad m USING (event_type)
         GROUP BY 1 ORDER BY 1
     """,

@@ -44,7 +44,8 @@ def bpe_reference_batched(word_cnts: dict[str, int], n_merges: int, b: int):
     """Reference for the SAME batching rule bpe_train(batch_size=B)
     implements: per round, rank all pairs (count DESC, pair ASC), scan
     the top 4*want candidates, greedily keep up to ``want`` pairs with
-    pairwise-disjoint symbol sets, fuse them all, recount."""
+    pairwise-disjoint symbol sets that also touch no earlier member's
+    created (left+right) symbol, fuse them all, recount."""
     syms = {w: list(w) for w in word_cnts}
     merges = []
     while len(merges) < n_merges:
@@ -59,13 +60,20 @@ def bpe_reference_batched(word_cnts: dict[str, int], n_merges: int, b: int):
         ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
         cap = want if want == 1 else want * 4
         used: set[str] = set()
+        created: set[str] = set()
         batch = []
         for (left, right), n in ranked[:cap]:
             if len(batch) >= want:
                 break
             if left in used or right in used:
                 continue
+            # creation rule (round-6 ADVICE): a candidate touching a
+            # symbol an earlier batch member CREATES would count
+            # tokens that did not exist pre-batch
+            if left in created or right in created:
+                continue
             used.update((left, right))
+            created.add(left + right)
             batch.append((left, right, n))
         for left, right, n in batch:
             merges.append((len(merges), left, right, n))

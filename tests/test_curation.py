@@ -416,3 +416,31 @@ def test_cdc_apply_latest_wins_and_deletes(spark):
     assert got == {2: "b2", 3: "c", 9: "new"}
     with pytest.raises(ValueError, match="missing target columns"):
         cdc_apply(target, changes.drop("v"), "k")
+
+
+def test_cdc_apply_seq_ties_are_deterministic(spark):
+    """Duplicate seq values per key must pick a documented winner, not
+    a partition-dependent one: delete beats upsert at equal seq, and
+    equal (seq, op) upserts fall back to the payload order — stable
+    across shuffle-partition settings."""
+    from real_time_data_anomaly_detection_spark.operators.curation import cdc_apply
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    changes = spark.createDataFrame(
+        [
+            (1, "x", "upsert", 5), (1, None, "delete", 5),  # delete wins tie
+            (2, "p", "upsert", 7), (2, "q", "upsert", 7),   # payload order: 'p'
+        ],
+        "k long, v string, op string, seq int",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for n in ("1", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.append(
+                {r.k: r.v for r in cdc_apply(target, changes, "k").collect()}
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results[0] == results[1] == {2: "p"}

@@ -87,6 +87,27 @@ def test_oracle_parity(name, spark, duck):
     assert rows_multiset(scols, srows) == rows_multiset(dcols, drows)
 
 
+def test_no_oracle_publishes_hugeint(duck):
+    """DuckDB's sum() over integer columns returns HUGEINT (int128).
+    fetchall() gives exact Python ints, but a pandas/Arrow fetch — which
+    the driver's gate uses — converts HUGEINT to float64 / decimal128,
+    so `161383887360.0` hash-mismatches Spark's BIGINT `161383887360`
+    even though the values are equal (round-6 q_shard_manifest /
+    q_curation_pipeline driver failures). Every oracle must CAST such
+    aggregates to BIGINT at publication."""
+    offenders = {}
+    for name in ORACLE_QUERIES:
+        desc = duck.execute(f"DESCRIBE ({REGISTRY[name].oracle})").fetchall()
+        bad = [
+            (col, typ)
+            for col, typ, *_ in desc
+            if typ in ("HUGEINT", "UHUGEINT") or typ.startswith("DECIMAL(38")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"oracles publishing HUGEINT: {offenders}"
+
+
 def test_results_partition_count_invariant(spark):
     """The driver gate runs under ITS OWN session config — results must
     not depend on spark.sql.shuffle.partitions. Representative shapes:

@@ -102,6 +102,21 @@ def main() -> int:
             n_noracle += 1
             continue
         try:
+            # HUGEINT guard: the driver's gate fetches DuckDB results via
+            # pandas, where sum(BIGINT)'s HUGEINT becomes float64 and
+            # hash-mismatches Spark's exact int. Oracles must publish
+            # BIGINT (tests/test_oracle_parity.py pins the same).
+            desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+            hug = [
+                (c, t)
+                for c, t, *_ in desc
+                if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL(38")
+            ]
+            if hug:
+                print(f"FAIL {name}: oracle publishes HUGEINT: {hug}")
+                rec.update(status="fail", err=f"oracle HUGEINT cols: {hug}")
+                n_fail += 1
+                continue
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
