@@ -483,6 +483,243 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Positional phrase search (inverted-index adjacency join)
+
+
+def top_bigrams(
+    df: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The k most frequent adjacent-token bigrams: (w1, w2, n),
+    deterministic ties (count DESC, then bigram ASC). Pair extraction
+    is a JVM transform over the split array — no self-join, no
+    positional explode; one partial-aggregated count."""
+    arrs = df.select(F.split(F.col(text_col), " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    idx = F.sequence(F.lit(0), F.size("t") - 2)
+    pairs = arrs.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("t", i + 1).alias("w1"),
+                    F.element_at("t", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(k)
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents containing each two-token phrase as ADJACENT tokens,
+    answered through a positional inverted index: postings are
+    (doc, pos, token); a phrase (w1, w2) matches where a w1 posting
+    and a w2 posting meet at (same doc, pos+1).
+
+    Scale shape: the phrase table broadcasts (a query workload is
+    small by definition), which prunes the left postings to the query
+    first-terms BEFORE the adjacency join; the adjacency join itself
+    is pure equi-keys — (doc, pos+1, w2) = (doc, pos, token) — so it
+    hash-partitions, never theta-joins. ``distinct`` collapses
+    multiple occurrences per document into one hit row."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    )
+    q = F.broadcast(
+        phrases.select("w1", "w2", F.concat_ws(" ", "w1", "w2").alias("phrase"))
+    )
+    first = toks.join(q, toks["token"] == q["w1"]).select(
+        id_col, "pos", "w2", "phrase"
+    )
+    second = toks.select(
+        F.col(id_col).alias("_id2"),
+        F.col("pos").alias("_pos2"),
+        F.col("token").alias("_tok2"),
+    )
+    hits = first.join(
+        second,
+        (F.col(id_col) == F.col("_id2"))
+        & (F.col("_pos2") == F.col("pos") + 1)
+        & (F.col("_tok2") == F.col("w2")),
+    )
+    return hits.select("phrase", id_col).distinct()
+
+
+@query(
+    "q_phrase_search",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+               FROM toks, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
+        top5 AS (SELECT w1, w2 FROM bg GROUP BY w1, w2
+                 ORDER BY count(*) DESC, w1, w2 LIMIT 5)
+        SELECT DISTINCT w1 || ' ' || w2 AS phrase, doc_id
+        FROM bg JOIN top5 USING (w1, w2)
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search for the corpus's own top-5 bigrams:
+    (phrase, doc_id) hits via the inverted-index adjacency join. The
+    oracle replays the identical bigram ranking and adjacency
+    semantics directly on the token arrays — a hash-match proves the
+    postings join finds exactly the adjacent occurrences."""
+    d = load_table(spark, sf_dir, "documents")
+    return phrase_search(d, top_bigrams(d, 5).select("w1", "w2"))
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid lexical + dense retrieval)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 60, id_col: str = "doc_id"
+) -> DataFrame:
+    """Reciprocal-rank fusion over ranked lists (id, rank):
+    score(d) = Σ_lists 1/(k + rank_list(d)), the standard hybrid-
+    retrieval combiner (Cormack et al. 2009). Scores are computed in
+    INTEGER arithmetic — contribution = 10^9 div (k + rank), summed as
+    BIGINT — so fusion is bit-deterministic cross-engine (the q_ewma
+    integer discipline); float RRF differs in the last ulp depending
+    on summation order. Each list is top-K-truncated upstream, so the
+    union and groupBy here touch O(K · lists) rows — driver- and
+    shuffle-trivial no matter the corpus size behind the rankings."""
+    num = F.lit(1000000000)
+    scaled = []
+    for r in rankings:
+        den = (F.col("rank") + F.lit(k)).cast("bigint")
+        c = ((num - F.pmod(num, den)) / den).cast("bigint")
+        scaled.append(r.select(F.col(id_col), c.alias("_c")))
+    u = scaled[0]
+    for s in scaled[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(id_col).agg(F.sum("_c").alias("rrf_score"))
+
+
+@query(
+    "q_rrf_fusion",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, len(t) AS dl,
+                   len(list_filter(t, x -> x = 'data')) AS tf0,
+                   len(list_filter(t, x -> x = 'spark')) AS tf1,
+                   len(list_filter(t, x -> x = 'stream')) AS tf2
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            WHERE doc_id <> 0
+        ),
+        s AS (
+            SELECT count(*) AS n, avg(dl) AS avgdl,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+            FROM toks
+        ),
+        bm AS (
+            SELECT doc_id, round(
+                ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                    * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                    * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                    * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                4) AS bm25
+            FROM toks, s
+        ),
+        bmr AS (
+            SELECT doc_id, r FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+                FROM bm)
+            WHERE r <= 20
+        ),
+        probe AS (
+            SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0
+        ),
+        cs AS (
+            SELECT vec_id AS doc_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[], p), 4)
+                       AS cos_sim
+            FROM embeddings, probe WHERE vec_id <> 0
+        ),
+        csr AS (
+            SELECT doc_id, r FROM (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r
+                FROM cs)
+            WHERE r <= 20
+        ),
+        u AS (
+            SELECT doc_id, 1000000000 // (60 + r) AS c FROM bmr
+            UNION ALL
+            SELECT doc_id, 1000000000 // (60 + r) AS c FROM csr
+        )
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score
+        FROM u GROUP BY 1
+        ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (query {data, spark, stream})
+    fused with dense cosine top-20 (probe = vec 0, excluded from both
+    lists) by reciprocal-rank fusion, final top-10 by fused score.
+    Each ranking is TakeOrderedAndProject-truncated BEFORE ranks are
+    assigned (row_number runs on 20 rows, not the corpus), and the
+    fusion is integer arithmetic end-to-end."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
+    bm_top = (
+        bm25_scores(d, terms=["data", "spark", "stream"])
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+    bmr = bm_top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+    )
+
+    from real_time_data_anomaly_detection_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    cs_top = (
+        e.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(
+                    F.col("embedding").cast("array<double>"), probe_col
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(20)
+    )
+    csr = cs_top.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc("cos_sim"), F.asc("doc_id"))),
+    )
+    fused = rrf_fuse(
+        [bmr.select("doc_id", "rank"), csr.select("doc_id", "rank")]
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
 # Bigram LM perplexity (CCNet-style quality filter)
 
 

@@ -329,6 +329,48 @@ def test_jaccard_posting_cap(spark):
     assert abs(capped[(100, 101)] - 0.6) < 1e-9
 
 
+def test_prefix_filter_candidates(spark):
+    """Prefix filtering must be LOSSLESS (candidates ⊇ all true pairs
+    at the threshold) while generating strictly fewer candidates than
+    the full-postings path — on a corpus with a boilerplate shingle
+    shared by every doc, where full postings go quadratic but the hot
+    shingle has maximal df and lands in no prefix."""
+    from real_time_data_anomaly_detection_spark.operators.dedup import (
+        _bucket_pairs,
+        prefix_filter_candidates,
+    )
+
+    rows = []
+    for i in range(30):  # only overlap across these docs: the HOT shingle
+        rows += [(i, f"u{i}a"), (i, f"u{i}b"), (i, f"u{i}c"), (i, "HOT")]
+    rows += [(100, s) for s in ("s1", "s2", "s3", "only100", "HOT")]
+    rows += [(101, s) for s in ("s1", "s2", "s3", "only101", "HOT")]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    arr = sh.groupBy("doc_id").agg(F.sort_array(F.collect_set("shingle")).alias("sharr"))
+
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_candidates(arr, threshold=0.5).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in _bucket_pairs(
+            sh.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        .distinct()
+        .collect()
+    }
+    # the only true pair at τ=0.5: J(100,101) = 4/6; hot-only pairs
+    # share just HOT (J = 1/8 or less)
+    true_pairs = {(100, 101)}
+    assert true_pairs <= cands, "prefix filter dropped a true pair"
+    # full postings pair every doc through HOT (quadratic); prefixes don't
+    assert len(full) >= 32 * 31 / 2
+    assert len(cands) < len(full) / 10
+
+
 def test_connected_components_round_scaling(spark):
     """The O(log n) pointer-jump claim, pinned: a 10k-node chain
     (worst-case diameter) and a 10k-node star must converge in

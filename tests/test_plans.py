@@ -167,6 +167,7 @@ def test_no_accidental_cartesians_registry_wide(spark):
         "q_tfidf",
         "q_dsir_weights",  # two one-row broadcast scalars (totals, vocab)
         "q_bm25",  # one-row broadcast corpus stats (N, avgdl, df per term)
+        "q_rrf_fusion",  # inherits q_bm25's one-row stats broadcast
         "q_lm_perplexity",  # one-row broadcast vocab size V
         "q_hll_md5",  # 64-row broadcast register scaffold (dense slots)
         "q_bloom_semi_join",  # one-row broadcast bloom bitmap
