@@ -579,6 +579,65 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(shingles(d, n=3), threshold=0.05, max_posting_size=4)
 
 
+def containment_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Pairs whose shingle-set CONTAINMENT — |A∩B| / min(|A|,|B|) —
+    reaches ``threshold``. The asymmetric companion to Jaccard: an
+    excerpt quoted inside a much longer document has near-total
+    containment but tiny Jaccard (the union is dominated by the long
+    doc), so containment is the dedup signal for quote/subset
+    duplication (the case exact-substring dedup handles at the token
+    level, here at the set level). Same bucket-local posting algebra
+    as :func:`jaccard_pairs` — only the published ratio differs."""
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
+    inter = (
+        _bucket_pairs(postings.filter(F.size("ids") >= 2))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    c = F.col("inter") / F.least("na", "nb")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(c >= threshold)
+        .select("doc_a", "doc_b", F.round(c, 4).alias("containment"))
+    )
+
+
+@query(
+    "q_containment_pairs",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+               FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(inter::DOUBLE/least(na.n, nb.n), 4) AS containment
+        FROM pairs
+        JOIN sizes na ON doc_a = na.doc_id
+        JOIN sizes nb ON doc_b = nb.doc_id
+        WHERE inter::DOUBLE/least(na.n, nb.n) >= 0.8
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram containment pairs at threshold 0.8 — subset/excerpt
+    duplication detection (|A∩B|/min), hash-checked against the exact
+    all-pairs DuckDB replay."""
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(shingles(d, n=3), threshold=0.8)
+
+
 def prefix_filter_candidates(
     arr_df: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:

@@ -196,3 +196,98 @@ def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf.select(
         "doc_id", "bucket", F.round(F.col("c") / norm, 4).alias("weight")
     )
+
+
+@query(
+    "q_embed_drift",
+    oracle="""
+        WITH j AS (
+            SELECT d.lang, d.doc_id, e.embedding AS emb
+            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        ex AS (
+            SELECT lang, doc_id % 2 = 0 AS is_ref, u.i AS dim,
+                   CAST(floor(emb[i]::DOUBLE * 1024.0) AS BIGINT) AS fx
+            FROM j, UNNEST(generate_series(1, len(emb))) AS u(i)),
+        per_dim AS (
+            SELECT lang, dim,
+                   sum(CASE WHEN is_ref THEN fx ELSE 0 END) AS sum_r,
+                   sum(CASE WHEN NOT is_ref THEN fx ELSE 0 END) AS sum_c,
+                   sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_r,
+                   sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_c
+            FROM ex GROUP BY 1, 2),
+        per_lang AS (
+            SELECT lang,
+                   any_value(n_r) AS n_ref, any_value(n_c) AS n_cur,
+                   sum((sum_r * n_c - sum_c * n_r)
+                       * (sum_r * n_c - sum_c * n_r)) AS drift_sq
+            FROM per_dim GROUP BY 1)
+        SELECT lang, CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               round(sqrt(drift_sq::DOUBLE)
+                     / (n_ref * n_cur * 1024.0), 4) AS drift
+        FROM per_lang ORDER BY lang
+    """,
+)
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding-distribution drift monitor: the L2
+    distance between the centroid of the REFERENCE half (even doc_id)
+    and the CURRENT half (odd doc_id) of each language's embeddings —
+    the data-quality check a training pipeline runs when a new crawl
+    lands (did the feed's distribution move?).
+
+    Bit-determinism discipline: components are quantized to 2^-10
+    fixed point via floor(x * 1024) — multiplying a float by a power
+    of two is EXACT in IEEE arithmetic and floor has no rounding-tie
+    ambiguity, so both engines produce identical BIGINTs (vs
+    round(x*1e6), whose half-boundary behavior is engine-specific).
+    Centroid differences then stay in integer algebra — the mean
+    difference per dim is the rational (sum_r·n_c − sum_c·n_r) /
+    (n_r·n_c), squared and summed as exact BIGINTs (magnitudes bounded
+    by (2^10·n·n)²·dims ≪ 2^63 at any per-lang corpus that fits a
+    groupBy) — and only the final sqrt/divide touches doubles, on
+    engine-identical integers.
+
+    Scale shape: one equi-join (embeddings ⋈ docs on id), one
+    posexplode, one (lang, dim)-keyed partial-aggregated shuffle
+    (output rows = |langs|·dims regardless of corpus size), then a
+    |langs|-row reduction. Nothing corpus-sized past the first
+    aggregation."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load_table(spark, sf_dir, "embeddings")
+    j = e.join(d, e["vec_id"] == d["doc_id"]).select(
+        "lang", "doc_id", "embedding"
+    )
+    ex = j.select(
+        "lang",
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "lang",
+        "is_ref",
+        "dim",
+        F.floor(F.col("x").cast("double") * F.lit(1024.0))
+        .cast("bigint")
+        .alias("fx"),
+    )
+    per_dim = ex.groupBy("lang", "dim").agg(
+        F.sum(F.when(F.col("is_ref"), F.col("fx")).otherwise(0)).alias("sum_r"),
+        F.sum(F.when(~F.col("is_ref"), F.col("fx")).otherwise(0)).alias("sum_c"),
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_r"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_c"),
+    )
+    d_num = F.col("sum_r") * F.col("n_c") - F.col("sum_c") * F.col("n_r")
+    per_lang = per_dim.groupBy("lang").agg(
+        F.any_value(F.col("n_r")).alias("n_ref"),
+        F.any_value(F.col("n_c")).alias("n_cur"),
+        F.sum(d_num * d_num).alias("drift_sq"),
+    )
+    return per_lang.select(
+        "lang",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(
+            F.sqrt(F.col("drift_sq").cast("double"))
+            / (F.col("n_ref") * F.col("n_cur") * F.lit(1024.0)),
+            4,
+        ).alias("drift"),
+    ).orderBy("lang")
