@@ -172,6 +172,10 @@ def main() -> None:
         "q_curation_pipeline",
         # round-6 addition
         "q_edit_neardup",
+        # round-7 additions
+        "q_prefix_jaccard",
+        "q_phrase_search",
+        "q_rrf_fusion",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s

@@ -87,6 +87,63 @@ def test_oracle_parity(name, spark, duck):
     assert rows_multiset(scols, srows) == rows_multiset(dcols, drows)
 
 
+def test_gate_window_pandas_fetch_parity(spark, duck):
+    """Simulate the DRIVER's fetch path over the 50-query gate window:
+    it reads DuckDB results through pandas, where HUGEINT → float64,
+    DECIMAL → float64, DATE → Timestamp — conversions fetchall() never
+    exercises, which is exactly how the round-6 q_shard_manifest /
+    q_curation_pipeline hash mismatches slipped past local verify.
+    Canonicalize the pandas frame back to plain Python values and
+    compare against Spark's collect() multiset."""
+    import datetime
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from real_time_data_anomaly_detection_spark.operators import _GATE_WINDOW
+    from tools.verify_oracle import canon
+
+    def canon2(v):
+        # a DATE surfaces as a midnight Timestamp through pandas, so
+        # canonicalize dates to full midnight datetimes on BOTH sides
+        if isinstance(v, datetime.date) and not isinstance(
+            v, datetime.datetime
+        ):
+            v = datetime.datetime(v.year, v.month, v.day)
+        return canon(v)
+
+    def canon_pd(v):
+        # pandas surfaces SQL NULL in numeric columns as NaN
+        if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+            return "NULL"
+        if isinstance(v, np.generic):
+            v = v.item()
+        if isinstance(v, pd.Timestamp):
+            v = v.to_pydatetime()
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        return canon2(v)
+
+    mismatches = {}
+    for name in _GATE_WINDOW:
+        q = REGISTRY[name]
+        sdf = q.spark_fn(spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        pdf = duck.execute(q.oracle).df()
+        dcols = list(pdf.columns)
+        drows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+        sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+        dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        sm = Counter(tuple(canon2(r[i]) for i in sorder) for r in srows)
+        dm = Counter(tuple(canon_pd(r[i]) for i in dorder) for r in drows)
+        if sm != dm:
+            diff = list((sm - dm).items())[:2] + list((dm - sm).items())[:2]
+            mismatches[name] = diff
+    assert not mismatches, f"pandas-fetch divergence: {mismatches}"
+
+
 def test_no_oracle_publishes_hugeint(duck):
     """DuckDB's sum() over integer columns returns HUGEINT (int128).
     fetchall() gives exact Python ints, but a pandas/Arrow fetch — which

@@ -105,8 +105,11 @@ def scaling_main() -> None:
         semantic_dup_pairs,
     )
     from real_time_data_anomaly_detection_spark.operators.dedup import (
+        containment_pairs,
         minhash_neardup_pairs,
         neardup_dedup,
+        prefix_filter_jaccard,
+        shingles,
     )
     from real_time_data_anomaly_detection_spark.operators.curation import (
         exact_substring_dedup,
@@ -206,6 +209,11 @@ def scaling_main() -> None:
     # corpus, 'emb' ops the synthetic embedding corpus.
     ops = {
         "minhash_neardup": ("docs", lambda d: minhash_neardup_pairs(d, threshold=0.3)),
+        # round-7 additions: the LOSSLESS prefix-filter path at the same
+        # threshold as minhash_neardup (directly comparable rows), and
+        # the containment variant of the exact posting algebra.
+        "prefix_jaccard": ("docs", lambda d: prefix_filter_jaccard(d, threshold=0.3)),
+        "containment": ("docs", lambda d: containment_pairs(shingles(d, n=3), threshold=0.5)),
         "neardup_dedup": ("docs", lambda d: neardup_dedup(d, threshold=0.3).select("doc_id")),
         "decontaminate": ("docs", lambda d: decontaminate(d, bench).select("doc_id")),
         # this corpus is DUP-HEAVY (adjacent docs share 20-token runs,
