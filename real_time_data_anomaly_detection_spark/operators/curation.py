@@ -270,13 +270,9 @@ def exact_substring_dedup(
     # gram materialization (LARGER than the corpus: ~one digest row
     # per token) costs more storage traffic than a second codegen'd
     # scan. Same gate as dedup.minhash_neardup_pairs' arr relation.
-    try:
-        in_bytes = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
-    except Exception:  # estimate unavailable -> assume big, recompute
-        in_bytes = 1 << 60
-    if in_bytes <= 1 << 30:
+    from real_time_data_anomaly_detection_spark.plans.inspect import plan_size_bytes
+
+    if plan_size_bytes(df) <= 1 << 30:
         grams = grams.localCheckpoint(eager=True)
     dup = (
         grams.groupBy("_dig")

@@ -343,13 +343,9 @@ def minhash_neardup_pairs(
     materialization costs more storage traffic than three codegen'd
     scans, and the exchange under it is already reused)."""
     arr = shingle_arrays(df, text_col, id_col, n)
-    try:
-        in_bytes = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
-    except Exception:  # estimate unavailable → assume big, recompute
-        in_bytes = 1 << 60
-    if in_bytes <= 1 << 30:
+    from real_time_data_anomaly_detection_spark.plans.inspect import plan_size_bytes
+
+    if plan_size_bytes(df) <= 1 << 30:
         arr = arr.localCheckpoint(eager=True)
     cands = minhash_lsh_candidates(
         minhash_signatures_arr(arr, id_col, num_hashes),
@@ -659,36 +655,97 @@ def prefix_filter_candidates(
     aggregation, one doc-keyed regroup, bucket-local i<j pairs on
     prefix postings only.
     """
+    # document frequencies WITHOUT a join: build postings once (the df
+    # is the posting size) and re-explode them — one corpus exchange on
+    # shingle + one on id, versus groupBy + join-shuffle + groupBy for
+    # the join formulation (measured ~2 s off at sf0.1)
     sh = arr_df.select(id_col, F.explode("sharr").alias("shingle"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ordered = (
-        sh.join(dfreq, "shingle")
-        .groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
-            ).alias("_ord")
-        )
+    post = sh.groupBy("shingle").agg(F.collect_list(id_col).alias("_ids"))
+    exploded = post.select(
+        "shingle",
+        F.size("_ids").alias("_df"),
+        F.explode("_ids").alias(id_col),
     )
+    ordered = exploded.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+        ).alias("_ord")
+    )
+    # α = ⌈τ·n⌉ with an epsilon guard: if the fp product lands just
+    # ABOVE an integer that τ·n mathematically equals (e.g. τ whose
+    # binary expansion rounds up), a bare ceil would overshoot by one
+    # and SHORTEN the prefix — a silent losslessness break. Erring the
+    # other way only lengthens the prefix (more candidates, still
+    # exact after verification).
     plen = (
         F.size("_ord")
-        - F.ceil(F.lit(threshold) * F.size("_ord")).cast("int")
+        - F.ceil(F.lit(threshold) * F.size("_ord") - F.lit(1e-9)).cast("int")
         + F.lit(1)
     )
+    # prefix postings carry (id, set size n, 0-based prefix position p)
+    # so pair generation can apply the two PPJoin pair filters
     prefix = ordered.select(
         id_col,
-        F.explode(
+        F.size("_ord").alias("_n"),
+        F.posexplode(
             F.slice(
                 F.transform("_ord", lambda s: s["shingle"]), F.lit(1), plen
             )
-        ).alias("shingle"),
+        ).alias("_p", "shingle"),
     )
     buckets = (
         prefix.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col), F.col("_n"), F.col("_p")))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
     )
-    return _bucket_pairs(buckets).distinct()
+    # Bucket-local i<j pairs, pruned by the PPJoin pair filters before
+    # they ever become rows (both LOSSLESS — proofs in the module test):
+    #   length: J >= τ ⇒ min(n) >= τ·max(n)        (J <= min/max)
+    #   position: the FIRST token a true pair shares in canonical order
+    #     has, in each doc, at least α = ⌈τ·max(n)⌉ tokens at-or-after
+    #     it (all shared tokens sort at-or-after the first one), so
+    #     1 + min(n_x − p_x − 1, n_y − p_y − 1) >= α holds in at least
+    #     one bucket of every true pair; buckets where the remaining-
+    #     token upper bound cannot reach α are skipped.
+    # Epsilon guards err toward KEEPING a pair.
+    ms = F.col("ms")
+    tau = F.lit(threshold)
+
+    def _pair_ok(x, y):
+        max_n = F.greatest(x["_n"], y["_n"]).cast("double")
+        len_ok = F.least(x["_n"], y["_n"]).cast("double") >= tau * max_n - F.lit(1e-9)
+        alpha = F.ceil(tau * max_n - F.lit(1e-9))
+        ubound = 1 + F.least(
+            x["_n"] - x["_p"] - 1, y["_n"] - y["_p"] - 1
+        )
+        return len_ok & (ubound >= alpha)
+
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(ms, i + F.lit(2), F.size(ms)),
+                    lambda y: F.when(
+                        _pair_ok(x, y),
+                        F.struct(
+                            x[id_col].alias("doc_a"), y[id_col].alias("doc_b")
+                        ),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("pr"))
+        .select("pr.doc_a", "pr.doc_b")
+        .distinct()
+    )
 
 
 def prefix_filter_jaccard(
@@ -705,15 +762,18 @@ def prefix_filter_jaccard(
     arr = shingle_arrays(df, text_col, id_col, n)
     # same size-gated materialization as minhash_neardup_pairs: arr
     # feeds candidate generation AND both verify sides
-    try:
-        in_bytes = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
-    except Exception:
-        in_bytes = 1 << 60
-    if in_bytes <= 1 << 30:
+    from real_time_data_anomaly_detection_spark.plans.inspect import plan_size_bytes
+
+    if plan_size_bytes(df) <= 1 << 30:
         arr = arr.localCheckpoint(eager=True)
     cands = prefix_filter_candidates(arr, id_col, threshold)
+    # The candidate relation is BYTE-small (two ids/row) but each row
+    # buys an array_intersect over two full shingle arrays — AQE's
+    # byte-based coalescing squeezes the 2 MB exchange to one
+    # partition and serializes the verify (measured 6 s in ONE task at
+    # sf0.1). Spread candidates by compute cost, not bytes.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    cands = cands.repartition(par)
     return verify_candidates_arr(cands, arr, id_col, threshold)
 
 

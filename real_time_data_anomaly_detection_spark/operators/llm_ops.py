@@ -242,10 +242,15 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(x*1e6), whose half-boundary behavior is engine-specific).
     Centroid differences then stay in integer algebra — the mean
     difference per dim is the rational (sum_r·n_c − sum_c·n_r) /
-    (n_r·n_c), squared and summed as exact BIGINTs (magnitudes bounded
-    by (2^10·n·n)²·dims ≪ 2^63 at any per-lang corpus that fits a
-    groupBy) — and only the final sqrt/divide touches doubles, on
-    engine-identical integers.
+    (n_r·n_c), squared and summed as exact BIGINTs — and only the
+    final sqrt/divide touches doubles, on engine-identical integers.
+    The integer magnitudes grow as (2^10·|x|·n²)², which fits int64 up
+    to ~50k docs per language per snapshot (|x| ≤ 1). Past that, drift
+    estimation should not pay a full-corpus pass anyway: feed a
+    deterministic hash_sample of each side — the centroid error
+    shrinks as 1/√sample, the sample is replayable, and the monitor's
+    cost becomes bounded per (lang, snapshot) regardless of corpus
+    size.
 
     Scale shape: one equi-join (embeddings ⋈ docs on id), one
     posexplode, one (lang, dim)-keyed partial-aggregated shuffle

@@ -97,3 +97,19 @@ def live_exchanges(df: DataFrame) -> list[str]:
 
     walk(df._jdf.queryExecution().executedPlan())
     return out
+
+
+def plan_size_bytes(df) -> int:
+    """Catalyst's sizeInBytes estimate for a DataFrame's optimized
+    plan, or 2^60 when unavailable — the input to size-gated
+    localCheckpoint decisions. py4j returns the underlying BigInt as a
+    Python int on current pyspark; older versions handed back a JVM
+    object needing .toString() — handle both, because the AttributeError
+    from assuming one form silently disabled EVERY size gate (the
+    checkpoint never fired and nobody noticed until a plan audit found
+    zero ExistingRDD scans)."""
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return raw if isinstance(raw, int) else int(raw.toString())
+    except Exception:  # estimate unavailable → assume big, recompute
+        return 1 << 60

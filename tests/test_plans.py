@@ -227,6 +227,35 @@ def test_no_cartesians_post_build_iterative(spark):
     assert not offenders, offenders
 
 
+def test_size_gated_checkpoint_fires(spark):
+    """The size-gated localCheckpoint must actually FIRE for small
+    inputs: pyspark's stats().sizeInBytes() started returning a plain
+    int, so the old `.toString()` call raised AttributeError and the
+    except-branch silently disabled every gate — all three multi-
+    consumer relations (minhash arr, prefix arr, exact-substring
+    grams) recomputed their corpus subplan per consumer (q_prefix_
+    jaccard re-ran the scan+shingle chain serially, +4-6 s at sf0.1).
+    Pin both the estimator and the checkpoint's presence in the plan."""
+    from real_time_data_anomaly_detection_spark.operators.dedup import (
+        minhash_neardup_pairs,
+        prefix_filter_jaccard,
+    )
+    from real_time_data_anomaly_detection_spark.plans.inspect import (
+        plan_size_bytes,
+    )
+
+    from real_time_data_anomaly_detection_spark.io import load_table
+
+    # must be a FILE source: in-memory relations report Long.MaxValue
+    # (unknown) and correctly fall to the recompute branch
+    d = load_table(spark, SF_DIR, "documents")
+    est = plan_size_bytes(d)
+    assert 0 < est < (1 << 30), est
+    for q in (minhash_neardup_pairs(d), prefix_filter_jaccard(d)):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan, "checkpoint missing from plan"
+
+
 def test_dynamic_partition_pruning_fires(spark, tmp_path):
     """Partitioned fact ⋈ filtered dim must plan a dynamicpruning
     partition filter on the fact scan — at 100 TB this is the
