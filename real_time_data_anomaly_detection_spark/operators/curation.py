@@ -576,6 +576,151 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Persisted inverted text index (token-bucketed postings on disk)
+
+
+def _token_bucket_py(term: str, buckets: int) -> int:
+    """Python twin of the index's bucket expression — md5 so the same
+    hash is computable driver-side (query planning), JVM-side (index
+    build), and in DuckDB (if an oracle ever replays it)."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % buckets
+
+
+def build_text_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 16,
+) -> None:
+    """Persist a POSITIONAL inverted index as parquet partitioned by a
+    token-hash bucket: (doc, pos, token) rows under `bkt=K/`
+    directories, sorted by token within each file. The serving-path
+    twin of :func:`phrase_search`'s inline postings — build once,
+    probe many; a term lookup reads ONLY its bucket directory
+    (partition pruning, pinned by the scan's numFiles metric in
+    tests), and within the file the token sort gives min/max row-group
+    skipping for free. Bucket count is the fan-out/pruning knob: at
+    corpus scale use 2^10-2^14 so each bucket is a few files and a
+    single-term query touches ~1/buckets of the index."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    )
+    bkt = F.pmod(
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint"),
+        F.lit(buckets),
+    )
+    (
+        toks.withColumn("bkt", bkt)
+        .repartition("bkt")
+        .sortWithinPartitions("bkt", "token")
+        .write.mode("overwrite")
+        .partitionBy("bkt")
+        .parquet(path)
+    )
+
+
+def term_postings(
+    spark: SparkSession, path: str, terms: list[str], buckets: int = 16
+) -> DataFrame:
+    """Postings for a term set from a persisted text index: the bucket
+    ids are computed DRIVER-SIDE from the same md5 expression, so the
+    filter is a literal IN-list on the partition column — Spark prunes
+    to those directories before any file is opened."""
+    want = sorted({_token_bucket_py(t, buckets) for t in terms})
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("bkt").isin(want) & F.col("token").isin(terms))
+        .select("doc_id", "pos", "token")
+    )
+
+
+def index_phrase_search(
+    spark: SparkSession, path: str, phrases: list[tuple[str, str]], buckets: int = 16
+) -> DataFrame:
+    """Phrase hits answered FROM THE INDEX: postings for the query's
+    first and second terms (two pruned reads), then the same pure
+    equi-key adjacency join as phrase_search."""
+    terms = sorted({w for p in phrases for w in p})
+    post = term_postings(spark, path, terms, buckets)
+    q = F.broadcast(
+        spark.createDataFrame(phrases, "w1 string, w2 string").select(
+            "w1", "w2", F.concat_ws(" ", "w1", "w2").alias("phrase")
+        )
+    )
+    first = post.join(q, post["token"] == q["w1"]).select(
+        "doc_id", "pos", "w2", "phrase"
+    )
+    second = post.select(
+        F.col("doc_id").alias("_id2"),
+        F.col("pos").alias("_pos2"),
+        F.col("token").alias("_tok2"),
+    )
+    return (
+        first.join(
+            second,
+            (F.col("doc_id") == F.col("_id2"))
+            & (F.col("_pos2") == F.col("pos") + 1)
+            & (F.col("_tok2") == F.col("w2")),
+        )
+        .select("phrase", "doc_id")
+        .distinct()
+    )
+
+
+def _text_index_path(sf_dir: str) -> str:
+    """Session-cache index dir keyed by the documents corpus
+    fingerprint (same staleness contract as similarity._ivf_index_path)."""
+    import hashlib
+    import os
+
+    root = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    h = hashlib.md5(("textidx:" + root).encode())
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            st = os.stat(os.path.join(root, name))
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(root):
+        st = os.stat(root)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return f"/tmp/spark_graft_textidx_{h.hexdigest()[:16]}"
+
+
+@query(
+    "q_index_phrase_search",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+               FROM toks, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
+        top5 AS (SELECT w1, w2 FROM bg GROUP BY w1, w2
+                 ORDER BY count(*) DESC, w1, w2 LIMIT 5)
+        SELECT DISTINCT w1 || ' ' || w2 AS phrase, doc_id
+        FROM bg JOIN top5 USING (w1, w2)
+    """,
+)
+def q_index_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search through the PERSISTED index: builds the token-
+    bucketed postings once per (corpus fingerprint, session) under
+    /tmp, then answers the same top-5-bigram queries as
+    q_phrase_search from two partition-pruned index reads. Identical
+    oracle — a hash-match proves the indexed path returns exactly the
+    inline path's results."""
+    import os
+
+    d = load_table(spark, sf_dir, "documents")
+    path = _text_index_path(sf_dir)
+    if not os.path.exists(path + "/_SUCCESS"):
+        build_text_index(d, path)
+    phrases = [
+        (r.w1, r.w2) for r in top_bigrams(d, 5).select("w1", "w2").collect()
+    ]
+    return index_phrase_search(spark, path, phrases)
+
+
+# ---------------------------------------------------------------------------
 # Reciprocal-rank fusion (hybrid lexical + dense retrieval)
 
 

@@ -418,6 +418,55 @@ def test_cdc_apply_latest_wins_and_deletes(spark):
         cdc_apply(target, changes.drop("v"), "k")
 
 
+def test_text_index_pruned_lookup_matches_scan(spark, tmp_path):
+    """A persisted-index term lookup must (a) return exactly the
+    postings a direct scan computes and (b) READ ONLY the term's
+    bucket directories — partition pruning pinned via the scan's
+    numFiles metric, same technique as the IVF test."""
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators.curation import (
+        build_text_index,
+        index_phrase_search,
+        phrase_search,
+        term_postings,
+        top_bigrams,
+    )
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "textidx")
+    build_text_index(d, path, buckets=16)
+
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    terms = ["data", "stream"]
+    direct = {
+        (r.doc_id, r.pos, r.token)
+        for r in toks.filter(F.col("token").isin(terms)).collect()
+    }
+    looked = term_postings(spark, path, terms, buckets=16)
+    assert {(r.doc_id, r.pos, r.token) for r in looked.collect()} == direct
+
+    node = looked._jdf.queryExecution().executedPlan()
+    while node.children().length() > 0:
+        node = node.children().apply(0)
+    n_files = int(node.metrics().apply("numFiles").value())
+    assert n_files <= 2, f"read {n_files} files; expected <= |term buckets|"
+
+    # indexed phrase search == inline phrase search on the same queries
+    phrases = [(r.w1, r.w2) for r in top_bigrams(d, 3).collect()]
+    via_index = {
+        (r.phrase, r.doc_id)
+        for r in index_phrase_search(spark, path, phrases).collect()
+    }
+    qdf = spark.createDataFrame(phrases, "w1 string, w2 string")
+    inline = {
+        (r.phrase, r.doc_id) for r in phrase_search(d, qdf).collect()
+    }
+    assert via_index == inline
+
+
 def test_cdc_apply_seq_ties_are_deterministic(spark):
     """Duplicate seq values per key must pick a documented winner, not
     a partition-dependent one: delete beats upsert at equal seq, and

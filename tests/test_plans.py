@@ -205,6 +205,7 @@ ITERATIVE_BUILD = {
     "q_bpe_merges",  # iterative argmax training (jobs at build)
     "q_quality_classifier",  # GD training loop (jobs at build)
     "q_triangles",  # counts executed at build (persisted edge set)
+    "q_index_phrase_search",  # text-index build + bigram collect at build
 }
 
 
