@@ -1576,6 +1576,52 @@ def q_neardup_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_cluster_stats_md5",
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_MD5_CTES},
+        nodes AS (SELECT doc_a AS n FROM pairs UNION SELECT doc_b FROM pairs),
+        sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, comp) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN sym e ON e.src = r.node
+        ),
+        comp AS (SELECT node, min(comp) AS component FROM reach GROUP BY 1),
+        csizes AS (SELECT component, count(*) AS cluster_size
+                   FROM comp GROUP BY 1)
+        SELECT cluster_size, count(*) AS n_clusters,
+               CAST(sum(cluster_size - 1) AS BIGINT) AS docs_removable
+        FROM csizes GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_cluster_stats_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER SIZE DISTRIBUTION on the md5 twin path —
+    the dedup report a curation run publishes before committing
+    removals: how many clusters of each size, and how many documents
+    each size class would remove under keep-one-per-cluster
+    (cluster_size − 1 per cluster). Oracle extends the shared
+    recursive-CTE closure with the same two-level aggregation; note
+    the CAST on sum() — DuckDB would otherwise publish HUGEINT, which
+    a pandas fetch turns into float64 (the round-6 gate lesson).
+    Scale shape: both aggregations are component-keyed then size-keyed
+    reductions over the LABEL relation (|clustered docs| rows, then
+    |clusters| rows) — nothing corpus-sized past the closure."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_md5_pairs(d)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(F.col("cluster_size") - 1).alias("docs_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Edit-distance (Levenshtein) near-dup — short-string variant detection
 
