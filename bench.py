@@ -176,6 +176,10 @@ def main() -> None:
         "q_prefix_jaccard",
         "q_phrase_search",
         "q_rrf_fusion",
+        "q_containment_pairs",
+        "q_embed_drift",
+        "q_index_phrase_search",
+        "q_cluster_stats_md5",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s

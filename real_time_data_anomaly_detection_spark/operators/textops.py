@@ -591,3 +591,64 @@ def q_rolling_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.pmod(acc * 1_000_003 + x, F.lit(mod)),
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "q_novelty_scores",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+               FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)),
+        first_owner AS (
+            SELECT shingle, min(doc_id) AS owner FROM sh GROUP BY 1),
+        per_doc AS (
+            SELECT s.doc_id,
+                   count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN f.owner = s.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM sh s JOIN first_owner f ON s.shingle = f.shingle
+            GROUP BY 1)
+        SELECT doc_id, n_shingles, n_novel,
+               ((20000 * n_novel + n_shingles) // (2 * n_shingles))
+               / 10000.0 AS novelty
+        FROM per_doc ORDER BY doc_id
+    """,
+)
+def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct 3-gram shingles it is the FIRST to introduce (owner =
+    min doc_id over the corpus ordering) — the curation signal behind
+    'process in novelty order' dataset schedules and a cheap
+    duplicate-cluster detector (a doc with novelty ~0 is all reused
+    text). The 4-dp ratio uses the portable integer half-up division
+    (the _exact_mean_4dp discipline), not round(double, 4).
+
+    Scale shape: one shingle exchange for the min-owner aggregation,
+    one digest-narrow join back, one doc-keyed count — all relations
+    are (doc, shingle)-sized, nothing quadratic; the same postings
+    algebra every dedup op here shares.
+    """
+    from real_time_data_anomaly_detection_spark.operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, n=3)
+    first_owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("_owner"))
+    per_doc = (
+        sh.join(first_owner, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_owner") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    num = F.lit(20000) * F.col("n_novel") + F.col("n_shingles")
+    den = F.lit(2) * F.col("n_shingles")
+    p4 = ((num - F.pmod(num, den)) / den).cast("bigint")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (p4 / F.lit(10000.0)).alias("novelty"),
+    ).orderBy("doc_id")
