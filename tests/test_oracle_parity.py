@@ -94,7 +94,10 @@ def test_gate_window_pandas_fetch_parity(spark, duck):
     exercises, which is exactly how the round-6 q_shard_manifest /
     q_curation_pipeline hash mismatches slipped past local verify.
     Canonicalize the pandas frame back to plain Python values and
-    compare against Spark's collect() multiset."""
+    compare against Spark's collect() multiset. Covers the 50-query
+    window plus every round-7 addition (queries outside the window see
+    this fetch path only when a judge or future window promotion runs
+    them — cheap to de-risk here)."""
     import datetime
     from collections import Counter
 
@@ -125,8 +128,18 @@ def test_gate_window_pandas_fetch_parity(spark, duck):
             v = v.tolist()
         return canon2(v)
 
+    round7 = [
+        "q_prefix_jaccard",
+        "q_phrase_search",
+        "q_index_phrase_search",
+        "q_rrf_fusion",
+        "q_containment_pairs",
+        "q_embed_drift",
+        "q_cluster_stats_md5",
+        "q_novelty_scores",
+    ]
     mismatches = {}
-    for name in _GATE_WINDOW:
+    for name in list(_GATE_WINDOW) + round7:
         q = REGISTRY[name]
         sdf = q.spark_fn(spark, SF_DIR)
         scols = sdf.columns
