@@ -180,6 +180,8 @@ def main() -> None:
         "q_embed_drift",
         "q_index_phrase_search",
         "q_cluster_stats_md5",
+        "q_cusum_alarms",
+        "q_anomaly_seasonal",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s

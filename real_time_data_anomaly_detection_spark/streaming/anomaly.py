@@ -175,3 +175,116 @@ def score_embedding_outliers(
     if threshold is not None:
         schema += ", anomaly int"
     return df.mapInPandas(score, schema)
+
+
+def cusum_stream(
+    df: DataFrame,
+    baselines: dict[str, tuple[int, int, int]],
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    micro_col: str = "xm",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming two-sided CUSUM: the online twin of
+    operators/timeseries.cusum_scores, with O(1) state per key.
+
+    The batch closed form S_t = P_t - min(0, min_{j<=t} P_j) folds
+    across micro-batches with just FOUR BIGINTs of state per key —
+    (P_up, min P_up, P_dn, min P_dn) — so unlike the last-N window
+    (state = the window itself), state size is independent of both
+    stream length and window choice: the detector the reference's
+    deque loop (app/app3_ML.py:38-44) approximates, with none of its
+    memory growth. Each trigger extends the cumulative sums with the
+    batch's (ts, id)-ordered rows via vectorized int64
+    cumsum/cummin, emits every row's (sup, sdn, up/dn alarm flags),
+    and writes the four counters back.
+
+    ``baselines`` maps key -> (mu, k, h) in integer micro-units —
+    trained OFFLINE (operators/timeseries.cusum_baselines over the
+    historical batch), the standard split for an online detector:
+    thresholds must not drift with the stream being judged. Keys
+    absent from ``baselines`` are dropped, deliberately: scoring
+    against no baseline is undefined; route new keys to a retraining
+    pipeline instead.
+
+    ``micro_col`` must already be BIGINT micro-units (convert with
+    operators/timeseries._micro_units BEFORE this call, JVM-side) so
+    stream and batch share the identical per-row quantization — a
+    numpy re-round here could disagree on half-boundary doubles.
+
+    Exactness contract (pinned by tests/test_streaming.py): if rows
+    arrive in (ts, id) order across triggers — true for ordered
+    file replay and for any per-key FIFO source — every emitted
+    (sup, sdn) is bit-equal to the batch closed form over the full
+    series. State never expires under the default NoTimeout; pass a
+    processing-time timeout for high-cardinality key spaces.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType(), False),
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("sup", T.LongType(), False),
+            T.StructField("sdn", T.LongType(), False),
+            T.StructField("up_alarm", T.BooleanType(), False),
+            T.StructField("dn_alarm", T.BooleanType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("pup", T.LongType(), False),
+            T.StructField("mup", T.LongType(), False),
+            T.StructField("pdn", T.LongType(), False),
+            T.StructField("mdn", T.LongType(), False),
+        ]
+    )
+
+    def _update(key, pdf_iter, state):
+        k = key[0]
+        base = baselines.get(k)
+        if base is None:
+            # No offline baseline -> nothing to score (see docstring).
+            return
+        mu, allow, h = (int(v) for v in base)
+        if state.exists:
+            pup, mup, pdn, mdn = state.get
+        else:
+            # Virtual P_0 = 0 is included in both running minima.
+            pup, mup, pdn, mdn = 0, 0, 0, 0
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            state.update((pup, mup, pdn, mdn))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            [ts_col, id_col], kind="mergesort"
+        )
+        xm = pdf[micro_col].to_numpy(dtype=np.int64)
+        p_up = pup + np.cumsum(xm - mu - allow, dtype=np.int64)
+        p_dn = pdn + np.cumsum(mu - xm - allow, dtype=np.int64)
+        m_up = np.minimum(np.minimum.accumulate(p_up), mup)
+        m_dn = np.minimum(np.minimum.accumulate(p_dn), mdn)
+        sup = p_up - m_up
+        sdn = p_dn - m_dn
+        state.update(
+            (int(p_up[-1]), int(m_up[-1]), int(p_dn[-1]), int(m_dn[-1]))
+        )
+        yield pd.DataFrame(
+            {
+                key_col: k,
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                "sup": sup,
+                "sdn": sdn,
+                "up_alarm": sup > h,
+                "dn_alarm": sdn > h,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -371,3 +371,72 @@ def test_json_roundtrip_parse(spark):
     # Malformed rows are dropped, not crashed on.
     bad = spark.createDataFrame([("{not json",), ("{}",)], "value string")
     assert parse_energy_json(bad).count() == 0
+
+
+def test_cusum_stream_equals_batch_closed_form(spark, tmp_path_factory):
+    """Streaming CUSUM (O(1) state: four BIGINT counters per key) is
+    BIT-equal to the batch closed form over the full series when rows
+    arrive in (ts, id) order across triggers — the exactness contract
+    in streaming/anomaly.cusum_stream's docstring. Baselines are
+    trained offline on the same batch (the operator's intended
+    split), and both sides consume the identical parquet so the
+    micro-unit quantization is the same JVM expression."""
+    import os
+
+    import pandas as pd
+
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        _micro_units,
+        cusum_baselines,
+        cusum_scores,
+    )
+    from real_time_data_anomaly_detection_spark.streaming.anomaly import cusum_stream
+
+    path = str(tmp_path_factory.mktemp("cusum_replay"))
+    src = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    pdf = src.toPandas().sort_values(["ts", "event_id"], ignore_index=True)
+    pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    n = len(pdf)
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        f = os.path.join(path, f"part-{i:02d}.parquet")
+        pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(
+            f, index=False, coerce_timestamps="us"
+        )
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    batch_df = spark.read.parquet(path)
+    x = batch_df.select(
+        "event_id", "ts", "event_type", _micro_units(F.col("value")).alias("xm")
+    )
+    bl = cusum_baselines(x)
+    expected = {
+        r["event_id"]: (r["sup"], r["sdn"], r["sup"] > r["h"], r["sdn"] > r["h"])
+        for r in cusum_scores(x, bl).collect()
+    }
+    bl_map = {r["event_type"]: (r["mu"], r["k"], r["h"]) for r in bl.collect()}
+
+    stream_df = file_replay_source(spark, path, batch_df.schema).select(
+        "event_id", "ts", "event_type", _micro_units(F.col("value")).alias("xm")
+    )
+    scored = cusum_stream(stream_df, bl_map)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("t_cusum")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["sup"], r["sdn"], r["up_alarm"], r["dn_alarm"])
+        for r in spark.table("t_cusum").collect()
+    }
+    assert len(got) == len(expected) == len(pdf)
+    assert got == expected
+    # The fixture actually alarms (both directions exist at sf0.001 up;
+    # assert at least the up side fires so the test can't pass vacuously).
+    assert any(v[2] for v in got.values())
