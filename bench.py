@@ -182,6 +182,9 @@ def main() -> None:
         "q_cluster_stats_md5",
         "q_cusum_alarms",
         "q_anomaly_seasonal",
+        "q_quantile_sketch",
+        "q_split_leakage_safe",
+        "q_data_quality_report",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s

@@ -1445,3 +1445,182 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cdc_apply(target, changes, "k").orderBy("k")
+
+
+@query(
+    "q_data_quality_report",
+    oracle="""
+        WITH oagg AS (
+            SELECT count(*) AS n,
+                   count(*) - count(DISTINCT o_orderkey) AS pk_dup,
+                   count(*) FILTER (o_orderstatus NOT IN ('P','O','F'))
+                       AS bad_status,
+                   count(*) FILTER (o_totalprice <= 0) AS bad_price
+            FROM orders),
+        lagg AS (
+            SELECT count(*) AS n,
+                   count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                       AS pk_dup,
+                   count(*) FILTER (l_quantity <= 0) AS bad_qty,
+                   count(*) FILTER (o_orderkey IS NULL) AS ri_orphans
+            FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+              ON l.l_orderkey = o.o_orderkey),
+        eagg AS (
+            SELECT count(*) AS n,
+                   count(*) - count(DISTINCT event_id) AS pk_dup,
+                   count(*) FILTER (user_id IS NULL) AS null_user,
+                   count(*) FILTER (value < 0) AS neg_value
+            FROM events),
+        dagg AS (
+            SELECT count(*) AS n,
+                   count(*) - count(DISTINCT doc_id) AS pk_dup,
+                   count(*) FILTER (text IS NULL OR length(text) = 0)
+                       AS empty_text
+            FROM documents),
+        rep AS (
+            SELECT 'orders' AS tbl, 'pk_unique' AS check_name, n, pk_dup AS violations FROM oagg
+            UNION ALL SELECT 'orders', 'status_accepted', n, bad_status FROM oagg
+            UNION ALL SELECT 'orders', 'totalprice_positive', n, bad_price FROM oagg
+            UNION ALL SELECT 'lineitem', 'pk_unique', n, pk_dup FROM lagg
+            UNION ALL SELECT 'lineitem', 'quantity_positive', n, bad_qty FROM lagg
+            UNION ALL SELECT 'lineitem', 'ri_orders', n, ri_orphans FROM lagg
+            UNION ALL SELECT 'events', 'pk_unique', n, pk_dup FROM eagg
+            UNION ALL SELECT 'events', 'user_id_complete', n, null_user FROM eagg
+            UNION ALL SELECT 'events', 'value_nonnegative', n, neg_value FROM eagg
+            UNION ALL SELECT 'documents', 'pk_unique', n, pk_dup FROM dagg
+            UNION ALL SELECT 'documents', 'text_nonempty', n, empty_text FROM dagg)
+        SELECT tbl, check_name, CAST(n AS BIGINT) AS n_rows,
+               CAST(violations AS BIGINT) AS violations,
+               violations = 0 AS passed
+        FROM rep ORDER BY tbl, check_name
+    """,
+)
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-suite validation report (the Deequ pattern): the
+    pre-training data gate a 100 TB pipeline runs before a corpus
+    snapshot is allowed to feed anything downstream. Eleven declared
+    constraints across four tables — primary-key uniqueness,
+    accepted value sets, range checks, completeness, and one
+    referential-integrity check — each published as
+    (tbl, check_name, n_rows, violations, passed).
+
+    Scale shape: ONE aggregation pass per table computes every
+    constraint on that table simultaneously (count + conditional
+    counts + count-distinct fused into a single agg — no per-check
+    rescans); the one-row results explode into report rows, so the
+    whole report moves O(checks) bytes after the scans. The RI check
+    is folded into lineitem's single pass as a left join against the
+    distinct key set — the one genuinely key-shuffle-priced check
+    (at 100 TB: same budget as any key join; a bloom/broadcast
+    prefilter applies when the parent key set is small or the orphan
+    rate is known-low, cf. bloom.py). The TPC-H fixtures are clean,
+    so the oracle pins the MACHINERY (counts, distinct algebra, the
+    pass/fail decision) rather than nonzero violations; the
+    violation-detection branches are exercised on dirty synthetic
+    data in tests/test_curation.py."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+
+    def report(agg_df, tbl, checks):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("check_name"),
+                    F.col(c).cast("bigint").alias("violations"),
+                )
+                for name, c in checks
+            ]
+        )
+        return agg_df.select(
+            F.lit(tbl).alias("tbl"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.explode(arr).alias("_c"),
+        ).select(
+            "tbl",
+            F.col("_c.check_name").alias("check_name"),
+            "n_rows",
+            F.col("_c.violations").alias("violations"),
+            (F.col("_c.violations") == 0).alias("passed"),
+        )
+
+    oagg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dup"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("P", "O", "F"), 1)
+        ).alias("bad_status"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("bad_price"),
+    )
+    lagg = (
+        li.join(
+            o.select("o_orderkey").distinct().withColumn("_hit", F.lit(1)),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.count(F.lit(1))
+                - F.countDistinct("l_orderkey", "l_linenumber")
+            ).alias("pk_dup"),
+            F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("bad_qty"),
+            F.count(F.when(F.col("_hit").isNull(), 1)).alias("ri_orphans"),
+        )
+    )
+    eagg = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("pk_dup"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("null_user"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("neg_value"),
+    )
+    dagg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("pk_dup"),
+        F.count(
+            F.when(F.col("text").isNull() | (F.length("text") == 0), 1)
+        ).alias("empty_text"),
+    )
+    rep = (
+        report(
+            oagg,
+            "orders",
+            [
+                ("pk_unique", "pk_dup"),
+                ("status_accepted", "bad_status"),
+                ("totalprice_positive", "bad_price"),
+            ],
+        )
+        .unionByName(
+            report(
+                lagg,
+                "lineitem",
+                [
+                    ("pk_unique", "pk_dup"),
+                    ("quantity_positive", "bad_qty"),
+                    ("ri_orders", "ri_orphans"),
+                ],
+            )
+        )
+        .unionByName(
+            report(
+                eagg,
+                "events",
+                [
+                    ("pk_unique", "pk_dup"),
+                    ("user_id_complete", "null_user"),
+                    ("value_nonnegative", "neg_value"),
+                ],
+            )
+        )
+        .unionByName(
+            report(
+                dagg,
+                "documents",
+                [("pk_unique", "pk_dup"), ("text_nonempty", "empty_text")],
+            )
+        )
+    )
+    return rep.orderBy("tbl", "check_name")

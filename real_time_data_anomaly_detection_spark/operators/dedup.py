@@ -1711,3 +1711,77 @@ def q_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's, over the identical blocking contract."""
     d = load_table(spark, sf_dir, "documents")
     return edit_neardup_pairs(d).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_split_leakage_safe",
+    oracle=f"""
+        WITH RECURSIVE {_MINHASH_MD5_CTES},
+        nodes AS (SELECT doc_a AS n FROM pairs UNION SELECT doc_b FROM pairs),
+        sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(node, comp) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN sym e ON e.src = r.node
+        ),
+        comp AS (SELECT node, min(comp) AS component FROM reach GROUP BY 1),
+        grouped AS (
+            SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+        SELECT doc_id, group_id,
+               CASE WHEN substr(md5('split:' || CAST(group_id AS VARCHAR)), 1, 2) < 'cc'
+                        THEN 'train'
+                    WHEN substr(md5('split:' || CAST(group_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM grouped
+        ORDER BY doc_id
+    """,
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split (~80/10/10): the split unit
+    is the near-dup CLUSTER, not the document — every member of a
+    MinHash-LSH component lands in the same split, so no eval example
+    has a near-duplicate in train (the contamination the
+    decontaminate op catches after the fact, prevented by
+    construction; cf. Lee et al. 2022 on duplicate-driven eval
+    inflation). Unpaired documents are their own group.
+
+    Assignment is the deterministic md5-threshold idiom over the
+    GROUP id ('split:'-salted so it is independent of every other
+    md5 decision in the pipeline): first byte < 0xcc -> train
+    (204/256 = 79.7%), < 0xe6 -> val (26/256 = 10.2%), else test —
+    a pure function of the data, reproducible on any engine or
+    partitioning, and stable under corpus growth (adding documents
+    never reassigns an existing group). Oracle replays the closure +
+    grouping + thresholds bit-for-bit; the zero-cross-split-pair
+    property and the proportions are pinned in tests/test_dedup.py.
+
+    Scale shape: the closure runs on the PAIR graph (near-dup-sized),
+    the label relation is clustered-docs-sized, and the final left
+    join is id-keyed (doc_id, group_id) — document text never moves;
+    at 100 TB this is the same shuffle budget as q_neardup_dedup plus
+    one id-sized join."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_md5_pairs(d)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    grouped = (
+        d.select("doc_id")
+        .join(
+            comp.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left"
+        )
+        .select(
+            "doc_id", F.coalesce("comp", "doc_id").alias("group_id")
+        )
+    )
+    b = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("group_id").cast("string"))), 1, 2
+    )
+    return grouped.select(
+        "doc_id",
+        "group_id",
+        F.when(b < "cc", "train").when(b < "e6", "val").otherwise("test").alias(
+            "split"
+        ),
+    ).orderBy("doc_id")

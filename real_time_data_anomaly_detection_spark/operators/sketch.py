@@ -294,3 +294,90 @@ def q_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("exact_nd")
     )
     return est.join(exact, "l_returnflag").orderBy("l_returnflag")
+
+
+@query(
+    "q_quantile_sketch",
+    oracle="""
+        WITH x AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                   l_orderkey * 8 + l_linenumber AS rid,
+                   md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)) AS dg
+            FROM lineitem),
+        samp AS (
+            SELECT l_returnflag, cents, rid FROM (
+                SELECT l_returnflag, cents, rid,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY dg, rid) AS rn
+                FROM x)
+            WHERE rn <= 512),
+        ordered AS (
+            SELECT l_returnflag, cents,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY cents, rid) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM samp)
+        SELECT l_returnflag, q, cents AS est_cents
+        FROM ordered, (VALUES (50), (90), (99)) AS qq(q)
+        WHERE rn = (q * (n - 1)) // 100 + 1
+        ORDER BY l_returnflag, q
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P50/P90/P99 of l_extendedprice per l_returnflag from a KMV
+    (bottom-k by md5) sample sketch, k=512 — distributed quantile
+    estimation with the same md5-twin discipline as the CMS/HLL
+    sketches above: the md5 row digest makes the sample a PURE
+    FUNCTION of the data, so the full sketch algebra (sample
+    membership, rank index, published estimate) hash-matches the
+    DuckDB oracle bit-for-bit on any engine and any partitioning.
+
+    Why bottom-k rather than GK/KLL/t-digest: those compactors are
+    merge-ORDER-dependent, so a shuffle-order-nondeterministic engine
+    can't reproduce them cross-engine; the bottom-k-by-digest sample
+    is a commutative idempotent set algebra (the union of bottom-k's
+    re-bottom-k'd equals the global bottom-k — pinned in
+    tests/test_sketch.py), making it mergeable across partitions,
+    shards, and engines with zero order sensitivity.
+
+    Scale shape: the rank<=k filter over the digest-ordered window
+    plans WindowGroupLimit (pinned) — every task keeps at most k rows
+    per group BEFORE the exchange, so the shuffle carries
+    O(groups·k·tasks-merged) sketch rows, never the table; estimation
+    then runs on groups·k rows. Estimate error is the sampling bound
+    ~1/sqrt(k) on quantile RANK (accuracy pinned in tests); values in
+    exact integer cents end-to-end."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.expr("l_orderkey * 8 + l_linenumber").alias("rid"),
+    ).withColumn("dg", F.md5(F.col("rid").cast("string")))
+    wk = Window.partitionBy("l_returnflag").orderBy("dg", "rid")
+    samp = (
+        x.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 512)
+        .select("l_returnflag", "cents", "rid")
+    )
+    wv = Window.partitionBy("l_returnflag").orderBy("cents", "rid")
+    wn = Window.partitionBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ordered = samp.select(
+        "l_returnflag",
+        "cents",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ordered.select(
+            "l_returnflag", "cents", "rn", "n",
+            F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q"),
+        )
+        .filter(F.expr("rn = (q * (n - 1)) div 100 + 1"))
+        .select("l_returnflag", "q", F.col("cents").alias("est_cents"))
+        .orderBy("l_returnflag", "q")
+    )

@@ -493,3 +493,60 @@ def test_cdc_apply_seq_ties_are_deterministic(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert results[0] == results[1] == {2: "p"}
+
+
+def test_data_quality_report_detects_dirty_data(spark, tmp_path):
+    """q_data_quality_report on the clean fixtures is all-pass (the
+    oracle pins that); this exercises every violation branch on a
+    deliberately dirty four-table snapshot and checks the exact
+    violation counts."""
+    import pandas as pd
+
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+
+    d = str(tmp_path)
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 1, 2, 3],          # dup pk (1 extra)
+            "o_orderstatus": ["P", "O", "X", "F"],  # 1 bad status
+            "o_totalprice": [10.0, 5.0, -1.0, 0.0],  # 2 non-positive
+        }
+    ).to_parquet(f"{d}/orders.parquet", index=False)
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 99],          # 99 is an orphan
+            "l_linenumber": [1, 1, 1, 1],         # (1,1) dup pk
+            "l_quantity": [5.0, 1.0, 0.0, 2.0],   # 1 non-positive
+        }
+    ).to_parquet(f"{d}/lineitem.parquet", index=False)
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 2],                # dup pk
+            "ts": pd.to_datetime(["2025-01-01"] * 3),
+            "user_id": pd.array([1, None, 3], dtype="Int64"),  # 1 null
+            "value": [1.0, -2.0, 3.0],            # 1 negative
+        }
+    ).to_parquet(f"{d}/events.parquet", index=False)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 2],                  # dup pk
+            "text": ["hi", "", "x"],              # 1 empty
+        }
+    ).to_parquet(f"{d}/documents.parquet", index=False)
+
+    rep = {
+        (r["tbl"], r["check_name"]): (r["violations"], r["passed"])
+        for r in REGISTRY["q_data_quality_report"].spark_fn(spark, d).collect()
+    }
+    assert rep[("orders", "pk_unique")] == (1, False)
+    assert rep[("orders", "status_accepted")] == (1, False)
+    assert rep[("orders", "totalprice_positive")] == (2, False)
+    assert rep[("lineitem", "pk_unique")] == (1, False)
+    assert rep[("lineitem", "quantity_positive")] == (1, False)
+    assert rep[("lineitem", "ri_orders")] == (1, False)
+    assert rep[("events", "pk_unique")] == (1, False)
+    assert rep[("events", "user_id_complete")] == (1, False)
+    assert rep[("events", "value_nonnegative")] == (1, False)
+    assert rep[("documents", "pk_unique")] == (1, False)
+    assert rep[("documents", "text_nonempty")] == (1, False)
+    assert len(rep) == 11

@@ -503,3 +503,38 @@ def test_edit_neardup_block_valve(spark):
     capped = edit_neardup_pairs(df, max_block_size=5).collect()
     assert unlimited == 45 + 1  # C(10,2) boilerplate pairs + the real one
     assert {(r.id_a, r.id_b) for r in capped} == {(100, 101)}
+
+
+def test_leakage_safe_split_properties(spark):
+    """The two contract properties of q_split_leakage_safe beyond the
+    oracle hash: (1) ZERO near-dup pairs cross a split boundary —
+    the leakage guarantee; (2) proportions land near 80/10/10 (group
+    count is ~500 at sf0.01, so allow binomial slack)."""
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.operators.dedup import (
+        minhash_md5_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    assign = REGISTRY["q_split_leakage_safe"].spark_fn(spark, sf).cache()
+    split_of = {r["doc_id"]: r["split"] for r in assign.collect()}
+
+    pairs = minhash_md5_pairs(load_table(spark, sf, "documents")).collect()
+    assert len(pairs) > 0
+    crossing = [
+        (p["doc_a"], p["doc_b"])
+        for p in pairs
+        if split_of[p["doc_a"]] != split_of[p["doc_b"]]
+    ]
+    assert crossing == []
+
+    n = len(split_of)
+    from collections import Counter
+
+    frac = {s: c / n for s, c in Counter(split_of.values()).items()}
+    assert set(frac) == {"train", "val", "test"}
+    assert abs(frac["train"] - 204 / 256) < 0.08
+    assert abs(frac["val"] - 26 / 256) < 0.06
+    assert abs(frac["test"] - 26 / 256) < 0.06
+    assign.unpersist()

@@ -188,3 +188,72 @@ def test_cms_depth_bounded_by_digest_chunks(spark):
         countmin_build(items, "item", depth=5, width=64)
     rows = {r.row for r in countmin_build(items, "item", depth=4, width=64).collect()}
     assert rows == {0, 1, 2, 3}
+
+
+def _bottom_k(df, k=64):
+    from pyspark.sql import Window
+
+    w = Window.orderBy("dg", "rid")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def test_kmv_merge_equals_whole(spark):
+    """The KMV bottom-k-by-digest sample is a commutative idempotent
+    set algebra: re-bottom-k over the UNION of per-shard bottom-k's
+    equals the bottom-k of the whole — the mergeability claim in
+    q_quantile_sketch's docstring, and the reason it can replace
+    merge-order-dependent compactors (GK/KLL) cross-engine."""
+    rows = [(i, (i * 37) % 1000) for i in range(2000)]
+    df = spark.createDataFrame(rows, "rid long, v long").withColumn(
+        "dg", F.md5(F.col("rid").cast("string"))
+    )
+    whole = {tuple(r) for r in _bottom_k(df).collect()}
+    shards = [df.filter(F.col("rid") % 3 == i) for i in range(3)]
+    merged = _bottom_k(_bottom_k(shards[0]).union(_bottom_k(shards[1])).union(_bottom_k(shards[2])))
+    assert {tuple(r) for r in merged.collect()} == whole
+
+
+def test_kmv_quantile_rank_accuracy(spark):
+    """Each published estimate's TRUE rank (fraction of the group's
+    rows <= estimate) is within +-5 percentile points of the target —
+    the ~1/sqrt(k) sampling bound at k=512 with margin."""
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    est = REGISTRY["q_quantile_sketch"].spark_fn(spark, sf).collect()
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select(
+            "l_returnflag",
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .cache()
+    )
+    totals = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    for r in est:
+        below = li.filter(
+            (F.col("l_returnflag") == r["l_returnflag"])
+            & (F.col("cents") <= r["est_cents"])
+        ).count()
+        true_rank = 100.0 * below / totals[r["l_returnflag"]]
+        assert abs(true_rank - r["q"]) <= 5.0, (r, true_rank)
+    li.unpersist()
+
+
+def test_kmv_sketch_plans_window_group_limit(spark):
+    """The rank<=k digest filter must push a per-partition group limit
+    BEFORE the exchange (WindowGroupLimit) — the property that keeps
+    the shuffle sketch-sized at 100 TB."""
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+
+    df = REGISTRY["q_quantile_sketch"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
