@@ -137,6 +137,11 @@ def test_gate_window_pandas_fetch_parity(spark, duck):
         "q_embed_drift",
         "q_cluster_stats_md5",
         "q_novelty_scores",
+        "q_cusum_alarms",
+        "q_anomaly_seasonal",
+        "q_quantile_sketch",
+        "q_split_leakage_safe",
+        "q_data_quality_report",
     ]
     mismatches = {}
     for name in list(_GATE_WINDOW) + round7:
