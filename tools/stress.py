@@ -67,6 +67,19 @@ def _synthetic_edges(spark, n_edges: int, num_partitions: int = 64):
     )
 
 
+def _synthetic_events(spark, n: int, num_partitions: int = 64):
+    """Keyed integer time series (5 keys, ts = row id, hashed micro-unit
+    values) — the CUSUM / KMV-quantile scaling input."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n, numPartitions=num_partitions).select(
+        (F.col("id") % 5).cast("string").alias("key"),
+        F.col("id").alias("ts"),
+        F.col("id").alias("rid"),
+        F.pmod(F.col("id") * 2654435761, F.lit(1_000_000)).alias("xm"),
+    )
+
+
 def _shuffle_totals(spark) -> tuple[int, int]:
     """(write_bytes, read_bytes) summed over completed stages, via the
     UI REST API (the scaling session runs with the UI on)."""
@@ -130,6 +143,10 @@ def scaling_main() -> None:
         bloom_semi_join,
     )
     from real_time_data_anomaly_detection_spark.operators.graph import pagerank
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        cusum_baselines,
+        cusum_scores,
+    )
     from real_time_data_anomaly_detection_spark.operators.sketch import (
         countmin_build,
         countmin_estimate,
@@ -205,6 +222,17 @@ def scaling_main() -> None:
     def _plain_semi_op(d):
         return d.select("doc_id").join(_bloom_dim, "doc_id", "left_semi")
 
+    def _kmv_op(x):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("key").orderBy("dg", "rid")
+        return (
+            x.withColumn("dg", F.md5(F.col("rid").cast("string")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 512)
+            .select("key", "xm", "rid")
+        )
+
     # op name -> (input kind, transform); 'docs' ops take the token
     # corpus, 'emb' ops the synthetic embedding corpus.
     ops = {
@@ -251,6 +279,18 @@ def scaling_main() -> None:
         "bpe_train_b8": ("docs", lambda d: _bpe_b8_op(d)),
         "bloom_semi": ("docs", _bloom_op),
         "plain_semi": ("docs", _plain_semi_op),
+        # round-7 additions: the CUSUM detector (two tiny per-key aggs
+        # + ONE window sort-shuffle of the stream -> bytes slope ~1)
+        # and the KMV bottom-k stage (WindowGroupLimit keeps <=k rows
+        # per key per task before the exchange -> bytes CONSTANT in n).
+        "cusum": (
+            "events",
+            lambda x: cusum_scores(
+                x, cusum_baselines(x, "key", "xm"),
+                key_col="key", ts_col="ts", id_col="rid", value_col="xm",
+            ),
+        ),
+        "kmv_bottomk": ("events", _kmv_op),
     }
     # optional 4th arg: comma-separated op subset
     if len(sys.argv) > 4:
@@ -267,6 +307,7 @@ def scaling_main() -> None:
         "docs": _synthetic_docs(spark, 20_000),
         "emb": _synthetic_embeddings(spark, 20_000),
         "edges": _synthetic_edges(spark, 20_000),
+        "events": _synthetic_events(spark, 20_000),
     }
     for kind, fn in ops.values():
         run(fn(warm[kind]))
@@ -282,6 +323,7 @@ def scaling_main() -> None:
         "docs": {s: _synthetic_docs(spark, s) for s in sizes},
         "emb": {s: _synthetic_embeddings(spark, s) for s in sizes},
         "edges": {s: _synthetic_edges(spark, s) for s in sizes},
+        "events": {s: _synthetic_events(spark, s) for s in sizes},
     }
     walls: dict[tuple[str, int], list[float]] = {
         (n, s): [] for n in ops for s in sizes
