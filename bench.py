@@ -185,6 +185,7 @@ def main() -> None:
         "q_quantile_sketch",
         "q_split_leakage_safe",
         "q_data_quality_report",
+        "q_hierarchy_flatten",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s

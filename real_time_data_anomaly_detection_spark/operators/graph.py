@@ -294,3 +294,127 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_edges, tri)], "n_edges long, n_triangles long"
     )
+
+
+def hierarchy_flatten(
+    parents: DataFrame,
+    node: str = "node",
+    parent: str = "parent",
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, root, depth) for every node of a parent-pointer forest —
+    the WITH RECURSIVE hierarchy walk (org charts, bill-of-materials,
+    referral trees) Spark has no built-in for, as a driver loop of
+    fully distributed rounds.
+
+    POINTER DOUBLING with depth accumulation: state (node, anc, d)
+    where d is the step count from node to anc; each round jumps
+    anc := anc(anc), d := d + d(anc) via ONE state-sized self-join,
+    so the resolved distance doubles per round and a depth-D forest
+    converges in ceil(log2 D)+1 rounds (pinned in tests/test_graph.py)
+    — the same shortcut discipline as connected_components
+    (dedup.py:1113), with the same localCheckpoint lineage truncation
+    and fused convergence check (the start-of-round anc rides along
+    as ``_prev``; convergence is a filter-count scan of the round's
+    own checkpointed frame, no extra join job).
+
+    Roots are rows with ``parent == node`` (d seeds to 0 there, so
+    they are their own fixpoint); a node whose parent is absent from
+    the relation is treated as a root of its own tree (coalesce on
+    the left join), documented rather than silently dropped. 100 TB
+    shape: every round is one hash join + checkpoint of the
+    |V|-row state — nothing edge-quadratic, nothing on the driver
+    but the round counter and the converged flag."""
+    state = (
+        parents.select(
+            F.col(node).alias("node"),
+            F.col(parent).alias("anc"),
+            F.when(F.col(parent) == F.col(node), F.lit(0).cast("bigint"))
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("d"),
+        )
+        .persist()
+    )
+    state.count()
+    cur = state
+    for _round in range(max_iter):
+        hop = cur.select(
+            F.col("node").alias("_n"),
+            F.col("anc").alias("_a"),
+            F.col("d").alias("_d"),
+        )
+        new = (
+            cur.join(hop, cur.anc == hop._n, "left")
+            .select(
+                "node",
+                F.coalesce("_a", "anc").alias("anc"),
+                (F.col("d") + F.coalesce("_d", F.lit(0))).alias("d"),
+                F.col("anc").alias("_prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.filter(F.col("anc") != F.col("_prev")).count()
+        cur = new.drop("_prev")
+        if changed == 0:
+            if stats is not None:
+                stats["rounds"] = _round + 1
+            state.unpersist()
+            return cur.select("node", F.col("anc").alias("root"), F.col("d").alias("depth"))
+    state.unpersist()
+    raise RuntimeError(f"hierarchy_flatten did not converge in {max_iter} rounds")
+
+
+@query(
+    "q_hierarchy_flatten",
+    oracle="""
+        WITH RECURSIVE mx AS (SELECT max(user_id) AS m FROM events),
+        nodes AS (
+            SELECT unnest(generate_series(0, (SELECT m FROM mx))) AS node),
+        par AS (
+            SELECT node,
+                   CASE WHEN node >= 3 THEN node // 3 ELSE node END AS parent
+            FROM nodes),
+        walk(node, anc, depth) AS (
+            SELECT node, parent,
+                   CASE WHEN parent = node THEN 0 ELSE 1 END
+            FROM par
+            UNION ALL
+            SELECT w.node, p.parent, w.depth + 1
+            FROM walk w JOIN par p ON w.anc = p.node
+            WHERE p.parent <> p.node
+        )
+        SELECT w.node AS user_id, w.anc AS root_id,
+               CAST(w.depth AS BIGINT) AS depth
+        FROM walk w JOIN par p ON w.anc = p.node
+        WHERE p.parent = p.node
+        ORDER BY user_id
+    """,
+)
+def q_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root + depth for every node of the synthetic ternary referral
+    tree over the events user space (parent(u) = u div 3; roots
+    0,1,2) — the recursive-CTE hierarchy walk cross-checked against
+    DuckDB's actual WITH RECURSIVE on the identical relation. The
+    node set is the closed integer range [0, max(user_id)] generated
+    IN-PLAN (one-row max agg -> sequence -> explode, no driver
+    collect), so the parent map is total and both engines walk the
+    same forest. Pointer doubling needs ceil(log2 depth)+1 ~ 4 rounds
+    where the naive walk would need depth ~ 7."""
+    e = load_table(spark, sf_dir, "events")
+    nodes = (
+        e.agg(F.max("user_id").alias("m"))
+        .select(F.explode(F.sequence(F.lit(0), F.col("m"))).alias("node"))
+    )
+    parents = nodes.select(
+        "node",
+        F.when(F.col("node") >= 3, F.expr("node div 3"))
+        .otherwise(F.col("node"))
+        .alias("parent"),
+    )
+    flat = hierarchy_flatten(parents)
+    return flat.select(
+        F.col("node").alias("user_id"),
+        F.col("root").alias("root_id"),
+        F.col("depth").cast("bigint").alias("depth"),
+    ).orderBy("user_id")

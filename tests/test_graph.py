@@ -188,3 +188,35 @@ def test_triangle_count_known_graphs(spark):
         .count()
     )
     assert tri == 4
+
+
+def test_hierarchy_flatten_chain_and_rounds(spark):
+    """A 64-deep chain resolves with correct depths in <= ceil(log2 64)+1
+    = 7 doubling rounds; a forest with a dangling parent treats the
+    orphan as its own root (the documented contract)."""
+    from real_time_data_anomaly_detection_spark.operators.graph import (
+        hierarchy_flatten,
+    )
+
+    # chain: 0 <- 1 <- 2 ... <- 64 (node 0 is the root)
+    rows = [(0, 0)] + [(i, i - 1) for i in range(1, 65)]
+    stats = {}
+    flat = {
+        r["node"]: (r["root"], r["depth"])
+        for r in hierarchy_flatten(
+            spark.createDataFrame(rows, "node long, parent long"), stats=stats
+        ).collect()
+    }
+    assert flat == {i: (0, i) for i in range(65)}
+    assert stats["rounds"] <= 7
+
+    # dangling: node 10's parent 99 is not in the relation
+    rows2 = [(0, 0), (1, 0), (10, 99)]
+    flat2 = {
+        r["node"]: (r["root"], r["depth"])
+        for r in hierarchy_flatten(
+            spark.createDataFrame(rows2, "node long, parent long")
+        ).collect()
+    }
+    assert flat2[0] == (0, 0) and flat2[1] == (0, 1)
+    assert flat2[10] == (99, 1)

@@ -206,6 +206,7 @@ ITERATIVE_BUILD = {
     "q_quality_classifier",  # GD training loop (jobs at build)
     "q_triangles",  # counts executed at build (persisted edge set)
     "q_index_phrase_search",  # text-index build + bigram collect at build
+    "q_hierarchy_flatten",  # pointer-doubling rounds (jobs at build)
 }
 
 
