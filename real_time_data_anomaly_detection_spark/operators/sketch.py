@@ -348,36 +348,58 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     then runs on groups·k rows. Estimate error is the sampling bound
     ~1/sqrt(k) on quantile RANK (accuracy pinned in tests); values in
     exact integer cents end-to-end."""
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem")
     x = li.select(
         "l_returnflag",
         F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
         F.expr("l_orderkey * 8 + l_linenumber").alias("rid"),
-    ).withColumn("dg", F.md5(F.col("rid").cast("string")))
-    wk = Window.partitionBy("l_returnflag").orderBy("dg", "rid")
-    samp = (
-        x.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= 512)
-        .select("l_returnflag", "cents", "rid")
     )
-    wv = Window.partitionBy("l_returnflag").orderBy("cents", "rid")
-    wn = Window.partitionBy("l_returnflag").rowsBetween(
+    return (
+        kmv_quantiles(x, "l_returnflag", "cents", "rid", k=512)
+        .select("l_returnflag", "q", F.col("est").alias("est_cents"))
+        .orderBy("l_returnflag", "q")
+    )
+
+
+def kmv_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    rid_col: str,
+    k: int = 512,
+    qs: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """(key, q, est): integer-index quantile estimates from the
+    per-key bottom-``k``-by-md5(rid) sample (the q_quantile_sketch
+    algebra as a reusable operator — see that docstring for why KMV
+    over GK/KLL). Estimate = sample value at rank
+    (q·(n−1)) div 100 + 1 in (value, rid) order, n = |sample| — pure
+    integer selection, so the streaming fold
+    (streaming/sketches.kmv_quantile_stream) reproduces it bit-for-bit."""
+    from pyspark.sql import Window
+
+    x = df.withColumn("_dg", F.md5(F.col(rid_col).cast("string")))
+    wk = Window.partitionBy(key_col).orderBy("_dg", rid_col)
+    samp = (
+        x.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= k)
+        .select(key_col, value_col, rid_col)
+    )
+    wv = Window.partitionBy(key_col).orderBy(value_col, rid_col)
+    wn = Window.partitionBy(key_col).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     ordered = samp.select(
-        "l_returnflag",
-        "cents",
-        F.row_number().over(wv).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        key_col,
+        value_col,
+        F.row_number().over(wv).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
     )
     return (
         ordered.select(
-            "l_returnflag", "cents", "rn", "n",
-            F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q"),
+            key_col, value_col, "_rn", "_n",
+            F.explode(F.array(*[F.lit(q) for q in qs])).alias("q"),
         )
-        .filter(F.expr("rn = (q * (n - 1)) div 100 + 1"))
-        .select("l_returnflag", "q", F.col("cents").alias("est_cents"))
-        .orderBy("l_returnflag", "q")
+        .filter(F.expr("_rn = (q * (_n - 1)) div 100 + 1"))
+        .select(key_col, "q", F.col(value_col).alias("est"))
     )

@@ -1,0 +1,127 @@
+"""Streaming folds of the mergeable sketch family.
+
+The batch sketches in operators/sketch.py were chosen for
+ORDER-INDEPENDENT algebra (CMS counter adds, HLL register maxima, the
+KMV bottom-k set union); the payoff is that their streaming versions
+are trivial state folds — each micro-batch merges into a bounded
+per-key state and the published estimate is at every trigger exactly
+what the batch operator would compute over the stream-so-far. No
+approximation is introduced by streaming: stream == batch is
+bit-equal and pinned in tests/test_streaming.py.
+
+The streaming CMS already lives in operators/sketch.py (bounded
+counter state); this module holds the stateful-API folds that need
+per-key sample state: KMV quantiles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io as _io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def _encode(pdf: pd.DataFrame) -> bytes:
+    buf = _io.BytesIO()
+    pdf.to_parquet(buf, index=False)
+    return buf.getvalue()
+
+
+def _decode(blob: bytes) -> pd.DataFrame:
+    return pd.read_parquet(_io.BytesIO(blob))
+
+
+def kmv_quantile_stream(
+    df: DataFrame,
+    key_col: str = "event_type",
+    rid_col: str = "event_id",
+    value_col: str = "xm",
+    k: int = 512,
+    qs: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Streaming KMV quantiles: per key, fold each micro-batch into
+    the bottom-``k``-by-md5(rid) sample and emit the current
+    (key, seen, q, est) estimates every trigger.
+
+    State per key is BOUNDED at k sample rows (parquet-encoded, the
+    stateful.py discipline) plus one seen counter — independent of
+    stream length, the property merge-order-dependent compactors
+    (GK/KLL) only approximate. Because bottom-k-by-digest is a
+    commutative idempotent set algebra (pinned in
+    tests/test_sketch.py::test_kmv_merge_equals_whole), the fold is
+    EXACT: after any trigger, (q, est) equals
+    operators/sketch.kmv_quantiles over the stream-so-far bit-for-bit
+    (tests/test_streaming.py pins the final trigger against the batch
+    replay). The md5 digest is computed with hashlib over str(rid) —
+    byte-identical to Spark's md5(CAST(rid AS STRING)) — so stream
+    and batch rank the identical sample.
+
+    ``seen`` (rows absorbed so far for the key) monotonically
+    increases; consumers wanting only the latest estimate take the
+    max-seen row per key. Estimates use the same integer rank
+    selection as the batch operator: sample value at index
+    (q·(n−1)) div 100 in (value, rid) order, n = |sample|."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType(), False),
+            T.StructField("seen", T.LongType(), False),
+            T.StructField("q", T.IntegerType(), False),
+            T.StructField("est", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("sample_parquet", T.BinaryType(), True),
+            T.StructField("seen", T.LongType(), True),
+        ]
+    )
+
+    def _update(key, pdf_iter: Iterator[pd.DataFrame], state):
+        kv = key[0]
+        if state.exists:
+            blob, seen = state.get
+            samp = _decode(blob)
+        else:
+            samp = pd.DataFrame(
+                {"dg": pd.Series(dtype=object),
+                 rid_col: pd.Series(dtype="int64"),
+                 value_col: pd.Series(dtype="int64")}
+            )
+            seen = 0
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            state.update((_encode(samp), seen))
+            return
+        batch = pd.concat(chunks, ignore_index=True)[[rid_col, value_col]]
+        batch["dg"] = [
+            hashlib.md5(str(int(r)).encode()).hexdigest()
+            for r in batch[rid_col]
+        ]
+        seen += len(batch)
+        merged = pd.concat([samp, batch[["dg", rid_col, value_col]]],
+                           ignore_index=True)
+        merged = merged.sort_values(["dg", rid_col], kind="mergesort").head(k)
+        state.update((_encode(merged), seen))
+        ranked = merged.sort_values([value_col, rid_col], kind="mergesort")
+        n = len(ranked)
+        vals = ranked[value_col].to_numpy()
+        yield pd.DataFrame(
+            {
+                key_col: kv,
+                "seen": seen,
+                "q": list(qs),
+                "est": [int(vals[(q * (n - 1)) // 100]) for q in qs],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

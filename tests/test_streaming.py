@@ -440,3 +440,80 @@ def test_cusum_stream_equals_batch_closed_form(spark, tmp_path_factory):
     # The fixture actually alarms (both directions exist at sf0.001 up;
     # assert at least the up side fires so the test can't pass vacuously).
     assert any(v[2] for v in got.values())
+
+
+def test_kmv_quantile_stream_equals_batch(spark, tmp_path_factory):
+    """Streaming KMV quantiles (bounded k-row state per key) are
+    BIT-equal to the batch kmv_quantiles over the full replay at the
+    final trigger — the mergeable-set-algebra payoff: streaming adds
+    zero approximation. Mid-stream triggers also emit (monotone seen
+    counter pinned)."""
+    import os
+
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators.sketch import (
+        kmv_quantiles,
+    )
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        _micro_units,
+    )
+    from real_time_data_anomaly_detection_spark.streaming.sketches import (
+        kmv_quantile_stream,
+    )
+
+    path = str(tmp_path_factory.mktemp("kmv_replay"))
+    src = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    pdf = src.toPandas().sort_values(["ts", "event_id"], ignore_index=True)
+    pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        f = os.path.join(path, f"part-{i:02d}.parquet")
+        pdf.iloc[cuts[i] : cuts[i + 1]].to_parquet(
+            f, index=False, coerce_timestamps="us"
+        )
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    batch_df = spark.read.parquet(path).select(
+        "event_id", "event_type", _micro_units(F.col("value")).alias("xm")
+    )
+    want = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in kmv_quantiles(
+            batch_df, "event_type", "xm", "event_id", k=64
+        ).collect()
+    }
+
+    stream_df = file_replay_source(spark, path, spark.read.parquet(path).schema).select(
+        "event_id", "event_type", _micro_units(F.col("value")).alias("xm")
+    )
+    out = kmv_quantile_stream(
+        stream_df, key_col="event_type", rid_col="event_id", value_col="xm", k=64
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_kmv")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_kmv").collect()
+    # one emission per (key, trigger-with-data, q)
+    max_seen = {}
+    for r in rows:
+        max_seen[r["event_type"]] = max(max_seen.get(r["event_type"], 0), r["seen"])
+    got = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in rows
+        if r["seen"] == max_seen[r["event_type"]]
+    }
+    assert got == want
+    # every key emitted at more than one trigger (mid-stream estimates)
+    from collections import Counter
+
+    triggers = Counter((r["event_type"], r["seen"]) for r in rows)
+    per_key = Counter(k for k, _ in triggers)
+    assert all(v >= 2 for v in per_key.values())
