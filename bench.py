@@ -186,6 +186,7 @@ def main() -> None:
         "q_split_leakage_safe",
         "q_data_quality_report",
         "q_hierarchy_flatten",
+        "q_kmv_jaccard",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s

@@ -403,3 +403,111 @@ def kmv_quantiles(
         .filter(F.expr("_rn = (q * (_n - 1)) div 100 + 1"))
         .select(key_col, "q", F.col(value_col).alias("est"))
     )
+
+
+@query(
+    "q_kmv_jaccard",
+    oracle="""
+        WITH a AS (
+            SELECT DISTINCT l_orderkey AS id FROM lineitem
+            WHERE l_discount > 0.09),
+        b AS (
+            SELECT DISTINCT l_orderkey AS id FROM lineitem
+            WHERE l_tax > 0.06),
+        ska AS (
+            SELECT md5(CAST(id AS VARCHAR)) AS dg FROM a
+            ORDER BY dg LIMIT 256),
+        skb AS (
+            SELECT md5(CAST(id AS VARCHAR)) AS dg FROM b
+            ORDER BY dg LIMIT 256),
+        u AS (
+            SELECT dg FROM (SELECT dg FROM ska UNION SELECT dg FROM skb)
+            ORDER BY dg LIMIT 256),
+        m AS (
+            SELECT count(*) AS matches FROM u
+            WHERE dg IN (SELECT dg FROM ska)
+              AND dg IN (SELECT dg FROM skb)),
+        ex AS (
+            SELECT (SELECT count(*) FROM a WHERE id IN (SELECT id FROM b))
+                       AS inter,
+                   (SELECT count(*)
+                    FROM (SELECT id FROM a UNION SELECT id FROM b)) AS un,
+                   (SELECT count(*) FROM a) AS n_a,
+                   (SELECT count(*) FROM b) AS n_b)
+        SELECT CAST(matches AS BIGINT) AS matches,
+               CAST(256 AS BIGINT) AS k,
+               CAST((matches * 1000000) // 256 AS BIGINT) AS est_jaccard_ppm,
+               CAST((inter * 1000000) // un AS BIGINT) AS exact_jaccard_ppm,
+               CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+        FROM m, ex
+    """,
+)
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-overlap (Jaccard) estimation from two KMV sketches — the
+    set-OPERATION side of the bottom-k algebra (Beyer et al. 2007):
+    audience-overlap questions ("how many discounted orders are also
+    high-tax orders") answered from two k-digest sketches instead of
+    a distinct-join of the full id sets. Estimator: merge the two
+    sketches, re-take the k smallest digests (a valid KMV sketch of
+    A∪B by the mergeability pinned in test_kmv_merge_equals_whole),
+    and count how many of those k union-sample digests are in BOTH
+    input sketches — matches/k estimates |A∩B|/|A∪B|. Published in
+    exact integer ppm via trunc division; the exact Jaccard rides
+    along (same discipline as q_hll_md5's exact_nd column) and the
+    estimator's error is pinned within the sampling bound in
+    tests/test_sketch.py.
+
+    Scale shape: each sketch is a global TakeOrderedAndProject
+    (per-partition k-heaps, k-row merge — never a sort); everything
+    after the two distinct-id aggregations is k-row algebra. At
+    100 TB the sketches are built in one pass per side and the
+    overlap estimate costs nothing — the exact columns are the
+    expensive part (distinct + semi join), which is exactly what the
+    sketch exists to avoid; they are carried here as the oracle's
+    measuring stick. The two one-row scalar relations combine by
+    construction-time cross join of single rows (whitelisted BNLJ,
+    the q_dsir_weights pattern)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = 256
+    a = li.filter(F.col("l_discount") > 0.09).select(
+        F.col("l_orderkey").alias("id")
+    ).distinct()
+    b = li.filter(F.col("l_tax") > 0.06).select(
+        F.col("l_orderkey").alias("id")
+    ).distinct()
+
+    def sk(ids):
+        return (
+            ids.select(F.md5(F.col("id").cast("string")).alias("dg"))
+            .orderBy("dg")
+            .limit(k)
+        )
+
+    ska, skb = sk(a), sk(b)
+    u = ska.union(skb).distinct().orderBy("dg").limit(k)
+    m = (
+        u.join(ska, "dg", "left_semi")
+        .join(skb, "dg", "left_semi")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    ex = (
+        a.join(b, "id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .crossJoin(
+            a.union(b).distinct().agg(F.count(F.lit(1)).alias("un"))
+        )
+        .crossJoin(a.agg(F.count(F.lit(1)).alias("n_a")))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
+    )
+    return m.crossJoin(ex).select(
+        F.col("matches").cast("bigint").alias("matches"),
+        F.lit(k).cast("bigint").alias("k"),
+        F.expr(f"(matches * 1000000) div {k}")
+        .cast("bigint")
+        .alias("est_jaccard_ppm"),
+        F.expr("(inter * 1000000) div un")
+        .cast("bigint")
+        .alias("exact_jaccard_ppm"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+    )

@@ -143,6 +143,7 @@ def test_gate_window_pandas_fetch_parity(spark, duck):
         "q_split_leakage_safe",
         "q_data_quality_report",
         "q_hierarchy_flatten",
+        "q_kmv_jaccard",
     ]
     mismatches = {}
     for name in list(_GATE_WINDOW) + round7:

@@ -257,3 +257,15 @@ def test_kmv_sketch_plans_window_group_limit(spark):
     df = REGISTRY["q_quantile_sketch"].spark_fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_kmv_jaccard_within_sampling_bound(spark):
+    """The KMV overlap estimator lands within one sigma (1/sqrt(k) =
+    62500 ppm at k=256) of the exact Jaccard on the fixture sets —
+    deterministic data, so this pins the estimator's behavior, not a
+    probabilistic hope."""
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+
+    r = REGISTRY["q_kmv_jaccard"].spark_fn(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["k"] == 256 and 0 < r["matches"] <= r["k"]
+    assert abs(r["est_jaccard_ppm"] - r["exact_jaccard_ppm"]) <= 62500
