@@ -187,6 +187,7 @@ def main() -> None:
         "q_data_quality_report",
         "q_hierarchy_flatten",
         "q_kmv_jaccard",
+        "q_bpe_encode",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s

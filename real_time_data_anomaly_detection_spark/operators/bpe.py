@@ -178,3 +178,106 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     ).orderBy("rank")
+
+
+# --- Corpus-scale ENCODE with a fixed merge table (oracle-backed) ----------
+
+#: Rank-ordered demonstration merge table for the oracle-backed encode
+#: query: the "table" chain ((t,a) -> (l,e) -> (ta,b) -> (tab,le))
+#: exercises multi-character merges on BOTH operands; the "scan" chain
+#: exercises a growing left operand; (v,a) fires mid-word in "value".
+_ENCODE_MERGES: list[tuple[str, str]] = [
+    ("t", "a"),
+    ("l", "e"),
+    ("ta", "b"),
+    ("tab", "le"),
+    ("s", "c"),
+    ("sc", "a"),
+    ("sca", "n"),
+    ("v", "a"),
+]
+
+
+def bpe_encode_fixed(
+    df: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """BPE ENCODE with a fixed merge table as ONE chained
+    whole-stage-codegen string expression — the corpus-scale fast path
+    next to :func:`bpe_apply`'s array folds (parity between the two is
+    pinned in tests/test_bpe.py, including overlap words like "aaa").
+
+    Each word is rendered with every symbol wrapped in parentheses
+    ("table" -> "(t)(a)(b)(l)(e)"); a merge (l, r) is then ONE
+    ``replace(s, '(l)(r)', '(lr)')``. String replace-all scans left to
+    right non-overlapping, which IS the greedy leftmost-first fusion
+    BPE specifies ("(a)(a)(a)" + merge(a,a) -> "(aa)(a)"), and the
+    wrapping makes symbol boundaries explicit so a merge can never
+    match inside a longer symbol: ("l","r") does not fire on
+    "(l)(rx)".
+
+    Precondition: symbols must not contain ``(`` or ``)`` — callers
+    filter to the token alphabet first (the query below keeps
+    ``^[a-z]+$`` words).
+
+    Scale shape: zero shuffles, zero Python, zero per-merge state —
+    M merges compile into M nested ``StringReplace`` expressions in a
+    single codegen stage over whatever relation carries the words (the
+    word DICTIONARY here, so the corpus is touched once by
+    word_counts; applying it straight to document text costs one map
+    pass at 100 TB)."""
+    s = F.regexp_replace(F.col(word_col), "(.)", "($1)")
+    for left, right in merges:
+        s = F.replace(s, F.lit(f"({left})({right})"), F.lit(f"({left}{right})"))
+    toks = F.split(
+        F.regexp_replace(F.regexp_replace(s, "\\)\\(", " "), "[()]", ""), " "
+    )
+    return df.withColumn("tokens", toks)
+
+
+def _bpe_encode_oracle() -> str:
+    s = r"regexp_replace(word, '(.)', '(\1)', 'g')"
+    for left, right in _ENCODE_MERGES:
+        s = f"replace({s}, '({left})({right})', '({left}{right})')"
+    return f"""
+        WITH wc AS (
+            SELECT w AS word, count(*) AS cnt FROM (
+                SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents)
+            WHERE regexp_full_match(w, '[a-z]+')
+            GROUP BY w),
+        enc AS (SELECT word, cnt, {s} AS s FROM wc),
+        tok AS (
+            SELECT cnt,
+                   unnest(string_split(
+                       replace(replace(replace(s, ')(', ' '),
+                                       '(', ''), ')', ''), ' ')) AS token
+            FROM enc)
+        SELECT token, CAST(sum(cnt) AS BIGINT) AS occurrences,
+               CAST(count(*) AS BIGINT) AS n_words
+        FROM tok GROUP BY token
+        ORDER BY occurrences DESC, token
+    """
+
+
+@query("q_bpe_encode", oracle=_bpe_encode_oracle())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the documents corpus with a FIXED 8-merge BPE table and
+    report the resulting token vocabulary with weighted occurrence
+    counts — the ENCODE half of the tokenizer story (q_bpe_merges
+    learns; this applies). The whole encode is nested StringReplace
+    codegen over the word dictionary (see bpe_encode_fixed); the oracle
+    replays the identical replace chain in DuckDB, so the greedy-fusion
+    semantics are hash-checked cross-engine — the strongest check in
+    the BPE family (training itself is iterative-argmax, rows-only)."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = word_counts(d).filter(F.col("word").rlike("^[a-z]+$"))
+    enc = bpe_encode_fixed(wc, _ENCODE_MERGES)
+    return (
+        enc.select(F.explode("tokens").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("occurrences"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+        .orderBy(F.desc("occurrences"), "token")
+    )

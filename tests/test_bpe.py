@@ -11,6 +11,7 @@ from real_time_data_anomaly_detection_spark.operators.bpe import (
     bpe_apply,
     bpe_train,
     word_counts,
+    bpe_encode_fixed,
 )
 
 
@@ -147,3 +148,24 @@ def test_apply_round_trip(spark):
     got = {r.word: r.tokens for r in bpe_apply(words, merges).collect()}
     assert got == want_syms
     assert all("".join(toks) == w for w, toks in got.items())
+
+
+def test_encode_fixed_matches_fold_tokenizer(spark):
+    # The replace-chain encoder (bpe_encode_fixed) and the array-fold
+    # tokenizer (bpe_apply) are independent implementations of greedy
+    # leftmost-first fusion — they must agree symbol-for-symbol,
+    # including on overlap words ("aaa" + (a,a) -> ["aa","a"]) and on
+    # prefix traps ((l,r) must not fire on symbol "rx").
+    merges = [("a", "a"), ("r", "x"), ("l", "r"), ("t", "a"), ("ta", "b"), ("tab", "b")]
+    words = ["aaa", "aaaa", "lrx", "lr", "tabb", "tatabb", "banana", "a"]
+    df = spark.createDataFrame([(w, 1) for w in words], "word string, cnt long")
+    got = {
+        r.word: r.tokens
+        for r in bpe_encode_fixed(df, merges).collect()
+    }
+    ranked = [(i, l, r, 0) for i, (l, r) in enumerate(merges)]
+    want = {r.word: r.tokens for r in bpe_apply(df, ranked).collect()}
+    assert got == want
+    assert got["aaa"] == ["aa", "a"]
+    assert got["lrx"] == ["l", "rx"]  # (l,r) must not fire inside symbol "rx"
+    assert got["tabb"] == ["tabb"]
