@@ -188,6 +188,7 @@ def main() -> None:
         "q_hierarchy_flatten",
         "q_kmv_jaccard",
         "q_bpe_encode",
+        "q_zorder_layout",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s

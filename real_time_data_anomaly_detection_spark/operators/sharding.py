@@ -123,3 +123,170 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sharding.py (determinism, balance, write round-trip)."""
     d = load_table(spark, sf_dir, "documents")
     return shard_manifest(d, "doc_id", 8, hasher="md5")
+
+
+# --- Z-order (Morton-curve) data layout ------------------------------------
+
+
+def interleave_sql(x: str, y: str, bits: int, div: str = "div") -> str:
+    """Morton interleave of two ``bits``-bit non-negative integer
+    expressions as pure ``div / % / * / +`` arithmetic — the same text
+    is valid Spark SQL (``div='div'``) and DuckDB SQL (``div='//'``),
+    so the z-value algebra is hash-checked cross-engine with one
+    generator. Bit i of x lands at position 2i+1, bit i of y at 2i
+    (x-major). Constant multiplies fold at plan time; the whole thing
+    is one codegen projection, no UDF, no join."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}) {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({y}) {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def zorder_layout_report(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    n_blocks: int = 64,
+    rect: tuple[int, int, int, int] = (112, 143, 112, 143),
+) -> DataFrame:
+    """Compare a Z-ORDER file layout against a single-column linear
+    layout for 2-D predicate pruning, from block min/max stats alone —
+    the decision a 100 TB table owner makes before rewriting data.
+
+    Both dimensions are rank-scaled to [0, 2^bits) with a one-row
+    min/max stats broadcast (integer arithmetic, so the quantization
+    is engine-exact); each row gets a z-value (interleave_sql) and two
+    block ids: its z-range block (what ``repartitionByRange(zvalue)``
+    + per-file parquet footers would produce) and its x-range block
+    (the ``ORDER BY x`` layout). Per (layout, block) the report
+    aggregates exactly what a parquet footer stores — row count and
+    min/max of both dims — then scores the fixed query rectangle
+    ``rect`` (in quantized space): a block is READ iff its [min, max]
+    envelope intersects the rectangle. Output per layout: non-empty
+    blocks, blocks read, rows scanned (sum over read blocks), and the
+    true matching rows (identical across layouts — the invariant the
+    oracle pins).
+
+    Scale shape: one stats aggregation (one-row broadcast, whitelisted
+    BNLJ), one explode-by-2 projection, one (layout, block) partial
+    aggregation, one 2·n_blocks-row final fold. No global sort, no
+    window — the layout is SIMULATED from block ids exactly as the
+    range-partitioned writer would bin rows, so nothing here breaks at
+    1000 executors."""
+    span = (1 << bits) - 1
+    stats = df.agg(
+        F.min(x_col).alias("_xmin"),
+        F.max(x_col).alias("_xmax"),
+        F.min(y_col).alias("_ymin"),
+        F.max(y_col).alias("_ymax"),
+    )
+    q = (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            F.expr(
+                f"(({x_col} - _xmin) * {span}) div (_xmax - _xmin)"
+            ).alias("xq"),
+            F.expr(
+                f"(({y_col} - _ymin) * {span}) div (_ymax - _ymin)"
+            ).alias("yq"),
+        )
+        .withColumn("z", F.expr(interleave_sql("xq", "yq", bits)))
+    )
+    z_width = (1 << (2 * bits)) // n_blocks
+    x_width = (1 << bits) // n_blocks
+    xlo, xhi, ylo, yhi = rect
+    in_rect = (
+        f"CASE WHEN xq BETWEEN {xlo} AND {xhi} "
+        f"AND yq BETWEEN {ylo} AND {yhi} THEN 1 ELSE 0 END"
+    )
+    both = q.select(
+        F.explode(
+            F.expr(
+                f"array(struct('linear' AS layout, xq div {x_width} AS blk),"
+                f" struct('zorder' AS layout, z div {z_width} AS blk))"
+            )
+        ).alias("lb"),
+        "xq",
+        "yq",
+        F.expr(in_rect).alias("m"),
+    )
+    blocks = both.groupBy("lb.layout", "lb.blk").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("xq").alias("min_x"),
+        F.max("xq").alias("max_x"),
+        F.min("yq").alias("min_y"),
+        F.max("yq").alias("max_y"),
+        F.sum("m").alias("matches"),
+    )
+    hit = (
+        (F.col("max_x") >= xlo)
+        & (F.col("min_x") <= xhi)
+        & (F.col("max_y") >= ylo)
+        & (F.col("min_y") <= yhi)
+    ).cast("long")
+    return (
+        blocks.withColumn("hit", hit)
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum("hit").cast("bigint").alias("blocks_read"),
+            F.sum(F.col("hit") * F.col("cnt")).cast("bigint").alias("rows_scanned"),
+            F.sum("matches").cast("bigint").alias("rows_matching"),
+        )
+        .orderBy("layout")
+    )
+
+
+def _zorder_oracle() -> str:
+    z = interleave_sql("xq", "yq", 8, div="//")
+    return f"""
+        WITH s AS (
+            SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+                   min(l_suppkey) AS ymin, max(l_suppkey) AS ymax
+            FROM lineitem),
+        q AS (
+            SELECT ((l_partkey - xmin) * 255) // (xmax - xmin) AS xq,
+                   ((l_suppkey - ymin) * 255) // (ymax - ymin) AS yq
+            FROM lineitem, s),
+        z AS (SELECT xq, yq, {z} AS z,
+                     CASE WHEN xq BETWEEN 112 AND 143
+                          AND yq BETWEEN 112 AND 143 THEN 1 ELSE 0 END AS m
+              FROM q),
+        b AS (
+            SELECT layout, blk, count(*) AS cnt,
+                   min(xq) AS min_x, max(xq) AS max_x,
+                   min(yq) AS min_y, max(yq) AS max_y,
+                   sum(m) AS matches
+            FROM (
+                SELECT 'linear' AS layout, xq // 4 AS blk, xq, yq, m FROM z
+                UNION ALL
+                SELECT 'zorder' AS layout, z // 1024 AS blk, xq, yq, m FROM z)
+            GROUP BY layout, blk)
+        SELECT layout,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(CASE WHEN max_x >= 112 AND min_x <= 143
+                             AND max_y >= 112 AND min_y <= 143
+                        THEN 1 ELSE 0 END) AS BIGINT) AS blocks_read,
+               CAST(sum(CASE WHEN max_x >= 112 AND min_x <= 143
+                             AND max_y >= 112 AND min_y <= 143
+                        THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned,
+               CAST(sum(matches) AS BIGINT) AS rows_matching
+        FROM b GROUP BY layout ORDER BY layout
+    """
+
+
+@query("q_zorder_layout", oracle=_zorder_oracle())
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear layout pruning report over lineitem
+    (l_partkey × l_suppkey), 8-bit Morton curve, 64 blocks, middle
+    ~12.5%-per-dim query rectangle. The z-value interleave, the
+    quantization, the block binning, and the footer-style min/max
+    pruning decision are ALL replayed by the DuckDB oracle from one
+    shared arithmetic generator (interleave_sql), so the layout
+    algebra is bit-checked cross-engine. rows_matching is identical
+    across layouts by construction — the report's internal
+    consistency check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return zorder_layout_report(li, "l_partkey", "l_suppkey")

@@ -722,3 +722,121 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bar_seconds: int = 900,
+) -> DataFrame:
+    """OHLC candlestick bars: per (key, fixed time bar) the opening,
+    highest, lowest and closing value plus tick count and sum — the
+    market-data / telemetry rollup every time-series store ships.
+
+    Determinism discipline (the q_ewma lessons): values are published
+    in exact binary micro-units (``floor(v * 2^20)`` — a power-of-two
+    float multiply is IEEE-exact and floor has no rounding-tie
+    ambiguity), the bar id is whole-epoch-seconds ``div`` bar width
+    built TZ-FREE from date/time fields (events.ts is TIMESTAMP_NTZ),
+    and open/close ride a (ts, id-implicit) total order: one window
+    per (key, bar) assigns row_number + partition count, so open is
+    the rn=1 value and close the rn=n value with engine-identical
+    tiebreaks.
+
+    Scale shape: one hash exchange on (key, bar) feeding the window
+    sort, then a map-side-combinable groupBy on the SAME keys — AQE
+    reuses the window's partitioning, so the whole rollup is one
+    shuffle. Bars are bounded (n_keys x time range / width); nothing
+    is corpus-sized downstream of the exchange."""
+    epoch_s = (
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01").cast("date")).cast(
+            "bigint"
+        )
+        * 86400
+        + F.hour(ts_col) * 3600
+        + F.minute(ts_col) * 60
+        + F.second(ts_col)
+    )
+    v_u = F.floor(F.col(value_col) * F.lit(1048576)).cast("bigint")
+    base = df.select(
+        F.col(key_col).alias("k"),
+        (epoch_s.cast("bigint") / F.lit(bar_seconds)).cast("bigint"),
+        F.col(ts_col).alias("_ts"),
+        v_u.alias("v_u"),
+    )
+    # integer div: recompute properly (cast-div above would be float)
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.expr(
+            f"(datediff(to_date({ts_col}), date'1970-01-01') * 86400"
+            f" + hour({ts_col}) * 3600 + minute({ts_col}) * 60"
+            f" + second({ts_col})) div {bar_seconds}"
+        ).alias("bar"),
+        F.col(ts_col).alias("_ts"),
+        v_u.alias("v_u"),
+    )
+    w = Window.partitionBy("k", "bar")
+    wo = w.orderBy("_ts")
+    r = base.select(
+        "k",
+        "bar",
+        "v_u",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("n"),
+    )
+    return (
+        r.groupBy("k", "bar")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("v_u"))).alias("open_u"),
+            F.max("v_u").alias("high_u"),
+            F.min("v_u").alias("low_u"),
+            F.max(F.when(F.col("rn") == F.col("n"), F.col("v_u"))).alias(
+                "close_u"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+            F.sum("v_u").cast("bigint").alias("sum_u"),
+        )
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type", "bar")
+    )
+
+
+@query(
+    "q_ohlc_bars",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 900 AS bar,
+                   ts,
+                   CAST(floor(value * 1048576) AS BIGINT) AS v_u
+            FROM events),
+        r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY event_type, bar
+                                      ORDER BY ts) AS rn,
+                   count(*) OVER (PARTITION BY event_type, bar) AS n
+            FROM b)
+        SELECT event_type, bar,
+               CAST(max(CASE WHEN rn = 1 THEN v_u END) AS BIGINT) AS open_u,
+               CAST(max(v_u) AS BIGINT) AS high_u,
+               CAST(min(v_u) AS BIGINT) AS low_u,
+               CAST(max(CASE WHEN rn = n THEN v_u END) AS BIGINT) AS close_u,
+               CAST(count(*) AS BIGINT) AS n_ticks,
+               CAST(sum(v_u) AS BIGINT) AS sum_u
+        FROM r GROUP BY event_type, bar ORDER BY event_type, bar
+    """,
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute OHLC bars per event_type over the events stream:
+    open/high/low/close in exact binary micro-units, tick count, and
+    an order-independent integer sum. Open/close determinism rides the
+    per-bar (ts) window order (events.ts is microsecond-unique; the
+    window tiebreak discipline still applies), the bar id is tz-free
+    integer arithmetic on both engines, and every published column is
+    BIGINT — bit-equal across Spark and DuckDB by construction."""
+    e = load_table(spark, sf_dir, "events")
+    return ohlc_bars(e, "event_type", "ts", "value", 900)

@@ -9,6 +9,8 @@ from real_time_data_anomaly_detection_spark.operators.sharding import (
     shard_assign,
     shard_manifest,
     write_shards,
+    interleave_sql,
+    zorder_layout_report,
 )
 
 
@@ -80,3 +82,34 @@ def test_md5_and_xxhash_paths_agree_on_structure(spark):
         m = shard_manifest(d, "doc_id", 8, hasher=hasher).collect()
         assert len(m) == 8
         assert sum(r.n_docs for r in m) == 800
+
+
+def test_interleave_sql_is_morton(spark):
+    # spot-check the generated arithmetic against a Python bit-interleave
+    def morton(x, y, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i + 1)
+            z |= ((y >> i) & 1) << (2 * i)
+        return z
+
+    pts = [(0, 0), (255, 255), (1, 0), (0, 1), (170, 85), (200, 3)]
+    df = spark.createDataFrame(pts, "xq int, yq int")
+    got = {
+        (r.xq, r.yq): r.z
+        for r in df.selectExpr("xq", "yq", f"{interleave_sql('xq', 'yq', 8)} AS z").collect()
+    }
+    assert got == {(x, y): morton(x, y) for x, y in pts}
+
+
+def test_zorder_prunes_no_worse_than_linear(spark):
+    # 2-D clustered layout must never scan more rows than the 1-D sort
+    # for a 2-D rectangle, and both layouts must agree on the true
+    # match count (the result is layout-invariant).
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    rows = {r.layout: r for r in zorder_layout_report(li, "l_partkey", "l_suppkey").collect()}
+    assert set(rows) == {"linear", "zorder"}
+    assert rows["zorder"].rows_matching == rows["linear"].rows_matching
+    assert rows["zorder"].rows_scanned <= rows["linear"].rows_scanned
+    for r in rows.values():
+        assert r.rows_matching <= r.rows_scanned
