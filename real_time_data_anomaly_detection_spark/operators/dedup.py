@@ -579,6 +579,7 @@ def containment_pairs(
     sh: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    max_posting_size: int | None = None,
 ) -> DataFrame:
     """Pairs whose shingle-set CONTAINMENT — |A∩B| / min(|A|,|B|) —
     reaches ``threshold``. The asymmetric companion to Jaccard: an
@@ -587,10 +588,23 @@ def containment_pairs(
     doc), so containment is the dedup signal for quote/subset
     duplication (the case exact-substring dedup handles at the token
     level, here at the set level). Same bucket-local posting algebra
-    as :func:`jaccard_pairs` — only the published ratio differs."""
+    as :func:`jaccard_pairs` — only the published ratio differs.
+
+    ``max_posting_size`` is the same stop-shingle valve as
+    :func:`jaccard_pairs` (round-7 advice #4): one boilerplate shingle
+    shared by m docs yields ~m²/2 pair rows, the exact path's
+    quadratic hazard. Postings over the cap are dropped BEFORE pair
+    generation and doc sizes are recomputed from the capped relation,
+    so the ratio |A'∩B'| / min(|A'|,|B'|) stays internally consistent
+    (stop-word-removal semantics). Off (None) by default so the
+    oracle replay stays exact; effect pinned in
+    tests/test_dedup.py::test_containment_posting_cap."""
     postings = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list(id_col)).alias("ids")
     )
+    if max_posting_size is not None:
+        postings = postings.filter(F.size("ids") <= max_posting_size)
+        sh = postings.select("shingle", F.explode("ids").alias(id_col))
     inter = (
         _bucket_pairs(postings.filter(F.size("ids") >= 2))
         .groupBy("doc_a", "doc_b")

@@ -244,13 +244,17 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference per dim is the rational (sum_r·n_c − sum_c·n_r) /
     (n_r·n_c), squared and summed as exact BIGINTs — and only the
     final sqrt/divide touches doubles, on engine-identical integers.
-    The integer magnitudes grow as (2^10·|x|·n²)², which fits int64 up
-    to ~50k docs per language per snapshot (|x| ≤ 1). Past that, drift
-    estimation should not pay a full-corpus pass anyway: feed a
-    deterministic hash_sample of each side — the centroid error
-    shrinks as 1/√sample, the sample is replayable, and the monitor's
-    cost becomes bounded per (lang, snapshot) regardless of corpus
-    size.
+    Overflow bound (exact, worst case): with |x| ≤ 1 each |sum| ≤
+    2^10·n, so |d_num| ≤ 2·2^10·n_r·n_c ≤ 2^9·n² and the D-dim sum of
+    squares is ≤ D·2^18·n⁴ — at D=64 that crosses int64 near n ≈ 850
+    docs/language, and only a few thousand even for zero-centered
+    real data (Spark's sum(BIGINT) wraps silently there while DuckDB
+    promotes to HUGEINT, so the engines would diverge, not error).
+    The fixture is far below the bound; past ~500 docs/lang the right
+    move is a deterministic hash_sample of each side anyway — the
+    centroid error shrinks as 1/√sample, the sample is replayable,
+    and the monitor's cost becomes bounded per (lang, snapshot)
+    regardless of corpus size.
 
     Scale shape: one equi-join (embeddings ⋈ docs on id), one
     posexplode, one (lang, dim)-keyed partial-aggregated shuffle

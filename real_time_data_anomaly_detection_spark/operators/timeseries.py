@@ -740,33 +740,18 @@ def ohlc_bars(
     float multiply is IEEE-exact and floor has no rounding-tie
     ambiguity), the bar id is whole-epoch-seconds ``div`` bar width
     built TZ-FREE from date/time fields (events.ts is TIMESTAMP_NTZ),
-    and open/close ride a (ts, id-implicit) total order: one window
-    per (key, bar) assigns row_number + partition count, so open is
-    the rn=1 value and close the rn=n value with engine-identical
-    tiebreaks.
+    and open/close ride a (ts, v_u) total order: one window per
+    (key, bar) assigns row_number + partition count, so open is the
+    rn=1 value and close the rn=n value; v_u as secondary sort key
+    makes the order deterministic even when two ticks share the same
+    (key, bar, ts) — engine-identical tiebreaks by construction.
 
     Scale shape: one hash exchange on (key, bar) feeding the window
     sort, then a map-side-combinable groupBy on the SAME keys — AQE
     reuses the window's partitioning, so the whole rollup is one
     shuffle. Bars are bounded (n_keys x time range / width); nothing
     is corpus-sized downstream of the exchange."""
-    epoch_s = (
-        F.datediff(F.to_date(ts_col), F.lit("1970-01-01").cast("date")).cast(
-            "bigint"
-        )
-        * 86400
-        + F.hour(ts_col) * 3600
-        + F.minute(ts_col) * 60
-        + F.second(ts_col)
-    )
     v_u = F.floor(F.col(value_col) * F.lit(1048576)).cast("bigint")
-    base = df.select(
-        F.col(key_col).alias("k"),
-        (epoch_s.cast("bigint") / F.lit(bar_seconds)).cast("bigint"),
-        F.col(ts_col).alias("_ts"),
-        v_u.alias("v_u"),
-    )
-    # integer div: recompute properly (cast-div above would be float)
     base = df.select(
         F.col(key_col).alias("k"),
         F.expr(
@@ -778,7 +763,7 @@ def ohlc_bars(
         v_u.alias("v_u"),
     )
     w = Window.partitionBy("k", "bar")
-    wo = w.orderBy("_ts")
+    wo = w.orderBy("_ts", "v_u")
     r = base.select(
         "k",
         "bar",
@@ -817,7 +802,7 @@ def ohlc_bars(
         r AS (
             SELECT *,
                    row_number() OVER (PARTITION BY event_type, bar
-                                      ORDER BY ts) AS rn,
+                                      ORDER BY ts, v_u) AS rn,
                    count(*) OVER (PARTITION BY event_type, bar) AS n
             FROM b)
         SELECT event_type, bar,
@@ -834,8 +819,8 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """15-minute OHLC bars per event_type over the events stream:
     open/high/low/close in exact binary micro-units, tick count, and
     an order-independent integer sum. Open/close determinism rides the
-    per-bar (ts) window order (events.ts is microsecond-unique; the
-    window tiebreak discipline still applies), the bar id is tz-free
+    per-bar (ts, v_u) window order (deterministic even under duplicate
+    timestamps within a bar), the bar id is tz-free
     integer arithmetic on both engines, and every published column is
     BIGINT — bit-equal across Spark and DuckDB by construction."""
     e = load_table(spark, sf_dir, "events")

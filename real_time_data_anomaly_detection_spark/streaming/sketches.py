@@ -60,9 +60,15 @@ def kmv_quantile_stream(
     byte-identical to Spark's md5(CAST(rid AS STRING)) — so stream
     and batch rank the identical sample.
 
-    ``seen`` (rows absorbed so far for the key) monotonically
-    increases; consumers wanting only the latest estimate take the
-    max-seen row per key. Estimates use the same integer rank
+    Idempotency: the merged frame is deduplicated on rid before the
+    bottom-k truncation, so a re-delivered row (at-least-once
+    replay) never occupies two sample slots — the sample, and hence
+    every (q, est), is a pure function of the DISTINCT rid set seen
+    so far. ``seen`` counts DELIVERED rows (monotone; equals the
+    distinct count only under exactly-once delivery — exact distinct
+    counting under replay would itself need unbounded state);
+    consumers wanting only the latest estimate take the max-seen row
+    per key. Estimates use the same integer rank
     selection as the batch operator: sample value at index
     (q·(n−1)) div 100 in (value, rid) order, n = |sample|."""
     out_schema = T.StructType(
@@ -104,7 +110,15 @@ def kmv_quantile_stream(
         seen += len(batch)
         merged = pd.concat([samp, batch[["dg", rid_col, value_col]]],
                            ignore_index=True)
-        merged = merged.sort_values(["dg", rid_col], kind="mergesort").head(k)
+        # Idempotent set union: a re-delivered row (at-least-once
+        # sources, or an rid landing in consecutive batches) must not
+        # occupy two sample slots — dedup on rid BEFORE truncating to
+        # the bottom-k (round-7 advice).
+        merged = (
+            merged.sort_values(["dg", rid_col], kind="mergesort")
+            .drop_duplicates(subset=[rid_col])
+            .head(k)
+        )
         state.update((_encode(merged), seen))
         ranked = merged.sort_values([value_col, rid_col], kind="mergesort")
         n = len(ranked)

@@ -538,3 +538,36 @@ def test_leakage_safe_split_properties(spark):
     assert abs(frac["val"] - 26 / 256) < 0.06
     assert abs(frac["test"] - 26 / 256) < 0.06
     assign.unpersist()
+
+
+def test_containment_posting_cap(spark):
+    """containment_pairs exposes the same stop-shingle valve as
+    jaccard_pairs (round-7 advice #4): a boilerplate shingle shared by
+    every doc must not generate quadratic pair rows once capped, while
+    a genuine subset pair survives with containment computed over the
+    capped universe."""
+    from real_time_data_anomaly_detection_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    rows = []
+    for i in range(30):  # 30 docs whose ONLY overlap is the hot shingle
+        rows += [(i, f"u{i}a"), (i, f"u{i}b"), (i, "HOT")]
+    # genuine excerpt pair: 100 ⊂ 101 on {s1,s2,s3}, disjoint otherwise
+    rows += [(100, s) for s in ("s1", "s2", "s3", "HOT")]
+    rows += [(101, s) for s in ("s1", "s2", "s3", "x1", "x2", "x3", "HOT")]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+
+    uncapped = containment_pairs(sh, threshold=0.05).count()
+    assert uncapped >= 32 * 31 / 2  # every pair shares HOT -> quadratic
+
+    capped = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(
+            sh, threshold=0.8, max_posting_size=10
+        ).collect()
+    }
+    # hot-only pairs gone; capped sizes 3 and 6, inter {s1,s2,s3}
+    # -> containment 3/min(3,6) = 1.0
+    assert set(capped) == {(100, 101)}
+    assert abs(capped[(100, 101)] - 1.0) < 1e-9

@@ -517,3 +517,90 @@ def test_kmv_quantile_stream_equals_batch(spark, tmp_path_factory):
     triggers = Counter((r["event_type"], r["seen"]) for r in rows)
     per_key = Counter(k for k, _ in triggers)
     assert all(v >= 2 for v in per_key.values())
+
+
+def test_kmv_quantile_stream_idempotent_under_redelivery(
+    spark, tmp_path_factory
+):
+    """At-least-once replay: the middle third of the stream is
+    delivered TWICE (two files, identical rows). The KMV fold dedups
+    on rid before the bottom-k truncation, so final-trigger estimates
+    equal the batch kmv_quantiles over the DISTINCT rows — a
+    re-delivered row never occupies two sample slots (round-7
+    advice #3)."""
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators.sketch import (
+        kmv_quantiles,
+    )
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        _micro_units,
+    )
+    from real_time_data_anomaly_detection_spark.streaming.sketches import (
+        kmv_quantile_stream,
+    )
+
+    path = str(tmp_path_factory.mktemp("kmv_redeliver"))
+    src = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    pdf = src.toPandas().sort_values(["ts", "event_id"], ignore_index=True)
+    pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    slices = [
+        pdf.iloc[cuts[0] : cuts[1]],
+        pdf.iloc[cuts[1] : cuts[2]],
+        pdf.iloc[cuts[1] : cuts[2]],  # re-delivered batch
+        pdf.iloc[cuts[2] :],
+    ]
+    for i, sl in enumerate(slices):
+        f = os.path.join(path, f"part-{i:02d}.parquet")
+        sl.to_parquet(f, index=False, coerce_timestamps="us")
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    # batch truth over the DISTINCT rows
+    batch_df = (
+        spark.read.parquet(path)
+        .dropDuplicates(["event_id"])
+        .select(
+            "event_id",
+            "event_type",
+            _micro_units(F.col("value")).alias("xm"),
+        )
+    )
+    want = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in kmv_quantiles(
+            batch_df, "event_type", "xm", "event_id", k=64
+        ).collect()
+    }
+
+    stream_df = file_replay_source(
+        spark, path, spark.read.parquet(path).schema
+    ).select(
+        "event_id", "event_type", _micro_units(F.col("value")).alias("xm")
+    )
+    out = kmv_quantile_stream(
+        stream_df, key_col="event_type", rid_col="event_id",
+        value_col="xm", k=64,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_kmv_redeliver")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_kmv_redeliver").collect()
+    max_seen = {}
+    for r in rows:
+        max_seen[r["event_type"]] = max(
+            max_seen.get(r["event_type"], 0), r["seen"]
+        )
+    got = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in rows
+        if r["seen"] == max_seen[r["event_type"]]
+    }
+    assert got == want
