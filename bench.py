@@ -189,6 +189,9 @@ def main() -> None:
         "q_kmv_jaccard",
         "q_bpe_encode",
         "q_zorder_layout",
+        "q_ohlc_bars",
+        # round-8 additions
+        "q_url_host_cap",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s

@@ -44,24 +44,28 @@ from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F40
 # 100% relational — the LLM-pipeline / curation / sketch / graph families
 # (the engine's differentiating surface) only got hard verification when a
 # judge reran them. Reorder the dict (insertion-order preserving) so the
-# first 50 is a representative cross-family sample: ~30 relational core rows
-# plus 20 flagship rows spanning every SURVEY §2.3 family. All 50 are
+# first 50 is a representative cross-family sample: ~23 relational core rows
+# plus 27 flagship rows spanning every SURVEY §2.3 family. All 50 are
 # oracle-backed. The rest keep their original relative order.
+#
+# Round-8 rotation (VERDICT r7 #4): seven redundant relational rows
+# (each family keeps siblings in the window) swapped for the round-7
+# flagships q_prefix_jaccard, q_split_leakage_safe, q_hierarchy_flatten,
+# q_cusum_alarms, q_quantile_sketch, q_ohlc_bars plus the round-8
+# q_url_host_cap, so the driver's hard per-round signal covers the
+# newest families too.
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
     # smoke path first (driver convention)
     "q_scan_project",
-    # relational core: filter/project/join/agg/window/set (30 rows)
+    # relational core: filter/project/join/agg/window/set (23 rows)
     "q_filter_eq",
     "q_filter_range",
-    "q_filter_null",
-    "q_filter_in",
     "q_project_compute",
     "q_case_when",
     "q_clamp",
     "q_join_inner",
     "q_join_broadcast",
-    "q_join_left",
     "q_join_semi",
     "q_join_anti",
     "q_join_3way",
@@ -70,18 +74,22 @@ _GATE_WINDOW = [
     "q_agg_global",
     "q_agg_distinct",
     "q_agg_rollup",
-    "q_agg_cube",
     "q_agg_having",
     "q_window_rank",
     "q_window_lag",
-    "q_window_running",
     "q_window_lastk",
     "q_topk",
     "q_union_all",
-    "q_intersect",
-    "q_except",
     "q_window_tumbling_batch",
-    # cross-family flagship sample (20 rows; judge-named set)
+    # cross-family flagship sample (27 rows; judge-named set + r7/r8
+    # rotation)
+    "q_prefix_jaccard",
+    "q_split_leakage_safe",
+    "q_hierarchy_flatten",
+    "q_cusum_alarms",
+    "q_quantile_sketch",
+    "q_ohlc_bars",
+    "q_url_host_cap",
     "q_dedup_exact",
     "q_minhash_neardup_md5",
     "q_components_md5",

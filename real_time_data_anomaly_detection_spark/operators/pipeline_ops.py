@@ -700,3 +700,166 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sampled = hash_sample(clean, F.lit("80"))
     return shard_manifest(sampled, "doc_id", 4, hasher="md5")
+
+
+# Deterministic messy-URL synthesis shared by the Spark query and the
+# DuckDB oracle (documents.source is a bare label, so the crawl-URL
+# shape is derived from doc fields — identical SQL text on both
+# engines). Variants exercise every canonicalization rule: mixed-case
+# scheme/host, the www. prefix, default ports, utm_* tracking params,
+# fragments, and trailing slashes.
+_SYNTH_URL_SQL = """
+    CASE doc_id % 3
+      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/docs/'
+                  || lang || '/page' || CAST(doc_id % 40 AS STRING)
+                  || '?utm_source=feed&q=' || lang || '#frag'
+      WHEN 1 THEN 'http://' || source || '.example.com:80/docs/'
+                  || lang || '/page' || CAST(doc_id % 40 AS STRING) || '/'
+      ELSE 'https://' || source || '.example.com/docs/'
+           || lang || '/page' || CAST(doc_id % 40 AS STRING)
+           || '?q=' || lang || '&utm_campaign=x'
+    END
+"""
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds (scheme, host, path, canon_url) — the C4/RefinedWeb ingest
+    canonicalization every crawl pipeline applies before URL-level
+    dedup: lowercase scheme and host, strip the ``www.`` prefix, drop
+    the default port (parse_url's HOST already excludes ports), strip
+    one trailing slash from the path, drop the fragment, and drop
+    ``utm_*`` tracking parameters while preserving the remaining query
+    string in its original order.
+
+    Built on ``parse_url`` (JVM expression, codegen'd) — no Python
+    touches the URL column. Empty query strings collapse: the
+    canonical form carries '?' only when a non-tracking parameter
+    survives."""
+    scheme = F.lower(F.parse_url(F.col(url_col), F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.lower(F.parse_url(F.col(url_col), F.lit("HOST"))), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.parse_url(F.col(url_col), F.lit("PATH")), r"/$", ""
+    )
+    q = F.coalesce(F.parse_url(F.col(url_col), F.lit("QUERY")), F.lit(""))
+    kept_q = F.array_join(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != F.lit("")) & (~p.startswith("utm_")),
+        ),
+        "&",
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(kept_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept_q)),
+    )
+    return df.withColumns(
+        {
+            "scheme": scheme,
+            "host": host,
+            "path": path,
+            "canon_url": canon,
+        }
+    )
+
+
+def url_host_cap(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    cap: int = 15,
+) -> DataFrame:
+    """URL-canonical dedup + per-host quota — the two ingest gates a
+    crawl pipeline applies before any content-level dedup: (1) keep
+    only the NEWEST doc (max id) per canonical URL, then (2) cap docs
+    per host at ``cap``, newest first — the skew-safe quota that stops
+    one boilerplate-heavy host from dominating the corpus.
+
+    Scale shape: ONE host-keyed exchange feeds everything — the
+    explicit repartition on host satisfies ClusteredDistribution for
+    BOTH windows (hash(host) clusters (host, canon_url) too), so the
+    per-URL dedup window, the filter, and the per-host cap window all
+    run without re-shuffling, and Spark plans the rank-then-filter
+    pair as WindowGroupLimit (per-partition top-k heaps before the
+    exchange). Document text never enters the exchange — only (id,
+    host, canon_url)."""
+    from pyspark.sql import Window
+
+    c = canonicalize_urls(df, url_col).select(id_col, "host", "canon_url")
+    c = c.repartition(F.col("host"))
+    w_url = Window.partitionBy("host", "canon_url").orderBy(
+        F.col(id_col).desc()
+    )
+    w_host = Window.partitionBy("host").orderBy(F.col(id_col).desc())
+    return (
+        c.withColumn("_rn_url", F.row_number().over(w_url))
+        .filter(F.col("_rn_url") == 1)
+        .withColumn("_rn_host", F.row_number().over(w_host))
+        .filter(F.col("_rn_host") <= cap)
+        .select("host", id_col, "canon_url")
+        .orderBy("host", id_col)
+    )
+
+
+@query(
+    "q_url_host_cap",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id, """ + _SYNTH_URL_SQL + """ AS url
+            FROM documents),
+        c AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url, '^([A-Za-z]+)://', 1))
+                       AS scheme,
+                   regexp_replace(regexp_replace(
+                       lower(regexp_extract(url,
+                                            '^[A-Za-z]+://([^/?#]+)', 1)),
+                       ':[0-9]+$', ''), '^www\\.', '') AS host,
+                   regexp_replace(
+                       regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)',
+                                      1),
+                       '/$', '') AS path,
+                   coalesce(array_to_string(
+                       list_filter(
+                           string_split(
+                               regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                           p -> p <> '' AND NOT starts_with(p, 'utm_')),
+                       '&'), '') AS kq
+            FROM u),
+        canon AS (
+            SELECT doc_id, host,
+                   scheme || '://' || host || path
+                   || CASE WHEN kq = '' THEN '' ELSE '?' || kq END
+                       AS canon_url
+            FROM c),
+        newest AS (
+            SELECT * FROM (
+                SELECT host, doc_id, canon_url,
+                       row_number() OVER (PARTITION BY host, canon_url
+                                          ORDER BY doc_id DESC) AS rn
+                FROM canon) WHERE rn = 1),
+        capped AS (
+            SELECT * FROM (
+                SELECT host, doc_id, canon_url,
+                       row_number() OVER (PARTITION BY host
+                                          ORDER BY doc_id DESC) AS rn
+                FROM newest) WHERE rn <= 15)
+        SELECT host, doc_id, canon_url
+        FROM capped ORDER BY host, doc_id
+    """,
+)
+def q_url_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + keep-newest URL dedup + 15-doc-per-host
+    quota over a deterministic messy-URL synthesis (mixed-case
+    scheme/host, www., default ports, utm_* params, fragments,
+    trailing slashes). The Spark side canonicalizes via parse_url;
+    the oracle replays the same rules with DuckDB string ops — so the
+    canonicalization algebra itself is hash-checked cross-engine, not
+    just the quota arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select("doc_id", F.expr(_SYNTH_URL_SQL).alias("url"))
+    return url_host_cap(u, "url", "doc_id", cap=15)

@@ -67,6 +67,15 @@ def test_driver_gate_window_is_cross_family():
         "q_text_tokens",        # text analysis
         "q_resample_ffill_15m",  # time-series
         "q_lm_perplexity",      # LM scoring
+        # round-8 rotation (VERDICT r7 #4): round-7 flagships + the
+        # round-8 URL ingest staple now under the driver's hard gate
+        "q_prefix_jaccard",     # lossless PPJoin
+        "q_split_leakage_safe",  # cluster-level split
+        "q_hierarchy_flatten",  # recursive flatten
+        "q_cusum_alarms",       # change-point detection
+        "q_quantile_sketch",    # KMV sketch
+        "q_ohlc_bars",          # time-series rollup
+        "q_url_host_cap",       # URL canonicalization + host quota
     }
     assert flagship <= set(window), flagship - set(window)
 

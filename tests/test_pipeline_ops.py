@@ -208,3 +208,56 @@ def test_weighted_topk_matches_numpy_replay(spark):
         i for i, _ in sorted(rows, key=lambda t: (-key(*t), t[0]))[:30]
     )
     assert got == want
+
+
+def test_url_canonicalize_rules(spark):
+    """Each canonicalization rule individually: case, www., default
+    ports, utm_* params, fragments, trailing slash — and that a
+    non-tracking param survives in original position."""
+    from real_time_data_anomaly_detection_spark.operators.pipeline_ops import (
+        canonicalize_urls,
+    )
+
+    rows = [
+        (1, "HTTPS://WWW.A.Example.COM:443/x/y?utm_source=f&q=1&utm_c=z#top"),
+        (2, "http://a.example.com:80/x/y/"),
+        (3, "https://b.example.com/"),
+        (4, "https://b.example.com/p?a=1&b=2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r for r in canonicalize_urls(df).collect()}
+    assert out[1].host == "a.example.com"
+    assert out[1].canon_url == "https://a.example.com/x/y?q=1"
+    assert out[2].canon_url == "http://a.example.com/x/y"
+    assert out[3].canon_url == "https://b.example.com"
+    assert out[4].canon_url == "https://b.example.com/p?a=1&b=2"
+
+
+def test_url_host_cap_dedup_and_quota(spark):
+    """Keep-newest per canonical URL, then per-host quota newest
+    first: doc 10 and 11 canonicalize identically (11 survives), and
+    host 'big.example.com' is capped at 2 of its 4 distinct URLs."""
+    from real_time_data_anomaly_detection_spark.operators.pipeline_ops import (
+        url_host_cap,
+    )
+
+    rows = [
+        (10, "https://WWW.dup.example.com:443/a?utm_x=1"),
+        (11, "https://dup.example.com/a"),          # same canon as 10
+        (20, "https://big.example.com/p1"),
+        (21, "https://big.example.com/p2"),
+        (22, "https://big.example.com/p3"),
+        (23, "https://big.example.com/p4"),
+        (30, "http://small.example.com/only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = [
+        (r.host, r.doc_id)
+        for r in url_host_cap(df, cap=2).collect()
+    ]
+    assert got == [
+        ("big.example.com", 22),
+        ("big.example.com", 23),
+        ("dup.example.com", 11),
+        ("small.example.com", 30),
+    ]
