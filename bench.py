@@ -210,6 +210,16 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration": calibration,
+        # Drift-normalized headline (VERDICT r7 #7): scale by host
+        # speed relative to the round-6 recording (jvm_sum_median
+        # 0.113 on the reference host), so round-over-round deltas
+        # are self-interpreting without dividing by hand. Normalized
+        # value ≈ what this code would score on the r6 host.
+        "headline_normalized": round(
+            total * (0.113 / calibration["jvm_sum_median"]), 3
+        )
+        if calibration.get("jvm_sum_median")
+        else None,
     }
     detail = {
         "extended": extended,

@@ -225,3 +225,51 @@ def test_results_partition_count_invariant(spark):
             assert results["3"][n] == results["32"][n], n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_registry_artifact_sync():
+    """Every REGISTRY query appears in the committed evidence chain —
+    COVERAGE.md (with an exact counts line) and CORRECTNESS_FULL.json
+    (all oracle-backed rows passing) — and the bench/plan tool lists
+    contain no stale names. Pins the round-7 q_ohlc_bars lesson: a
+    query added after the last artifact regen left a hole in the
+    round's own evidence (VERDICT r7 What's-wrong #1)."""
+    import json
+    import re
+
+    cov = open("/root/repo/COVERAGE.md").read()
+    missing_cov = [n for n in REGISTRY if f"`{n}`" not in cov]
+    assert not missing_cov, f"COVERAGE.md stale, regen: {missing_cov}"
+    n_oracle = sum(1 for q in REGISTRY.values() if q.oracle)
+    counts = re.search(r"\*\*(\d+) declared queries, (\d+) oracle-backed", cov)
+    assert counts, "COVERAGE.md counts line missing"
+    assert (int(counts.group(1)), int(counts.group(2))) == (
+        len(REGISTRY),
+        n_oracle,
+    ), "COVERAGE.md counts line stale — rerun tools/gen_coverage.py"
+
+    full = json.load(open("/root/repo/CORRECTNESS_FULL.json"))
+    recs = {r["name"]: r for r in full["queries"]}
+    assert set(recs) == set(REGISTRY), (
+        "CORRECTNESS_FULL.json stale — rerun tools/verify_oracle.py --json: "
+        f"missing={sorted(set(REGISTRY) - set(recs))[:5]} "
+        f"extra={sorted(set(recs) - set(REGISTRY))[:5]}"
+    )
+    bad = {
+        n: r["status"]
+        for n, r in recs.items()
+        if r["status"] != ("pass" if REGISTRY[n].oracle else "no_oracle")
+    }
+    assert not bad, f"non-green rows in CORRECTNESS_FULL.json: {bad}"
+    assert full["n_pass"] == n_oracle and full["n_fail"] == 0
+
+    import bench
+    from tools.gen_plans import QUERIES as plan_queries
+
+    stale_plan = [n for n in plan_queries if n not in REGISTRY]
+    assert not stale_plan, f"gen_plans.QUERIES stale names: {stale_plan}"
+    src = open("/root/repo/bench.py").read()
+    bench_names = set(re.findall(r'"(q_[a-z0-9_]+)"', src))
+    stale_bench = [n for n in bench_names if n not in REGISTRY]
+    assert not stale_bench, f"bench.py references unknown queries: {stale_bench}"
+    assert "q_ohlc_bars" in bench_names and "q_ohlc_bars" in plan_queries

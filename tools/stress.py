@@ -118,6 +118,7 @@ def scaling_main() -> None:
         semantic_dup_pairs,
     )
     from real_time_data_anomaly_detection_spark.operators.dedup import (
+        connected_components,
         containment_pairs,
         minhash_neardup_pairs,
         neardup_dedup,
@@ -193,6 +194,64 @@ def scaling_main() -> None:
     def _pq_op(d):
         books = pq_train(d, m=8, k=16, sample=1_024)
         return pq_encode(d, books)
+
+    # round-8 additions (VERDICT r7 #6): the retrieval/report ops that
+    # joined the most-expensive list without measured slope rows.
+    # cluster_stats / split_leakage share the neardup closure cost
+    # (pairs -> CC) and add component-keyed aggregation / an id-keyed
+    # join — both should read ~the neardup_dedup exponent.
+    def _cluster_stats_op(d):
+        pairs = minhash_neardup_pairs(d, threshold=0.3)
+        comp = connected_components(pairs, "doc_a", "doc_b")
+        sizes = comp.groupBy("comp").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        return sizes.groupBy("cluster_size").agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum(F.col("cluster_size") - 1).alias("docs_removable"),
+        )
+
+    def _split_op(d):
+        pairs = minhash_neardup_pairs(d, threshold=0.3)
+        comp = connected_components(pairs, "doc_a", "doc_b")
+        grouped = (
+            d.select("doc_id")
+            .join(
+                comp.select(F.col("node").alias("doc_id"), "comp"),
+                "doc_id",
+                "left",
+            )
+            .select("doc_id", F.coalesce("comp", "doc_id").alias("group_id"))
+        )
+        b = F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("group_id").cast("string"))),
+            1,
+            2,
+        )
+        return grouped.select(
+            "doc_id",
+            "group_id",
+            F.when(b < "cc", "train")
+            .when(b < "e6", "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+
+    # PQ/ADC top-k: sample-fit train (constant), one encode pass, one
+    # LUT-scored scan planned as TakeOrderedAndProject — the ANN slope
+    # row. Probe = deterministic unit basis vector (no collect).
+    def _pq_topk_op(d):
+        import numpy as np
+
+        from real_time_data_anomaly_detection_spark.operators.quantization import (
+            pq_adc_topk,
+        )
+
+        books = pq_train(d, m=8, k=16, sample=1_024)
+        enc = pq_encode(d, books)
+        probe = np.zeros(32)
+        probe[0] = 1.0
+        return pq_adc_topk(enc, books, probe, n_results=10)
 
     def _cms_op(d):
         toks = d.select(F.explode(F.split("text", " ")).alias("token"))
@@ -291,6 +350,10 @@ def scaling_main() -> None:
             ),
         ),
         "kmv_bottomk": ("events", _kmv_op),
+        # round-8 additions (VERDICT r7 #6)
+        "cluster_stats": ("docs", _cluster_stats_op),
+        "split_leakage": ("docs", _split_op),
+        "pq_topk": ("emb", _pq_topk_op),
     }
     # optional 4th arg: comma-separated op subset
     if len(sys.argv) > 4:
