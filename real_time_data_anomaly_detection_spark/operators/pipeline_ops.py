@@ -863,3 +863,80 @@ def q_url_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     u = d.select("doc_id", F.expr(_SYNTH_URL_SQL).alias("url"))
     return url_host_cap(u, "url", "doc_id", cap=15)
+
+
+@query(
+    "q_url_dedup_report",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id, """ + _SYNTH_URL_SQL + """ AS url
+            FROM documents),
+        c AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url, '^([A-Za-z]+)://', 1))
+                       AS scheme,
+                   regexp_replace(regexp_replace(
+                       lower(regexp_extract(url,
+                                            '^[A-Za-z]+://([^/?#]+)', 1)),
+                       ':[0-9]+$', ''), '^www\\.', '') AS host,
+                   regexp_replace(
+                       regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)',
+                                      1),
+                       '/$', '') AS path,
+                   coalesce(array_to_string(
+                       list_filter(
+                           string_split(
+                               regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                           p -> p <> '' AND NOT starts_with(p, 'utm_')),
+                       '&'), '') AS kq
+            FROM u),
+        canon AS (
+            SELECT doc_id, host,
+                   scheme || '://' || host || path
+                   || CASE WHEN kq = '' THEN '' ELSE '?' || kq END
+                       AS canon_url
+            FROM c)
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls,
+               CAST(least(count(DISTINCT canon_url), 15) AS BIGINT)
+                   AS n_kept,
+               CAST(((count(*) - count(DISTINCT canon_url)) * 1000000)
+                    // count(*) AS BIGINT) AS dup_ppm
+        FROM canon GROUP BY host ORDER BY host
+    """,
+)
+def q_url_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl ingest report over the same canonicalization as
+    q_url_host_cap: docs fetched, distinct canonical URLs, docs the
+    15-per-host quota would keep, and the URL-duplication rate in ppm
+    (integer floor division — engine-identical BIGINT arithmetic).
+    The report a crawl operator reads before committing an ingest:
+    which hosts are boilerplate mills (high dup_ppm) and where the
+    quota binds (n_kept < n_urls).
+
+    Scale shape: one host-keyed partial-aggregated exchange; the
+    distinct-URL count rides the same exchange (host, canon_url are
+    co-clustered); output is |hosts| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select("doc_id", F.expr(_SYNTH_URL_SQL).alias("url"))
+    c = canonicalize_urls(u, "url").select("host", "canon_url")
+    return (
+        c.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct(F.col("canon_url"))
+            .cast("bigint")
+            .alias("n_urls"),
+            F.least(
+                F.count_distinct(F.col("canon_url")), F.lit(15).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+            F.expr(
+                "CAST(((count(*) - count(DISTINCT canon_url)) * 1000000)"
+                " div count(*) AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+        .orderBy("host")
+    )
