@@ -290,3 +290,66 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     consistency check."""
     li = load_table(spark, sf_dir, "lineitem")
     return zorder_layout_report(li, "l_partkey", "l_suppkey")
+
+
+def epoch_order(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    epoch: int,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE: the (shard, rank) every example
+    trains at in a given epoch — a pure function of (id, epoch), so
+    any engine, cluster size, worker count, or retry reproduces the
+    identical training order (the property job-restart audits need),
+    while different epochs get independent permutations (seed =
+    1000 + epoch feeds the same md5/xxhash64 keying as
+    :func:`shard_assign`).
+
+    This is the READ-ORDER view of :func:`write_shards`: rank within
+    shard is the position the example would occupy in its sorted
+    shard file. Data loaders consume shard k in rank order; no RNG
+    state is shared or checkpointed — the order IS the data.
+
+    Scale shape: one shard-keyed exchange, then a per-shard window
+    sort — exactly the shuffle+sort the shard write itself pays, with
+    rows = (id, shard, sort_key) only; document payloads never
+    move."""
+    from pyspark.sql import Window
+
+    seed = 1000 + epoch
+    a = shard_assign(df, id_col, num_shards, seed, hasher)
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return a.select(
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col(id_col),
+    ).orderBy("shard", "rank")
+
+
+@query(
+    "q_epoch_shuffle",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   md5('1001:' || CAST(doc_id AS VARCHAR)) AS sort_key,
+                   ('0x' || substr(md5('1001:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 8 AS shard
+            FROM documents)
+        SELECT shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                                       ORDER BY sort_key, doc_id)
+                    AS BIGINT) AS rank,
+               doc_id
+        FROM d ORDER BY shard, rank
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-1 deterministic training order over the documents corpus
+    (8 shards, md5 hasher): every (shard, rank, doc_id) is a pure
+    function of the id and the epoch — reproducible across engines and
+    cluster sizes, with no RNG state to checkpoint. Oracle replays the
+    identical md5 shard assignment and within-shard order."""
+    d = load_table(spark, sf_dir, "documents")
+    return epoch_order(d, "doc_id", 8, epoch=1, hasher="md5")

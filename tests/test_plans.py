@@ -323,3 +323,20 @@ def test_funnel_stage_filters_pushed(spark):
 
     plan = formatted_plan(REGISTRY["q_funnel"].spark_fn(spark, SF_DIR))
     assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_url_host_cap_single_data_exchange(spark):
+    """url_host_cap: ONE host-keyed exchange must feed BOTH windows —
+    hash(host) satisfies ClusteredDistribution for (host, canon_url)
+    too — and both rank-filters must plan WindowGroupLimit. The only
+    other exchange is the presentation orderBy."""
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.plans.inspect import (
+        count_exchanges,
+        formatted_plan,
+    )
+
+    df = REGISTRY["q_url_host_cap"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2
+    assert count_exchanges(df) == 2  # repartition(host) + final sort

@@ -113,3 +113,33 @@ def test_zorder_prunes_no_worse_than_linear(spark):
     assert rows["zorder"].rows_scanned <= rows["linear"].rows_scanned
     for r in rows.values():
         assert r.rows_matching <= r.rows_scanned
+
+
+def test_epoch_order_properties(spark):
+    """Epoch shuffle: (1) identical across partitionings (pure
+    function of id+epoch), (2) different epochs give genuinely
+    different permutations, (3) ranks within each shard are exactly
+    1..n with no gaps, (4) every doc appears exactly once."""
+    from real_time_data_anomaly_detection_spark.operators.sharding import (
+        epoch_order,
+    )
+
+    d = _docs(spark, 500)
+    e1a = [(r.shard, r.rank, r.doc_id)
+           for r in epoch_order(d.repartition(1), "doc_id", 8, 1).collect()]
+    e1b = [(r.shard, r.rank, r.doc_id)
+           for r in epoch_order(d.repartition(13), "doc_id", 8, 1).collect()]
+    assert e1a == e1b  # partitioning-invariant
+
+    e2 = [(r.shard, r.rank, r.doc_id)
+          for r in epoch_order(d, "doc_id", 8, 2).collect()]
+    assert e1a != e2  # epochs permute independently
+    assert {t[2] for t in e1a} == {t[2] for t in e2} == set(range(500))
+
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for s, rk, _ in e1a:
+        by_shard[s].append(rk)
+    for s, ranks in by_shard.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), s
