@@ -1176,20 +1176,27 @@ def scd2_intervals(
 @query(
     "q_merge_upsert",
     oracle="""
-        WITH upd AS (
+        WITH cents AS (
             SELECT o_orderkey, o_custkey,
-                   round(o_totalprice * 1.1, 2) AS o_totalprice,
-                   'U' AS o_orderstatus
-            FROM orders WHERE o_orderkey % 97 = 0
-            UNION ALL
-            SELECT o_orderkey + 600000000, o_custkey,
-                   round(o_totalprice, 2), 'N'
-            FROM orders WHERE o_orderkey % 101 = 0
-        ),
-        base AS (
-            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS c,
                    o_orderstatus
             FROM orders
+        ),
+        upd AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST((c * 11 + 5) // 10 AS DOUBLE) / 100 AS o_totalprice,
+                   'U' AS o_orderstatus
+            FROM cents WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey + 600000000, o_custkey,
+                   CAST(c AS DOUBLE) / 100, 'N'
+            FROM cents WHERE o_orderkey % 101 = 0
+        ),
+        base AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(c AS DOUBLE) / 100 AS o_totalprice,
+                   o_orderstatus
+            FROM cents
         )
         SELECT * FROM upd
         UNION ALL
@@ -1203,17 +1210,27 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsert a synthetic change batch into orders: every 97th key is
     an in-place price/status update, every 101st key re-appears as a
     fresh insert under a shifted key. Broadcast-anti + union — the
-    canonical table is never reshuffled."""
+    canonical table is never reshuffled.
+
+    Prices run in exact integer CENTS (round(p*100) recovers the
+    stored 2-dp value exactly) and the 1.1× update is integer half-up
+    ((c·11 + 5) div 10) — round(double·1.1, 2) diverged across engines
+    on a half-boundary row at sf0.1 (round-8 fix); publication is the
+    deterministic double division cents/100 on both engines."""
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.col("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+        (cents.cast("double") / 100).alias("o_totalprice"),
         "o_orderstatus",
+        cents.alias("_c"),
     )
     upd = o.filter(F.col("o_orderkey") % 97 == 0).select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        (F.expr("(_c * 11 + 5) div 10").cast("double") / 100).alias(
+            "o_totalprice"
+        ),
         F.lit("U").alias("o_orderstatus"),
     )
     ins = o.filter(F.col("o_orderkey") % 101 == 0).select(
@@ -1222,7 +1239,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.lit("N").alias("o_orderstatus"),
     )
-    return merge_upsert(o, upd.unionByName(ins), "o_orderkey")
+    return merge_upsert(o.drop("_c"), upd.unionByName(ins), "o_orderkey")
 
 
 # ---------------------------------------------------------------------------

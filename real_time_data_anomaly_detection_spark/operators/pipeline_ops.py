@@ -515,7 +515,14 @@ def dsir_log_weights(
         .join(F.broadcast(tot))
         .join(F.broadcast(voc))
         .groupBy(id_col)
-        .agg(F.round(F.sum(F.col("c") * log_ratio), 4).alias("log_weight"))
+        # + 0.0 normalizes IEEE negative zero: a tiny negative sum
+        # rounds to -0.0, which one engine prints as -0.0 and the other
+        # as 0.0 (surfaced as a value-hash mismatch at sf0.1, round 8)
+        .agg(
+            (F.round(F.sum(F.col("c") * log_ratio), 4) + F.lit(0.0)).alias(
+                "log_weight"
+            )
+        )
     )
 
 
@@ -534,7 +541,8 @@ def dsir_log_weights(
         voc AS (SELECT count(*) AS v FROM stats)
         SELECT tf.doc_id,
                round(sum(tf.c * (ln((ct + 1.0) / (nt + v))
-                               - ln((cr + 1.0) / (nr + v)))), 4) AS log_weight
+                               - ln((cr + 1.0) / (nr + v)))), 4) + 0.0
+                   AS log_weight
         FROM tf JOIN stats USING (term) CROSS JOIN tot CROSS JOIN voc
         GROUP BY 1
     """,

@@ -43,6 +43,12 @@ def resample_ffill(
     """(key, slot, avg_value, avg_value_ffill): per-key regular grid at
     ``interval`` with the slot's average value and its forward-filled
     version (last non-null earlier slot; leading gaps stay null).
+    The slot mean is computed END-TO-END in exact integer micro-units
+    and rounded half-up to 4 dp via integer division
+    (:func:`_exact_mean_4dp`) — round(avg(double), 4) diverges across
+    engines on half-boundary inputs, which surfaced as 1-ulp row
+    mismatches at sf0.1 (round-8 fix; assumes non-negative values,
+    like every micro-unit op here).
 
     Missing slots appear with ``avg_value`` null — the gap REPORT —
     while ``avg_value_ffill`` carries the last observation forward —
@@ -87,9 +93,20 @@ def resample_ffill(
                 F.sequence("_t0", "_t1", F.expr(f"INTERVAL {interval}"))
             ).alias("slot"),
         )
-        actual = df.groupBy(
-            key_col, F.date_trunc(trunc_unit, F.col(ts_col)).alias("slot")
-        ).agg(F.round(F.avg(value_col).cast("double"), 4).alias("avg_value"))
+        actual = (
+            df.groupBy(
+                key_col, F.date_trunc(trunc_unit, F.col(ts_col)).alias("slot")
+            )
+            .agg(
+                F.sum(_micro_units(F.col(value_col))).alias("_sm"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .select(
+                key_col,
+                "slot",
+                _exact_mean_4dp("_sm", "_n").alias("avg_value"),
+            )
+        )
     else:
         # Multi-unit fixed-width grid: slot(ts) = t0 + floor((ts-t0)/step)*step
         # with t0 = date_trunc(unit, min(ts)) per key. The bounds table is
@@ -116,7 +133,15 @@ def resample_ffill(
         actual = (
             df.join(F.broadcast(bounds.select(key_col, "_t0")), key_col)
             .groupBy(key_col, _slot(F.col(ts_col)).alias("slot"))
-            .agg(F.round(F.avg(value_col).cast("double"), 4).alias("avg_value"))
+            .agg(
+                F.sum(_micro_units(F.col(value_col))).alias("_sm"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .select(
+                key_col,
+                "slot",
+                _exact_mean_4dp("_sm", "_n").alias("avg_value"),
+            )
         )
 
     return (
@@ -143,7 +168,9 @@ def resample_ffill(
         ),
         actual AS (
             SELECT event_type, date_trunc('hour', ts) AS slot,
-                   round(avg(value), 4) AS avg_value
+                   CAST((sum(CAST(round(value * 1000000) AS BIGINT))
+                         + 50 * count(*)) // (100 * count(*))
+                        AS DOUBLE) / 10000 AS avg_value
             FROM events GROUP BY 1, 2
         )
         SELECT g.event_type, g.slot, a.avg_value,
@@ -186,7 +213,9 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT e.event_type,
                    b.t0 + CAST(floor((epoch(e.ts) - epoch(b.t0)) / 900) * 900
                                AS BIGINT) * INTERVAL 1 SECOND AS slot,
-                   round(avg(e.value), 4) AS avg_value
+                   CAST((sum(CAST(round(e.value * 1000000) AS BIGINT))
+                         + 50 * count(*)) // (100 * count(*))
+                        AS DOUBLE) / 10000 AS avg_value
             FROM events e JOIN bounds b ON e.event_type = b.event_type
             GROUP BY 1, 2
         )
