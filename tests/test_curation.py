@@ -550,3 +550,20 @@ def test_data_quality_report_detects_dirty_data(spark, tmp_path):
     assert rep[("documents", "pk_unique")] == (1, False)
     assert rep[("documents", "text_nonempty")] == (1, False)
     assert len(rep) == 11
+
+
+def test_upsert_price_half_boundary_exact_cents(spark):
+    """The q_merge_upsert price algebra on THE half-boundary case that
+    split Spark/DuckDB at sf0.1: 71995.15 * 1.1 = 79194.665 exactly in
+    cents, where round(double*1.1, 2) is engine-dependent. Integer
+    half-up cents must give 79194.67 — deterministically."""
+    df = spark.createDataFrame([(71995.15,), (100.05,)], "p double")
+    cents = F.round(F.col("p") * 100, 0).cast("bigint")
+    out = (
+        df.withColumn("_c", cents)
+        .select(
+            (F.expr("(_c * 11 + 5) div 10").cast("double") / 100).alias("v")
+        )
+        .collect()
+    )
+    assert [r.v for r in out] == [79194.67, 110.06]  # 110.055 -> half-up

@@ -261,3 +261,26 @@ def test_url_host_cap_dedup_and_quota(spark):
         ("dup.example.com", 11),
         ("small.example.com", 30),
     ]
+
+
+def test_negative_zero_publication_idiom(spark):
+    """The `round(x, 4) + 0.0` publication idiom must normalize IEEE
+    -0.0 to +0.0 on BOTH engines — the sf0.1 q_dsir_weights value-hash
+    mismatch was DuckDB printing -0.0 where Spark printed 0.0 for a
+    tiny negative sum that rounds to zero. Pins the idiom directly on
+    the offending input class."""
+    import math
+
+    import duckdb
+
+    for expr in ("round(-1e-9, 4)", "round(-0.0, 4)"):
+        raw, fixed = duckdb.connect().execute(
+            f"SELECT {expr}, {expr} + 0.0"
+        ).fetchone()
+        assert math.copysign(1.0, fixed) == 1.0, (expr, raw, fixed)
+    row = spark.range(1).select(
+        (F.round(F.lit(-1e-9), 4) + F.lit(0.0)).alias("a"),
+        (F.round(F.lit(-0.0), 4) + F.lit(0.0)).alias("b"),
+    ).head()
+    assert math.copysign(1.0, row.a) == 1.0
+    assert math.copysign(1.0, row.b) == 1.0
