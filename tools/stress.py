@@ -237,6 +237,33 @@ def scaling_main() -> None:
             .alias("split"),
         )
 
+    # round-8 ingest ops: URL canonicalize+dedup+quota over a synthetic
+    # crawl (100 docs/host at every tier, so host count scales with n
+    # and the per-host windows stay bounded — the deployment shape),
+    # and the epoch shuffle (fixed 256 shards, per-shard sort grows
+    # with n). Both shuffle only id-sized rows -> bytes slope ~1.
+    def _url_op(d):
+        from real_time_data_anomaly_detection_spark.operators.pipeline_ops import (
+            url_host_cap,
+        )
+
+        u = d.select(
+            "doc_id",
+            F.expr(
+                "'https://WWW.h' || CAST(doc_id div 100 AS STRING)"
+                " || '.Example.COM:443/p/' || CAST(doc_id % 37 AS STRING)"
+                " || '?utm_a=1&q=' || CAST(doc_id % 7 AS STRING)"
+            ).alias("url"),
+        )
+        return url_host_cap(u, "url", "doc_id", cap=15)
+
+    def _epoch_op(d):
+        from real_time_data_anomaly_detection_spark.operators.sharding import (
+            epoch_order,
+        )
+
+        return epoch_order(d, "doc_id", 256, epoch=1)
+
     # PQ/ADC top-k: sample-fit train (constant), one encode pass, one
     # LUT-scored scan planned as TakeOrderedAndProject — the ANN slope
     # row. Probe = deterministic unit basis vector (no collect).
@@ -354,6 +381,8 @@ def scaling_main() -> None:
         "cluster_stats": ("docs", _cluster_stats_op),
         "split_leakage": ("docs", _split_op),
         "pq_topk": ("emb", _pq_topk_op),
+        "url_host_cap": ("docs", _url_op),
+        "epoch_shuffle": ("docs", _epoch_op),
     }
     # optional 4th arg: comma-separated op subset
     if len(sys.argv) > 4:
