@@ -948,3 +948,96 @@ def q_url_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    total: int = 200,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based group rebalancing (the multilingual
+    α-sampling of XLM-R / mT5): sample group g with probability
+    ∝ n_g^α, flattening the head so low-resource groups are not
+    drowned (α=1 keeps natural proportions; α→0 approaches uniform).
+    Returns the kept rows.
+
+    Determinism at 100 TB comes from the hash_sample idiom with
+    DATA-DERIVED thresholds: the per-group keep rate r_g =
+    min(1, total·p_g / n_g) is computed from exact BIGINT counts
+    through only IEEE correctly-rounded double ops (pow, /, ×), so
+    every engine computes the bit-identical rate; a doc is kept iff
+    its 40-bit md5 prefix < floor(r_g·2^40) — a pure function of
+    (id, counts), reproducible anywhere, no RNG. Expected group
+    sizes hit total·p_g (binomial concentration); exact-size quotas
+    would need fixed_size_sample instead.
+
+    Scale shape: one |groups|-row count aggregation, a one-row
+    weight-sum broadcast, a broadcast join of the |groups|-row
+    threshold table back onto the corpus, then the map-side md5
+    filter — nothing corpus-sized shuffles."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = counts.select(
+        group_col, "_n", F.pow(F.col("_n").cast("double"), alpha).alias("_w")
+    )
+    tot = w.agg(F.sum("_w").alias("_ws"))
+    thr = w.join(F.broadcast(tot)).select(
+        group_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(total))
+                * (F.col("_w") / F.col("_ws"))
+                / F.col("_n").cast("double"),
+            )
+            * F.lit(1099511627776.0)  # 2^40
+        )
+        .cast("bigint")
+        .alias("_thr"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 10), 16, 10
+    ).cast("bigint")
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(bucket < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+@query(
+    "q_temperature_mix",
+    oracle="""
+        WITH c AS (
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        w AS (SELECT lang, n, pow(n::DOUBLE, 0.5) AS wt FROM c),
+        s AS (SELECT sum(wt) AS ws FROM w),
+        thr AS (
+            SELECT lang,
+                   CAST(floor(least(1.0, 200.0 * (wt / ws) / n::DOUBLE)
+                              * 1099511627776.0) AS BIGINT) AS t
+            FROM w, s),
+        kept AS (
+            SELECT d.lang
+            FROM documents d JOIN thr ON d.lang = thr.lang
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10))
+                      ::BIGINT < thr.t)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature rebalancing of the documents corpus toward a
+    200-doc mix: per-language kept counts under sqrt-flattened
+    sampling — low-resource languages keep a larger fraction than
+    English (the XLM-R recipe). The md5-threshold decisions are
+    bit-identical cross-engine because the data-derived rates pass
+    through correctly-rounded double ops only."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = temperature_sample(d, "lang", alpha=0.5, total=200)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+        .orderBy("lang")
+    )

@@ -284,3 +284,42 @@ def test_negative_zero_publication_idiom(spark):
     ).head()
     assert math.copysign(1.0, row.a) == 1.0
     assert math.copysign(1.0, row.b) == 1.0
+
+
+def test_temperature_sample_flattens_head(spark):
+    """α<1 must keep a LARGER fraction of low-resource groups than of
+    the head group (the XLM-R flattening property), while α=1 keeps
+    ~the same fraction everywhere (natural proportions). Also:
+    deterministic across partitionings."""
+    from real_time_data_anomaly_detection_spark.operators.pipeline_ops import (
+        temperature_sample,
+    )
+
+    rows = [(i, "big" if i < 1600 else "small") for i in range(2000)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def frac(alpha):
+        kept = temperature_sample(d, "lang", alpha=alpha, total=500).groupBy(
+            "lang"
+        ).count()
+        k = {r.lang: r["count"] for r in kept.collect()}
+        return k.get("big", 0) / 1600, k.get("small", 0) / 400
+
+    fb_half, fs_half = frac(0.5)
+    assert fs_half > fb_half * 1.5  # flattened: small keeps much more
+    fb_one, fs_one = frac(1.0)
+    assert abs(fb_one - fs_one) < 0.12  # natural: ~equal keep rates
+
+    a = sorted(
+        r.doc_id
+        for r in temperature_sample(
+            d.repartition(17), "lang", 0.5, 500
+        ).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in temperature_sample(
+            d.repartition(3), "lang", 0.5, 500
+        ).collect()
+    )
+    assert a == b
