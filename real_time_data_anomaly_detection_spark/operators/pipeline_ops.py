@@ -1041,3 +1041,124 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
         .orderBy("lang")
     )
+
+
+def ingest_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental crawl ingest: admit only batch docs that are new by
+    BOTH content (exact text) and canonical URL — against the existing
+    corpus and within the batch itself (min-id wins intra-batch).
+
+    The 100 TB-critical shape is the anti-join DIRECTION: the batch is
+    small and the corpus is not, so ``batch LEFT ANTI corpus`` must
+    never become a corpus shuffle. Two broadcast hops do it:
+    (1) corpus ⋉ broadcast(batch keys) — a map-side semi-join over the
+    corpus scan producing only the ALREADY-SEEN keys (≤ |batch| rows);
+    (2) batch ▷ broadcast(matched keys). The corpus is scanned once,
+    shuffled never; both joins are broadcast-hash. Content keys are
+    sha2-256 digests (the exact-dedup digest discipline — text never
+    enters a join); URL keys are the canonicalize_urls canonical
+    form."""
+    b = canonicalize_urls(batch, url_col).select(
+        id_col,
+        F.sha2(F.col(text_col), 256).alias("_dig"),
+        F.col("canon_url"),
+    )
+    c = canonicalize_urls(corpus, url_col).select(
+        F.sha2(F.col(text_col), 256).alias("_dig"), F.col("canon_url")
+    )
+    seen_dig = (
+        c.join(F.broadcast(b.select("_dig").distinct()), "_dig", "left_semi")
+        .select("_dig")
+        .distinct()
+    )
+    seen_url = (
+        c.join(
+            F.broadcast(b.select("canon_url").distinct()),
+            "canon_url",
+            "left_semi",
+        )
+        .select("canon_url")
+        .distinct()
+    )
+    fresh = b.join(F.broadcast(seen_dig), "_dig", "left_anti").join(
+        F.broadcast(seen_url), "canon_url", "left_anti"
+    )
+    from pyspark.sql import Window
+
+    w_d = Window.partitionBy("_dig")
+    w_u = Window.partitionBy("canon_url")
+    return (
+        fresh.withColumn("_md", F.min(id_col).over(w_d))
+        .withColumn("_mu", F.min(id_col).over(w_u))
+        .filter((F.col(id_col) == F.col("_md")) & (F.col(id_col) == F.col("_mu")))
+        .select(id_col, "canon_url")
+        .orderBy(id_col)
+    )
+
+
+@query(
+    "q_ingest_dedup",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id, text, """ + _SYNTH_URL_SQL + """ AS url
+            FROM documents),
+        c0 AS (
+            SELECT doc_id, text,
+                   lower(regexp_extract(url, '^([A-Za-z]+)://', 1))
+                       AS scheme,
+                   regexp_replace(regexp_replace(
+                       lower(regexp_extract(url,
+                                            '^[A-Za-z]+://([^/?#]+)', 1)),
+                       ':[0-9]+$', ''), '^www\\.', '') AS host,
+                   regexp_replace(
+                       regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)',
+                                      1),
+                       '/$', '') AS path,
+                   coalesce(array_to_string(
+                       list_filter(
+                           string_split(
+                               regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                           p -> p <> '' AND NOT starts_with(p, 'utm_')),
+                       '&'), '') AS kq
+            FROM u),
+        canon AS (
+            SELECT doc_id, text,
+                   scheme || '://' || host || path
+                   || CASE WHEN kq = '' THEN '' ELSE '?' || kq END
+                       AS canon_url
+            FROM c0),
+        corpus AS (SELECT * FROM canon WHERE doc_id < 400),
+        batch AS (SELECT * FROM canon WHERE doc_id >= 400),
+        fresh AS (
+            SELECT b.* FROM batch b
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+              AND NOT EXISTS (SELECT 1 FROM corpus c
+                              WHERE c.canon_url = b.canon_url)),
+        dedup AS (
+            SELECT doc_id, canon_url,
+                   min(doc_id) OVER (PARTITION BY text) AS md,
+                   min(doc_id) OVER (PARTITION BY canon_url) AS mu
+            FROM fresh)
+        SELECT doc_id, canon_url FROM dedup
+        WHERE doc_id = md AND doc_id = mu
+        ORDER BY doc_id
+    """,
+)
+def q_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest of a new crawl batch (doc_id >= 400) against
+    the existing corpus (doc_id < 400): admit only docs new by exact
+    content AND canonical URL, min-id wins intra-batch. The corpus
+    side is scanned once and never shuffled (two-hop broadcast
+    anti-join — see ingest_dedup); the oracle replays content equality
+    directly and the URL algebra with string ops."""
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select("doc_id", "text", F.expr(_SYNTH_URL_SQL).alias("url"))
+    corpus = u.filter(F.col("doc_id") < 400)
+    batch = u.filter(F.col("doc_id") >= 400)
+    return ingest_dedup(corpus, batch)

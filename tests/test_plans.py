@@ -340,3 +340,21 @@ def test_url_host_cap_single_data_exchange(spark):
     plan = formatted_plan(df)
     assert plan.count("WindowGroupLimit") >= 2
     assert count_exchanges(df) == 2  # repartition(host) + final sort
+
+
+def test_ingest_dedup_corpus_never_shuffles(spark):
+    """The two-hop broadcast anti-join: every join in q_ingest_dedup
+    must be broadcast-hash (the corpus side streams map-side through
+    all of them); the only exchanges are batch-sized (intra-batch
+    dedup windows + presentation sort). A SortMergeJoin or
+    ShuffledHashJoin anywhere means the corpus got reshuffled."""
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    df = REGISTRY["q_ingest_dedup"].spark_fn(spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
