@@ -192,6 +192,10 @@ def main() -> None:
         "q_ohlc_bars",
         # round-8 additions
         "q_url_host_cap",
+        "q_url_dedup_report",
+        "q_epoch_shuffle",
+        "q_temperature_mix",
+        "q_ingest_dedup",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s
