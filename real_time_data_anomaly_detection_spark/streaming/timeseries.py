@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,6 +27,7 @@ def ohlc_stream(
     value_col: str = "value",
     bar_seconds: int = 900,
     timeout: str = "NoTimeout",
+    rid_col: str | None = None,
 ) -> DataFrame:
     """Streaming OHLC bars: the online twin of
     operators/timeseries.ohlc_bars — per (key, fixed time bar) the
@@ -40,20 +42,40 @@ def ohlc_stream(
     plus monoid count/sum/min/max), so micro-batches may arrive in
     ANY order across triggers and the final-trigger row is still
     bit-equal to the batch operator over the full replay (pinned in
-    tests/test_streaming.py::test_ohlc_stream_equals_batch). The only
-    non-idempotent pieces are n/sum — at-least-once re-delivery
-    inflates those two, never open/high/low/close.
+    tests/test_streaming.py::test_ohlc_stream_equals_batch).
+
+    At-least-once replay: open/high/low/close are idempotent
+    (min/max algebra) but n/sum would double-count a re-delivered
+    tick. Pass ``rid_col`` (an integer record id, e.g. event_id) to
+    activate the house replay guard (the kmv_quantile_stream
+    rid-dedup discipline): state then also carries the bar's
+    DISTINCT rid set (int64-packed), incoming ticks already in it
+    are dropped before the fold, and every published column becomes
+    a pure function of the distinct-rid tick set — bit-equal to
+    batch over the deduplicated replay no matter how many times a
+    row is re-delivered (pinned in tests/test_streaming.py::
+    test_ohlc_stream_replay_idempotent). The rid set grows with the
+    bar's tick cardinality (8 bytes/tick), bounded by
+    bar_seconds × per-key tick rate — the price of exactly-once
+    counting over an at-least-once feed; without ``rid_col`` the
+    8-BIGINT state stands and n/sum inflate by exactly the number of
+    re-delivered ticks (the documented contract).
 
     Quantization and bar assignment are JVM-side with the batch
     path's exact expressions: v_u = floor(value * 2^20) (IEEE-exact
     power-of-two multiply) and bar = tz-free whole-epoch-seconds
-    ``div`` bar width built from date/time fields, so stream and
-    batch bucket and quantize identically by construction. Open/close
-    ride the (ts, v_u) total order — deterministic under duplicate
-    timestamps, the same tiebreak as batch.
+    ``div`` bar width built from date/time fields. The (ts, v_u)
+    total-order key is built TZ-FREE from the SAME date/time fields
+    as the bar id (epoch seconds from datediff/hour/minute/second,
+    micros from date_format 'SSSSSS') — never through a
+    session-time-zone cast, whose local→instant mapping is
+    non-monotonic across a DST spring-forward gap and could reorder
+    the stream against batch ohlc_bars' orderBy on the NTZ column.
+    Field order IS TIMESTAMP_NTZ comparison order, so stream and
+    batch bucket, quantize and ORDER identically by construction.
 
     Emission is append-mode: one row per (key, bar, trigger-with-
-    data); consumers wanting the latest take the max-n row per
+    new-data); consumers wanting the latest take the max-n row per
     (key, bar). State never expires under the default NoTimeout;
     pass a processing-time timeout to reap closed bars in
     high-cardinality deployments (a bar older than the reap horizon
@@ -71,18 +93,20 @@ def ohlc_stream(
             T.StructField("sum_u", T.LongType(), False),
         ]
     )
-    state_schema = T.StructType(
-        [
-            T.StructField("open_ts", T.LongType(), False),
-            T.StructField("open_u", T.LongType(), False),
-            T.StructField("close_ts", T.LongType(), False),
-            T.StructField("close_u", T.LongType(), False),
-            T.StructField("high_u", T.LongType(), False),
-            T.StructField("low_u", T.LongType(), False),
-            T.StructField("n", T.LongType(), False),
-            T.StructField("sum", T.LongType(), False),
-        ]
-    )
+    state_fields = [
+        T.StructField("open_ts", T.LongType(), False),
+        T.StructField("open_u", T.LongType(), False),
+        T.StructField("close_ts", T.LongType(), False),
+        T.StructField("close_u", T.LongType(), False),
+        T.StructField("high_u", T.LongType(), False),
+        T.StructField("low_u", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("sum", T.LongType(), False),
+    ]
+    guarded = rid_col is not None
+    if guarded:
+        state_fields.append(T.StructField("rids", T.BinaryType(), True))
+    state_schema = T.StructType(state_fields)
 
     def _update(key, pdf_iter: Iterator[pd.DataFrame], state):
         kv, bar = key[0], key[1]
@@ -92,6 +116,25 @@ def ohlc_stream(
                 state.update(tuple(state.get))
             return
         pdf = pd.concat(chunks, ignore_index=True)
+        rid_blob = b""
+        if guarded:
+            # Replay guard: fold each DISTINCT rid exactly once —
+            # intra-batch first-occurrence wins (identical rows), then
+            # drop rids already folded into this bar's state.
+            pdf = pdf.drop_duplicates(subset=["_rid"])
+            if state.exists:
+                prior = np.frombuffer(state.get[8] or b"", dtype=np.int64)
+            else:
+                prior = np.empty(0, dtype=np.int64)
+            fresh = ~pdf["_rid"].isin(prior)
+            pdf = pdf[fresh]
+            if not len(pdf):
+                if state.exists:
+                    state.update(tuple(state.get))
+                return
+            rid_blob = np.concatenate(
+                [prior, pdf["_rid"].to_numpy(dtype=np.int64)]
+            ).tobytes()
         # (ts, v_u) total order — identical tiebreak to the batch
         # window's orderBy("_ts", "v_u").
         pdf = pdf.sort_values(["_tsu", "v_u"], kind="mergesort")
@@ -102,7 +145,7 @@ def ohlc_stream(
         b_high, b_low = int(vu.max()), int(vu.min())
         b_n, b_sum = len(pdf), int(vu.sum())
         if state.exists:
-            (o_ts, o_u, c_ts, c_u, hi, lo, n, sm) = state.get
+            (o_ts, o_u, c_ts, c_u, hi, lo, n, sm) = tuple(state.get)[:8]
             if (b_open_ts, b_open) < (o_ts, o_u):
                 o_ts, o_u = b_open_ts, b_open
             if (b_close_ts, b_close) > (c_ts, c_u):
@@ -113,7 +156,10 @@ def ohlc_stream(
             o_ts, o_u = b_open_ts, b_open
             c_ts, c_u = b_close_ts, b_close
             hi, lo, n, sm = b_high, b_low, b_n, b_sum
-        state.update((o_ts, o_u, c_ts, c_u, hi, lo, n, sm))
+        new_state = (o_ts, o_u, c_ts, c_u, hi, lo, n, sm)
+        if guarded:
+            new_state = new_state + (rid_blob,)
+        state.update(new_state)
         yield pd.DataFrame(
             {
                 key_col: [kv],
@@ -127,21 +173,30 @@ def ohlc_stream(
             }
         )
 
-    prepared = df.select(
+    cols = [
         F.col(key_col),
         F.expr(
             f"(datediff(to_date({ts_col}), date'1970-01-01') * 86400"
             f" + hour({ts_col}) * 3600 + minute({ts_col}) * 60"
             f" + second({ts_col})) div {bar_seconds}"
         ).alias("bar"),
-        # total-order key: epoch micros (a constant tz shift cannot
-        # reorder timestamps; only comparisons are used, never the
-        # value itself)
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_tsu"),
+        # total-order key: TZ-FREE epoch micros built from the same
+        # date/time fields as the bar id (see docstring — a session-tz
+        # cast is non-monotonic across DST gaps).
+        F.expr(
+            f"cast(datediff(to_date({ts_col}), date'1970-01-01') as bigint)"
+            f" * 86400000000 + cast(hour({ts_col}) * 3600"
+            f" + minute({ts_col}) * 60 + second({ts_col}) as bigint)"
+            f" * 1000000"
+            f" + cast(date_format({ts_col}, 'SSSSSS') as bigint)"
+        ).alias("_tsu"),
         F.floor(F.col(value_col) * F.lit(1048576))
         .cast("bigint")
         .alias("v_u"),
-    )
+    ]
+    if guarded:
+        cols.append(F.col(rid_col).cast("bigint").alias("_rid"))
+    prepared = df.select(*cols)
     return prepared.groupBy(key_col, "bar").applyInPandasWithState(
         _update,
         outputStructType=out_schema,
