@@ -964,23 +964,38 @@ def temperature_sample(
     Returns the kept rows.
 
     Determinism at 100 TB comes from the hash_sample idiom with
-    DATA-DERIVED thresholds: the per-group keep rate r_g =
-    min(1, total·p_g / n_g) is computed from exact BIGINT counts
-    through only IEEE correctly-rounded double ops (pow, /, ×), so
-    every engine computes the bit-identical rate; a doc is kept iff
-    its 40-bit md5 prefix < floor(r_g·2^40) — a pure function of
-    (id, counts), reproducible anywhere, no RNG. Expected group
-    sizes hit total·p_g (binomial concentration); exact-size quotas
-    would need fixed_size_sample instead.
+    DATA-DERIVED thresholds: a doc is kept iff its 40-bit md5 prefix
+    < floor(r_g·2^40) with r_g = min(1, total·p_g / n_g) — a pure
+    function of (id, counts), reproducible anywhere, no RNG.
+    Expected group sizes hit total·p_g (binomial concentration);
+    exact-size quotas would need fixed_size_sample instead.
+
+    Bit-identical cross-engine thresholds hold for the default
+    α = 0.5: weights are QUANTIZED to exact integers
+    w_g = floor(sqrt(n_g)·2^20) (sqrt is IEEE-required correctly
+    rounded, a power-of-two multiply is exact, floor has no
+    rounding-tie ambiguity), so the weight SUM is an
+    order-independent BIGINT sum and the rate chain
+    total × (w/ws) / n passes only correctly-rounded /,× over
+    bit-identical operands. For other α the weight is Math.pow,
+    which the JVM permits to differ from libm by 1 ulp — a boundary
+    keep decision can then differ across engines; treat non-0.5 α
+    as deterministic-per-engine, not cross-engine-exact.
 
     Scale shape: one |groups|-row count aggregation, a one-row
     weight-sum broadcast, a broadcast join of the |groups|-row
     threshold table back onto the corpus, then the map-side md5
     filter — nothing corpus-sized shuffles."""
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    w = counts.select(
-        group_col, "_n", F.pow(F.col("_n").cast("double"), alpha).alias("_w")
-    )
+    if alpha == 0.5:
+        # exact integer weights: order-independent sum, bit-equal
+        # thresholds on every engine (round-8 advice #1)
+        wexpr = F.floor(
+            F.sqrt(F.col("_n").cast("double")) * F.lit(1048576.0)
+        ).cast("bigint")
+    else:
+        wexpr = F.pow(F.col("_n").cast("double"), alpha)
+    w = counts.select(group_col, "_n", wexpr.alias("_w"))
     tot = w.agg(F.sum("_w").alias("_ws"))
     thr = w.join(F.broadcast(tot)).select(
         group_col,
@@ -988,7 +1003,7 @@ def temperature_sample(
             F.least(
                 F.lit(1.0),
                 F.lit(float(total))
-                * (F.col("_w") / F.col("_ws"))
+                * (F.col("_w").cast("double") / F.col("_ws").cast("double"))
                 / F.col("_n").cast("double"),
             )
             * F.lit(1099511627776.0)  # 2^40
@@ -1011,11 +1026,16 @@ def temperature_sample(
     oracle="""
         WITH c AS (
             SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-        w AS (SELECT lang, n, pow(n::DOUBLE, 0.5) AS wt FROM c),
+        w AS (SELECT lang, n,
+                     CAST(floor(sqrt(n::DOUBLE) * 1048576.0) AS BIGINT)
+                         AS wt
+              FROM c),
         s AS (SELECT sum(wt) AS ws FROM w),
         thr AS (
             SELECT lang,
-                   CAST(floor(least(1.0, 200.0 * (wt / ws) / n::DOUBLE)
+                   CAST(floor(least(1.0,
+                                    200.0 * (wt::DOUBLE / ws::DOUBLE)
+                                    / n::DOUBLE)
                               * 1099511627776.0) AS BIGINT) AS t
             FROM w, s),
         kept AS (
