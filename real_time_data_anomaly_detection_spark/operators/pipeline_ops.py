@@ -1069,21 +1069,42 @@ def ingest_dedup(
     url_col: str = "url",
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_keys: bool | None = None,
+    max_broadcast_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Incremental crawl ingest: admit only batch docs that are new by
     BOTH content (exact text) and canonical URL — against the existing
     corpus and within the batch itself (min-id wins intra-batch).
 
     The 100 TB-critical shape is the anti-join DIRECTION: the batch is
-    small and the corpus is not, so ``batch LEFT ANTI corpus`` must
-    never become a corpus shuffle. Two broadcast hops do it:
-    (1) corpus ⋉ broadcast(batch keys) — a map-side semi-join over the
-    corpus scan producing only the ALREADY-SEEN keys (≤ |batch| rows);
-    (2) batch ▷ broadcast(matched keys). The corpus is scanned once,
-    shuffled never; both joins are broadcast-hash. Content keys are
-    sha2-256 digests (the exact-dedup digest discipline — text never
-    enters a join); URL keys are the canonicalize_urls canonical
-    form."""
+    normally orders of magnitude smaller than the corpus, so
+    ``batch LEFT ANTI corpus`` must never become a corpus shuffle.
+    Both key kinds ride ONE corpus pass: each side explodes into
+    tagged (kind, key) rows — ('d', sha2-digest) and ('u',
+    canon_url) — so a single semi-join finds every already-seen key
+    of either kind (content keys are sha2-256 digests, the
+    exact-dedup digest discipline: text never enters a join; URL
+    keys are the canonicalize_urls canonical form). Three hops:
+    (1) corpus keys ⋉ batch keys → the already-seen (kind, key) set
+    (≤ 2·|batch| rows); (2) batch keys ⋉ seen → the hit doc-ids;
+    (3) batch ▷ hit ids.
+
+    Regimes (round-8 verdict #1 valve): with ``broadcast_keys=None``
+    the batch side is size-gated via plans.inspect.plan_size_bytes —
+    under ``max_broadcast_bytes`` every hop is a broadcast-hash join
+    and the corpus is scanned once, SHUFFLED NEVER (plan-pinned in
+    tests/test_plans.py); above the gate (a backfill-sized batch, or
+    an unknown-size in-memory batch) all three hops degrade to
+    digest/key-keyed shuffle joins — the corpus is STILL scanned
+    once, and only its (kind, key) projection ever exchanges, never
+    documents. Both regimes produce identical rows
+    (tests/test_plans.py::test_ingest_dedup_shuffle_fallback_matches_broadcast
+    pins equality on the same fixture).
+    """
+    from real_time_data_anomaly_detection_spark.plans.inspect import plan_size_bytes
+
+    if broadcast_keys is None:
+        broadcast_keys = plan_size_bytes(batch) <= max_broadcast_bytes
     b = canonicalize_urls(batch, url_col).select(
         id_col,
         F.sha2(F.col(text_col), 256).alias("_dig"),
@@ -1092,23 +1113,38 @@ def ingest_dedup(
     c = canonicalize_urls(corpus, url_col).select(
         F.sha2(F.col(text_col), 256).alias("_dig"), F.col("canon_url")
     )
-    seen_dig = (
-        c.join(F.broadcast(b.select("_dig").distinct()), "_dig", "left_semi")
-        .select("_dig")
+
+    def _tagged(df: DataFrame, *extra: str) -> DataFrame:
+        kk = F.explode(
+            F.array(
+                F.struct(
+                    F.lit("d").alias("kind"), F.col("_dig").alias("key")
+                ),
+                F.struct(
+                    F.lit("u").alias("kind"), F.col("canon_url").alias("key")
+                ),
+            )
+        ).alias("kk")
+        return df.select(*extra, kk).select(*extra, "kk.kind", "kk.key")
+
+    ck = _tagged(c)  # ONE corpus pass covers both key kinds
+    bk = _tagged(b, id_col)
+    b_keys = bk.select("kind", "key").distinct()
+
+    def _maybe_bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_keys else df
+
+    seen = (
+        ck.join(_maybe_bc(b_keys), ["kind", "key"], "left_semi")
+        .select("kind", "key")
         .distinct()
     )
-    seen_url = (
-        c.join(
-            F.broadcast(b.select("canon_url").distinct()),
-            "canon_url",
-            "left_semi",
-        )
-        .select("canon_url")
+    hit_ids = (
+        bk.join(_maybe_bc(seen), ["kind", "key"], "left_semi")
+        .select(id_col)
         .distinct()
     )
-    fresh = b.join(F.broadcast(seen_dig), "_dig", "left_anti").join(
-        F.broadcast(seen_url), "canon_url", "left_anti"
-    )
+    fresh = b.join(_maybe_bc(hit_ids), id_col, "left_anti")
     from pyspark.sql import Window
 
     w_d = Window.partitionBy("_dig")

@@ -344,11 +344,14 @@ def test_url_host_cap_single_data_exchange(spark):
 
 
 def test_ingest_dedup_corpus_never_shuffles(spark):
-    """The two-hop broadcast anti-join: every join in q_ingest_dedup
-    must be broadcast-hash (the corpus side streams map-side through
-    all of them); the only exchanges are batch-sized (intra-batch
-    dedup windows + presentation sort). A SortMergeJoin or
-    ShuffledHashJoin anywhere means the corpus got reshuffled."""
+    """The tagged-union broadcast anti-join: every join in
+    q_ingest_dedup must be broadcast-hash (the corpus side streams
+    map-side through all of them); the only exchanges are batch-sized
+    (intra-batch dedup windows + presentation sort). A SortMergeJoin
+    or ShuffledHashJoin anywhere means the corpus got reshuffled.
+    Since round 9 both key kinds ride ONE corpus pass (tagged
+    (kind, key) explode), so exactly one scan subtree carries the
+    corpus-side doc_id < 400 pushed filter."""
     from real_time_data_anomaly_detection_spark.operators import REGISTRY
     from real_time_data_anomaly_detection_spark.plans.inspect import (
         formatted_plan,
@@ -358,4 +361,55 @@ def test_ingest_dedup_corpus_never_shuffles(spark):
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("BroadcastHashJoin") >= 3
+    # single corpus pass (round-8 advice #3): the corpus-side pushed
+    # filter appears in exactly one scan subtree
+    assert plan.count("LessThan(doc_id,400)") == 1
+
+
+def test_ingest_dedup_shuffle_fallback_matches_broadcast(spark):
+    """Round-8 verdict #1: an unbroadcastable batch must degrade to
+    key-keyed shuffle joins, not silently plan a corpus-side
+    broadcast of a huge relation — and the two regimes must admit
+    IDENTICAL rows. broadcast_keys=False forces the fallback; the
+    plan must then contain no BroadcastHashJoin on the dedup hops."""
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators.pipeline_ops import (
+        _SYNTH_URL_SQL,
+        ingest_dedup,
+    )
+    from real_time_data_anomaly_detection_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    u = d.select("doc_id", "text", F.expr(_SYNTH_URL_SQL).alias("url"))
+    corpus = u.filter(F.col("doc_id") < 400)
+    batch = u.filter(F.col("doc_id") >= 400)
+    bc_rows = sorted(
+        map(tuple, ingest_dedup(corpus, batch, broadcast_keys=True).collect())
+    )
+    # simulate backfill scale: kill the auto-broadcast thresholds so
+    # the un-hinted fallback joins plan as they would on a batch that
+    # genuinely exceeds them
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        sh = ingest_dedup(corpus, batch, broadcast_keys=False)
+        plan = formatted_plan(sh)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        sh_rows = sorted(map(tuple, sh.collect()))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert bc_rows == sh_rows
