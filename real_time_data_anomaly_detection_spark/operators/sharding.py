@@ -298,6 +298,7 @@ def epoch_order(
     num_shards: int,
     epoch: int,
     hasher: str = "xxhash64",
+    subshard_bits: int = 8,
 ) -> DataFrame:
     """Deterministic EPOCH SHUFFLE: the (shard, rank) every example
     trains at in a given epoch — a pure function of (id, epoch), so
@@ -312,20 +313,55 @@ def epoch_order(
     shard file. Data loaders consume shard k in rank order; no RNG
     state is shared or checkpointed — the order IS the data.
 
-    Scale shape: one shard-keyed exchange, then a per-shard window
-    sort — exactly the shuffle+sort the shard write itself pays, with
-    rows = (id, shard, sort_key) only; document payloads never
-    move."""
+    Scale shape (round-8 verdict #2): the naive rank —
+    ``row_number() over (partition by shard)`` — sorts each WHOLE
+    shard in one task, which at a fixed shard count and 100× corpus
+    outgrows an executor (100 TB / 256 shards ≈ 390 GB single-task
+    sorts). The rank here is TWO-LEVEL and fully deterministic
+    (no range-sampling): the top ``subshard_bits`` bits of the md5
+    sort key split every shard into 2^bits contiguous slices of its
+    own order (fixed-length lowercase hex sorts lexicographically ==
+    numerically, so slice boundaries respect (sort_key, id) order by
+    construction); per-(shard, slice) counts — a bounded
+    shards × 2^bits relation — turn into rank offsets via a running
+    sum over that tiny relation, broadcast back, and the window sort
+    runs per (shard, slice): max task = shard_size / 2^bits. Two
+    passes over the id column only (counts + rank); document
+    payloads never move. The published ranks are IDENTICAL to the
+    single-level definition (pinned in tests/test_sharding.py)."""
     from pyspark.sql import Window
 
     seed = 1000 + epoch
-    a = shard_assign(df, id_col, num_shards, seed, hasher)
-    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
-    return a.select(
+    if subshard_bits % 4 or not 4 <= subshard_bits <= 16:
+        raise ValueError("subshard_bits must be 4, 8, 12 or 16")
+    nibbles = subshard_bits // 4
+    sub = F.conv(F.substring("sort_key", 1, nibbles), 16, 10).cast("bigint")
+    a = shard_assign(df, id_col, num_shards, seed, hasher).withColumn(
+        "_sub", sub
+    )
+    counts = a.groupBy("shard", "_sub").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("_sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
         "shard",
-        F.row_number().over(w).cast("bigint").alias("rank"),
-        F.col(id_col),
-    ).orderBy("shard", "rank")
+        "_sub",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w = Window.partitionBy("shard", "_sub").orderBy("sort_key", id_col)
+    return (
+        a.join(F.broadcast(offsets), ["shard", "_sub"])
+        .select(
+            "shard",
+            (F.row_number().over(w) + F.col("_off"))
+            .cast("bigint")
+            .alias("rank"),
+            F.col(id_col),
+        )
+        .orderBy("shard", "rank")
+    )
 
 
 @query(
