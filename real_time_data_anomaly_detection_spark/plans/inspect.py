@@ -99,6 +99,39 @@ def live_exchanges(df: DataFrame) -> list[str]:
     return out
 
 
+def partitionless_windows(df) -> list[str]:
+    """Window-family physical nodes with an EMPTY partition spec —
+    each one funnels its whole input through a single task (the
+    `WindowExec: No Partition Defined` warning). Legitimate only on
+    bounded-cardinality relations (a top-k result, a sketch-sized
+    sample); tests/test_plans.py pins the registry-wide whitelist.
+
+    Same py4j tree walk as live_exchanges: AQE nodes contribute their
+    initialPlan, cached subtrees are childless leaves."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        cname = node.getClass().getSimpleName()
+        if cname.startswith("InMemoryTableScan"):
+            return
+        if cname in (
+            "WindowExec",
+            "WindowInPandasExec",
+            "WindowGroupLimitExec",
+        ):
+            if node.partitionSpec().isEmpty():
+                out.append(cname)
+        if cname == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def plan_size_bytes(df) -> int:
     """Catalyst's sizeInBytes estimate for a DataFrame's optimized
     plan, or 2^60 when unavailable — the input to size-gated

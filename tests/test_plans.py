@@ -232,6 +232,40 @@ def test_no_cartesians_post_build_iterative(spark):
     assert not offenders, offenders
 
 
+def test_partitionless_windows_whitelisted_registry_wide(spark):
+    """Round-8 verdict #4: the bench run's two `WindowExec: No
+    Partition Defined` warnings must stay unambiguous forever — a
+    registry-wide pin (same harness as the cartesian pin) asserting
+    the ONLY partition-less window-family nodes sit on
+    bounded-cardinality relations, by query-name whitelist:
+
+    - q_rfm: three global ntile(5) passes over the CUSTOMER-sized
+      rollup (a dimension, never the orders fact; the operator's
+      docstring documents the percent_rank swap for larger
+      populations).
+    - q_rrf_fusion: rank over the fused per-query top-k candidate
+      union — k-bounded by construction.
+
+    Iterative/index-building queries were surveyed post-build the
+    same way (round 9) and plan ZERO partition-less windows; they are
+    excluded here only to keep this loop lazy, the cartesian
+    post-build test already executes them."""
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.plans.inspect import (
+        partitionless_windows,
+    )
+
+    WINDOW_OK = {"q_rfm", "q_rrf_fusion"}
+    offenders = {}
+    for name, q in sorted(REGISTRY.items()):
+        if name in ITERATIVE_BUILD:
+            continue
+        w = partitionless_windows(q.spark_fn(spark, SF_DIR))
+        if w and name not in WINDOW_OK:
+            offenders[name] = w
+    assert not offenders, offenders
+
+
 def test_size_gated_checkpoint_fires(spark):
     """The size-gated localCheckpoint must actually FIRE for small
     inputs: pyspark's stats().sizeInBytes() started returning a plain
