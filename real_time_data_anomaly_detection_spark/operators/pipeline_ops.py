@@ -1101,6 +1101,36 @@ def ingest_dedup(
     (tests/test_plans.py::test_ingest_dedup_shuffle_fallback_matches_broadcast
     pins equality on the same fixture).
     """
+    c = canonicalize_urls(corpus, url_col).select(
+        F.sha2(F.col(text_col), 256).alias("_dig"), F.col("canon_url")
+    )
+    return ingest_dedup_keys(
+        c,
+        batch,
+        url_col=url_col,
+        text_col=text_col,
+        id_col=id_col,
+        broadcast_keys=broadcast_keys,
+        max_broadcast_bytes=max_broadcast_bytes,
+    ).select(id_col, "canon_url")
+
+
+def ingest_dedup_keys(
+    corpus_keys: DataFrame,
+    batch: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_keys: bool | None = None,
+    max_broadcast_bytes: int = 64 << 20,
+) -> DataFrame:
+    """The :func:`ingest_dedup` core against a PRE-COMPUTED corpus key
+    frame ``corpus_keys`` (columns ``_dig``, ``canon_url``) — what a
+    persisted ingest index stores, so the streaming twin
+    (streaming/ingest.py) and repeated incremental runs never re-scan
+    or re-digest corpus documents. Returns the admitted batch rows as
+    (id, _dig, canon_url) — the digest rides along so admissions can
+    be appended straight back into the index."""
     from real_time_data_anomaly_detection_spark.plans.inspect import plan_size_bytes
 
     if broadcast_keys is None:
@@ -1110,9 +1140,7 @@ def ingest_dedup(
         F.sha2(F.col(text_col), 256).alias("_dig"),
         F.col("canon_url"),
     )
-    c = canonicalize_urls(corpus, url_col).select(
-        F.sha2(F.col(text_col), 256).alias("_dig"), F.col("canon_url")
-    )
+    c = corpus_keys.select("_dig", "canon_url")
 
     def _tagged(df: DataFrame, *extra: str) -> DataFrame:
         kk = F.explode(
@@ -1153,7 +1181,7 @@ def ingest_dedup(
         fresh.withColumn("_md", F.min(id_col).over(w_d))
         .withColumn("_mu", F.min(id_col).over(w_u))
         .filter((F.col(id_col) == F.col("_md")) & (F.col(id_col) == F.col("_mu")))
-        .select(id_col, "canon_url")
+        .select(id_col, "_dig", "canon_url")
         .orderBy(id_col)
     )
 
