@@ -34,6 +34,7 @@ from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F40
     bpe,
     behavior,
     sharding,
+    multimodal,
 )
 
 # ---------------------------------------------------------------------------

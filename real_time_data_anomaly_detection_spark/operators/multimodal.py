@@ -142,8 +142,9 @@ def _rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
     )
 
 
-def _decode_ppm_builtin(payload: bytes) -> np.ndarray | None:
-    """Codec-free binary PPM (P6) decode with numpy alone."""
+def _ppm_pixels(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Codec-free binary PPM (P6) pixel extraction with numpy alone:
+    (height, width, rgb uint8 [h*w, 3]) in row-major top-down order."""
     if payload[:2] != b"P6":
         return None
     # Header: "P6" <ws> width <ws> height <ws> maxval <single ws> pixels.
@@ -166,6 +167,15 @@ def _decode_ppm_builtin(payload: bytes) -> np.ndarray | None:
         return None  # 16-bit-per-sample PPM: out of scope for the builtin
     n = width * height * 3
     rgb = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos).reshape(-1, 3)
+    return height, width, rgb
+
+
+def _decode_ppm_builtin(payload: bytes) -> np.ndarray | None:
+    """Codec-free binary PPM (P6) decode with numpy alone."""
+    px = _ppm_pixels(payload)
+    if px is None:
+        return None
+    _, _, rgb = px
     return _gray_histogram(_rgb_to_gray(rgb.astype(np.float64)))
 
 
@@ -207,12 +217,11 @@ def _png_unfilter(
     return out
 
 
-def _decode_png_builtin(payload: bytes) -> np.ndarray | None:
-    """Codec-free PNG decode: stdlib zlib inflate + numpy unfilter, for
-    8-bit gray / gray+alpha / RGB / RGBA, non-interlaced — the common
-    case. Paletted, 16-bit, and Adam7-interlaced images fall through
-    (None) to the codec path / stub. Same _gray_histogram feature
-    contract as every other image decoder."""
+def _png_pixels(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
+    """Codec-free PNG pixel extraction (stdlib zlib + numpy unfilter),
+    8-bit gray / gray+alpha / RGB / RGBA non-interlaced: (height,
+    width, channels, px uint8 [h*w, channels]) top-down row-major.
+    Paletted, 16-bit and Adam7 fall through (None)."""
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     import zlib
@@ -244,7 +253,17 @@ def _decode_png_builtin(payload: bytes) -> np.ndarray | None:
     recon = _png_unfilter(raw, height, row_bytes, channels)
     if recon is None:
         return None
-    px = recon.reshape(height * width, channels).astype(np.float64)
+    return height, width, channels, recon.reshape(height * width, channels)
+
+
+def _decode_png_builtin(payload: bytes) -> np.ndarray | None:
+    """Codec-free PNG decode — _gray_histogram over _png_pixels, the
+    same feature contract as every other image decoder."""
+    out = _png_pixels(payload)
+    if out is None:
+        return None
+    height, width, channels, recon = out
+    px = recon.astype(np.float64)
     # Alpha (when present) is ignored for the luma histogram, matching
     # PIL convert("L") over the color channels.
     gray = _rgb_to_gray(px[:, :3]) if channels >= 3 else px[:, 0]
@@ -614,8 +633,11 @@ def _jpeg_decode_scan(
     return _gray_histogram(gray)
 
 
-def _decode_bmp_builtin(payload: bytes) -> np.ndarray | None:
-    """Codec-free uncompressed 24bpp BMP decode with numpy alone."""
+def _bmp_pixels(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Codec-free uncompressed 24bpp BMP pixel extraction: (height,
+    width, rgb uint8 [h*w, 3]) in TOP-DOWN row order (positive-height
+    BMPs store rows bottom-up and are flipped here — histograms don't
+    care, but perceptual hashes do)."""
     if payload[:2] != b"BM":
         return None
     pixel_off = int.from_bytes(payload[10:14], "little")
@@ -631,8 +653,19 @@ def _decode_bmp_builtin(payload: bytes) -> np.ndarray | None:
         off = pixel_off + r * row_bytes
         row = np.frombuffer(payload, dtype=np.uint8, count=width * 3, offset=off)
         rows.append(row.reshape(-1, 3))
-    bgr = np.concatenate(rows).astype(np.float64)  # BMP stores BGR
-    return _gray_histogram(_rgb_to_gray(bgr[:, ::-1]))
+    if height > 0:  # bottom-up storage → flip to top-down
+        rows.reverse()
+    bgr = np.concatenate(rows)  # BMP stores BGR
+    return abs(height), width, bgr[:, ::-1]
+
+
+def _decode_bmp_builtin(payload: bytes) -> np.ndarray | None:
+    """Codec-free uncompressed 24bpp BMP decode with numpy alone."""
+    px = _bmp_pixels(payload)
+    if px is None:
+        return None
+    _, _, rgb = px
+    return _gray_histogram(_rgb_to_gray(rgb.astype(np.float64)))
 
 
 def _decode_payload(media_type: str, payload: bytes) -> np.ndarray:
@@ -732,3 +765,262 @@ def resize_plan(df: DataFrame, max_side: int = 512) -> DataFrame:
         (w / scale).cast("int").alias("target_width"),
         (h / scale).cast("int").alias("target_height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup (round-8 verdict #6): integer dHash over the
+# codec-free pixel decodes + the SimHash Hamming-band pair search.
+# ---------------------------------------------------------------------------
+
+
+def decode_gray_milli(payload: bytes) -> np.ndarray | None:
+    """Gray PIXEL MATRIX (int64, h×w) in milli-luma units
+    g = 299·R + 587·G + 114·B — pure INTEGER algebra, so every engine
+    (and the DuckDB oracle of q_image_neardup_md5) reproduces it
+    bit-exactly; no float luma rounding ambiguity. Codec-free formats
+    only (PPM P6, 8-bit PNG, 24bpp BMP — the pixel-exposing builtin
+    decoders); others return None and callers fall back / skip."""
+    payload = bytes(payload)
+    out = _ppm_pixels(payload)
+    if out is not None:
+        h, w, rgb = out
+        g = rgb.astype(np.int64)
+        return (g[:, 0] * 299 + g[:, 1] * 587 + g[:, 2] * 114).reshape(h, w)
+    png = _png_pixels(payload)
+    if png is not None:
+        h, w, ch, px = png
+        g = px.astype(np.int64)
+        if ch >= 3:
+            gm = g[:, 0] * 299 + g[:, 1] * 587 + g[:, 2] * 114
+        else:
+            gm = g[:, 0] * 1000
+        return gm.reshape(h, w)
+    bmp = _bmp_pixels(payload)
+    if bmp is not None:
+        h, w, rgb = bmp
+        g = rgb.astype(np.int64)
+        return (g[:, 0] * 299 + g[:, 1] * 587 + g[:, 2] * 114).reshape(h, w)
+    return None
+
+
+def dhash_bits(gm: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> int:
+    """Difference hash over a gray matrix: integer block-mean resize
+    to (hash_h rows × hash_w+1 cols) — block (i, j) spans rows
+    [i·h div H, (i+1)·h div H) etc., mean is floor division — then
+    bit i·hash_w+j is set iff block(i,j) < block(i,j+1). Every step
+    is integer floor arithmetic: engine-replayable, no resampling
+    kernel ambiguity. Returns a signed-64 wrapped Python int."""
+    h, w = gm.shape
+    cols = hash_w + 1
+    if h < hash_h or w < cols:
+        raise ValueError(f"image {h}x{w} smaller than hash grid")
+    re = [(i * h) // hash_h for i in range(hash_h + 1)]
+    ce = [(j * w) // cols for j in range(cols + 1)]
+    m = np.empty((hash_h, cols), dtype=np.int64)
+    for i in range(hash_h):
+        for j in range(cols):
+            blk = gm[re[i] : re[i + 1], ce[j] : ce[j + 1]]
+            m[i, j] = int(blk.sum()) // blk.size
+    bits = 0
+    for i in range(hash_h):
+        for j in range(hash_w):
+            if m[i, j] < m[i, j + 1]:
+                bits |= 1 << (i * hash_w + j)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """(id, dhash BIGINT) per image via Arrow-batched mapInPandas over
+    the codec-free pixel decode; undecodable payloads yield null (the
+    multimodal contract: rows kept, joins don't silently drop)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("dhash", T.LongType(), True),
+        ]
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    out.append(None)
+                    continue
+                gm = decode_gray_milli(bytes(payload))
+                out.append(
+                    None if gm is None else dhash_bits(gm, hash_w, hash_h)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "dhash": out})
+
+    return df.select(id_col, payload_col).mapInPandas(_hash, schema)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Image pairs whose dHash Hamming distance ≤ ``max_hamming`` —
+    the perceptual twin of dedup.simhash_pairs, reusing its banded
+    self-join: the hash splits into ``n_bands`` equal chunks
+    (pigeonhole: distance < n_bands guarantees one identical chunk),
+    candidates sharing a band verify with bit_count(xor). Scale shape
+    is simhash_pairs': band-bucket join, never all-pairs; payloads
+    decode ONCE into 8-byte hashes and only hashes shuffle."""
+    nbits = hash_w * hash_h
+    if nbits % n_bands:
+        raise ValueError("n_bands must divide hash_w*hash_h")
+    bw = nbits // n_bands
+    mask = (1 << bw) - 1
+    fps = image_dhash(df, payload_col, id_col, hash_w, hash_h).filter(
+        F.col("dhash").isNotNull()
+    )
+    chunk = lambda i: F.shiftright(F.col("dhash"), i * bw).bitwiseAND(  # noqa: E731
+        F.lit(mask)
+    )
+    banded = fps.select(
+        id_col,
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), chunk(i).alias("key"))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "dhash", "bk.band", "bk.key")
+    a = banded.select(
+        F.col(id_col).alias("img_a"), F.col("dhash").alias("h_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("img_b"), F.col("dhash").alias("h_b"), "band", "key"
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("img_a") < F.col("img_b"))
+        .select("img_a", "img_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-backed md5 twin: synthetic 9x7 PPM images whose pixels are a pure
+# function of (doc_id, md5) — the Spark side builds REAL P6 binaries and runs
+# the REAL decode + dHash + banding; the DuckDB oracle replays the identical
+# integer algebra from the md5 hex directly (the SimHash-md5 discipline).
+# ---------------------------------------------------------------------------
+
+from real_time_data_anomaly_detection_spark.io import load_table  # noqa: E402
+from real_time_data_anomaly_detection_spark.operators.registry import query  # noqa: E402
+
+_IMG_MD5S = 12  # 12 * 16 bytes = 192 >= 9*7*3 = 189 pixel bytes
+_IMG_HX_SQL = " || ".join(
+    f"md5('img:' || CAST(doc_id // 5 AS VARCHAR) || ':{k}')"
+    for k in range(_IMG_MD5S)
+)
+
+
+@query(
+    "q_image_neardup_md5",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   (doc_id % 5) * 24 AS p0,
+                   {_IMG_HX_SQL} AS hx
+            FROM documents),
+        g AS (
+            SELECT doc_id, n // 9 AS i, n % 9 AS j,
+                   299 * (CASE WHEN n = 0 THEN p0
+                          ELSE ('0x' || substr(hx, 2*(n*3) + 1, 2))::INT END)
+                 + 587 * ('0x' || substr(hx, 2*(n*3+1) + 1, 2))::INT
+                 + 114 * ('0x' || substr(hx, 2*(n*3+2) + 1, 2))::INT AS gg
+            FROM base, UNNEST(generate_series(0, 62)) AS t(n)),
+        bits AS (
+            SELECT a.doc_id, (a.i * 8 + a.j) AS b,
+                   CASE WHEN a.gg < c.gg THEN 1 ELSE 0 END AS v
+            FROM g a JOIN g c ON a.doc_id = c.doc_id AND a.i = c.i
+                             AND c.j = a.j + 1
+            WHERE a.j < 8),
+        h AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v = 1 THEN (1::BIGINT << b)
+                            ELSE 0 END) AS BIGINT) AS dh
+            FROM bits GROUP BY 1),
+        banded AS (
+            SELECT doc_id, dh, k, (dh >> (k * 14)) & 16383 AS key
+            FROM h, UNNEST(generate_series(0, 3)) AS t(k)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.dh AS ha, b.dh AS hb
+            FROM banded a
+            JOIN banded b ON a.k = b.k AND a.key = b.key
+                         AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        ORDER BY doc_a, doc_b
+    """,
+)
+def q_image_neardup_md5(spark, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup, oracle-checked end-to-end: every
+    document gets a REAL 9×7 binary PPM whose 189 pixel bytes come
+    from md5('img:' || doc_id div 5 || ':k') — five docs share each
+    base image — with the first byte replaced by (doc_id % 5)·24, a
+    one-pixel perturbation that flips at most dHash bit 0. The Spark
+    side decodes the actual P6 bytes (codec-free _ppm_pixels), hashes
+    with the integer dHash (8×7 grid → 56 bits, sign-safe in both
+    engines), bands 4×14 bits and verifies Hamming ≤ 3 (< n_bands ⇒
+    banding is lossless by pigeonhole); the oracle replays pixel
+    bytes, luma, comparisons, bit-pack, banding and bit_count(xor)
+    in DuckDB — so the DECODER itself is hash-checked cross-engine,
+    not just the pair algebra. Expected pairs: exactly the
+    same-base-image quintuples at distance ≤ 1 (random cross-base
+    56-bit hashes land within 3 bits with probability ~3e-12)."""
+    d = load_table(spark, sf_dir, "documents")
+    header_hex = "P6 9 7 255\n".encode().hex()
+    hx = F.concat(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit("img:"),
+                    F.expr("cast(doc_id div 5 as string)"),
+                    F.lit(f":{k}"),
+                )
+            )
+            for k in range(_IMG_MD5S)
+        ]
+    )
+    img = d.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit(header_hex)),
+            F.unhex(
+                F.concat(
+                    F.lpad(F.hex((F.col("doc_id") % 5) * 24), 2, "0"),
+                    F.substring(hx, 3, 376),
+                )
+            ),
+        ).alias("payload"),
+    )
+    pairs = image_neardup_pairs(
+        img, "payload", "doc_id", max_hamming=3, hash_w=8, hash_h=7
+    )
+    return pairs.select(
+        F.col("img_a").alias("doc_a"),
+        F.col("img_b").alias("doc_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    ).orderBy("doc_a", "doc_b")

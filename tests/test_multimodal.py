@@ -687,3 +687,112 @@ def test_progressive_jpeg_falls_to_stub():
     assert _decode_jpeg_builtin(payload) is None
     feat = _decode_payload("image", payload)
     assert len(feat) == 16 and all(0 <= v < 1 for v in feat)  # sha256 stub
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup (dHash) — round-8 verdict #6
+# ---------------------------------------------------------------------------
+
+
+def _ppm(w, h, rgb_bytes):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(rgb_bytes)
+
+
+def test_dhash_resize_matches_numpy_reference():
+    """The integer block-mean resize: for a 36x24 image the 9x8 grid
+    blocks are exact 4x3 tiles; dhash_bits must equal a straight numpy
+    reference (tile floor-means + adjacent comparisons)."""
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        decode_gray_milli,
+        dhash_bits,
+    )
+
+    rng = np.random.RandomState(7)
+    w, h = 36, 24
+    rgb = rng.randint(0, 256, size=(h * w * 3,), dtype=np.int64)
+    gm = decode_gray_milli(_ppm(w, h, rgb.astype(np.uint8).tolist()))
+    assert gm.shape == (h, w)
+    # numpy reference
+    ref = np.zeros((8, 9), dtype=np.int64)
+    for i in range(8):
+        for j in range(9):
+            blk = gm[i * 3:(i + 1) * 3, j * 4:(j + 1) * 4]
+            ref[i, j] = int(blk.sum()) // blk.size
+    want = 0
+    for i in range(8):
+        for j in range(8):
+            if ref[i, j] < ref[i, j + 1]:
+                want |= 1 << (i * 8 + j)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert dhash_bits(gm, 8, 8) == want
+
+
+def test_bmp_pixels_top_down_orientation():
+    """_bmp_pixels must flip positive-height (bottom-up) BMPs so the
+    gray matrix is top-down — histograms never noticed, dHash does."""
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        decode_gray_milli,
+    )
+
+    w, h = 4, 2
+    # top row white, bottom row black (as the viewer sees it)
+    top = [255, 255, 255] * w
+    bottom = [0, 0, 0] * w
+    # BMP with height>0 stores the BOTTOM row first; rows are 4-byte
+    # aligned (4*3=12 bytes, already aligned)
+    px = bytes(bottom) + bytes(top)
+    header = (
+        b"BM" + (54 + len(px)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(px).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    gm = decode_gray_milli(header + px)
+    assert gm.shape == (2, 4)
+    assert (gm[0] == 255000).all() and (gm[1] == 0).all()
+
+
+def test_image_neardup_recall_on_perturbed_fixtures(spark):
+    """Recall + precision on synthetically perturbed images: each base
+    image gets a copy with a few mildly brightened pixels (a near-dup)
+    and the pair search must (1) find every base↔perturbed pair at
+    Hamming ≤ 6 and (2) not pair distinct random images."""
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        image_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(42)
+    w, h = 36, 24
+    rows = []
+    n_base = 20
+    for b in range(n_base):
+        rgb = rng.randint(0, 256, size=(h * w * 3,), dtype=np.int64)
+        rows.append((b, _ppm(w, h, rgb.astype(np.uint8).tolist())))
+        pert = rgb.copy()
+        idx = rng.choice(h * w * 3, size=5, replace=False)
+        pert[idx] = np.minimum(pert[idx] + 10, 255)
+        rows.append((1000 + b, _ppm(w, h, pert.astype(np.uint8).tolist())))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r.img_a, r.img_b)
+        for r in image_neardup_pairs(df, max_hamming=6).collect()
+    }
+    want = {(b, 1000 + b) for b in range(n_base)}
+    found = {p for p in got if p in want}
+    assert len(found) / n_base >= 0.9  # recall
+    # precision: essentially no cross-base pairs (random 64-bit hashes)
+    spurious = got - want
+    assert len(spurious) <= 1
