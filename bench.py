@@ -196,6 +196,9 @@ def main() -> None:
         "q_epoch_shuffle",
         "q_temperature_mix",
         "q_ingest_dedup",
+        # round-9 additions
+        "q_image_neardup_md5",
+        "q_audio_fingerprint_md5",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s

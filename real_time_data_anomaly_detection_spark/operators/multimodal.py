@@ -1024,3 +1024,150 @@ def q_image_neardup_md5(spark, sf_dir: str) -> DataFrame:
         F.col("img_b").alias("doc_b"),
         F.col("hamming").cast("bigint").alias("hamming"),
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint (round-9, same discipline as the image twin): integer
+# band-energy sign hash over the REAL WAV decode, md5-oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+def _wav_samples_int(payload: bytes) -> np.ndarray | None:
+    """First-channel PCM samples as CENTERED int64 (s − midpoint) —
+    the integer analog of _decode_wav_builtin's float path, so
+    fingerprints are exact-arithmetic and engine-replayable."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        channels = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 1:  # unsigned 8-bit
+        data = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+    elif width == 2:
+        data = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    elif width == 4:
+        data = np.frombuffer(frames, dtype="<i4").astype(np.int64)
+    else:
+        return None
+    usable = (data.size // channels) * channels
+    return data[:usable].reshape(-1, channels)[:, 0]
+
+
+def audio_band_hash(samples: np.ndarray, n_bands: int = 16) -> int:
+    """``n_bands``-bit loudness-contour fingerprint: split the sample
+    stream into equal bands (trailing remainder dropped), band energy
+    = Σ|s| (exact integers), bit k set iff n_bands·E_k > ΣE — i.e.
+    the band is louder than the mean, compared by integer
+    cross-multiplication, no division. Engine-replayable like
+    dhash_bits."""
+    n = (samples.size // n_bands) * n_bands
+    if n == 0:
+        return 0
+    e = np.abs(samples[:n]).reshape(n_bands, -1).sum(axis=1)
+    total = int(e.sum())
+    bits = 0
+    for k in range(n_bands):
+        if n_bands * int(e[k]) > total:
+            bits |= 1 << k
+    return bits
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_bands: int = 16,
+) -> DataFrame:
+    """(id, fingerprint BIGINT) per audio payload via Arrow-batched
+    mapInPandas over the REAL WAV decode; undecodable payloads yield
+    null. Near-dup pairing reuses image_neardup_pairs' band-bucket
+    join shape if needed; the fingerprint itself is the
+    oracle-checked unit (q_audio_fingerprint_md5)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("fingerprint", T.LongType(), True),
+        ]
+    )
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    out.append(None)
+                    continue
+                s = _wav_samples_int(bytes(payload))
+                out.append(None if s is None else audio_band_hash(s, n_bands))
+            yield pd.DataFrame({id_col: pdf[id_col], "fingerprint": out})
+
+    return df.select(id_col, payload_col).mapInPandas(_fp, schema)
+
+
+# 44-byte canonical RIFF header: PCM, mono, 8-bit, 8000 Hz, 128 samples.
+_WAV128_HEADER_HEX = (
+    "52494646a400000057415645666d7420100000000100010040"
+    "1f0000401f0000010008006461746180000000"
+)
+_AUD_MD5S = 8  # 8 * 16 = 128 sample bytes
+_AUD_HX_SQL = " || ".join(
+    f"md5('aud:' || CAST(doc_id AS VARCHAR) || ':{k}')"
+    for k in range(_AUD_MD5S)
+)
+
+
+@query(
+    "q_audio_fingerprint_md5",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {_AUD_HX_SQL} AS hx FROM documents),
+        s AS (
+            SELECT doc_id, i // 8 AS band,
+                   abs(('0x' || substr(hx, 2*i + 1, 2))::INT - 128) AS a
+            FROM base, UNNEST(generate_series(0, 127)) AS t(i)),
+        e AS (
+            SELECT doc_id, band, sum(a) AS eb FROM s GROUP BY 1, 2),
+        tot AS (
+            SELECT doc_id, sum(eb) AS te FROM e GROUP BY 1)
+        SELECT e.doc_id,
+               CAST(sum(CASE WHEN 16 * eb > te THEN (1::BIGINT << band)
+                        ELSE 0 END) AS BIGINT) AS fingerprint
+        FROM e JOIN tot ON e.doc_id = tot.doc_id
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_audio_fingerprint_md5(spark, sf_dir: str) -> DataFrame:
+    """Audio loudness-contour fingerprints, oracle-checked through the
+    REAL decoder: every document gets an actual 44-byte-header RIFF
+    PCM WAV (8-bit mono, 128 samples from md5('aud:' || doc_id)
+    bytes); Spark decodes it with the stdlib wave parser and computes
+    the 16-band integer sign hash, while DuckDB replays sample bytes,
+    band energies and the cross-multiplied mean comparison from the
+    md5 hex — so the WAV decode path itself is hash-checked
+    cross-engine, the audio analog of q_image_neardup_md5."""
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.concat(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit("aud:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(f":{k}"),
+                )
+            )
+            for k in range(_AUD_MD5S)
+        ]
+    )
+    wav = d.select(
+        "doc_id",
+        F.unhex(F.concat(F.lit(_WAV128_HEADER_HEX), hx)).alias("payload"),
+    )
+    return (
+        audio_fingerprints(wav, "payload", "doc_id")
+        .select("doc_id", F.col("fingerprint").cast("bigint").alias("fingerprint"))
+        .orderBy("doc_id")
+    )

@@ -796,3 +796,25 @@ def test_image_neardup_recall_on_perturbed_fixtures(spark):
     # precision: essentially no cross-base pairs (random 64-bit hashes)
     spurious = got - want
     assert len(spurious) <= 1
+
+
+def test_audio_band_hash_matches_reference():
+    """audio_band_hash over a real 16-bit WAV: stdlib-wave decode must
+    yield centered integer samples and the 16-band sign hash must
+    equal a direct numpy reference."""
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _wav_samples_int,
+        audio_band_hash,
+    )
+
+    rng = np.random.RandomState(3)
+    samples = rng.randint(-20000, 20000, size=160).astype(np.int16)
+    payload = _wav_bytes([int(x) for x in samples])
+    s = _wav_samples_int(payload)
+    assert s is not None and s.dtype == np.int64
+    n = (s.size // 16) * 16
+    e = np.abs(s[:n]).reshape(16, -1).sum(axis=1)
+    want = sum(1 << k for k in range(16) if 16 * int(e[k]) > int(e.sum()))
+    assert audio_band_hash(s) == want

@@ -263,6 +263,25 @@ def test_registry_artifact_sync():
     assert not bad, f"non-green rows in CORRECTNESS_FULL.json: {bad}"
     assert full["n_pass"] == n_oracle and full["n_fail"] == 0
 
+    # The sf0.1 full sweep is part of the standing evidence chain too
+    # (round-8 verdict #7): it has caught half-boundary/-0.0/1-ulp
+    # divergences the sf0.01 gate scale never hits.
+    sf01 = json.load(open("/root/repo/CORRECTNESS_SF0_1.json"))
+    recs01 = {r["name"]: r for r in sf01["queries"]}
+    assert set(recs01) == set(REGISTRY), (
+        "CORRECTNESS_SF0_1.json stale — rerun tools/verify_oracle.py "
+        "--json CORRECTNESS_SF0_1.json /root/testdata/sf0.1: "
+        f"missing={sorted(set(REGISTRY) - set(recs01))[:5]} "
+        f"extra={sorted(set(recs01) - set(REGISTRY))[:5]}"
+    )
+    bad01 = {
+        n: r["status"]
+        for n, r in recs01.items()
+        if r["status"] != ("pass" if REGISTRY[n].oracle else "no_oracle")
+    }
+    assert not bad01, f"non-green rows in CORRECTNESS_SF0_1.json: {bad01}"
+    assert sf01["n_pass"] == n_oracle and sf01["n_fail"] == 0
+
     import bench
     from tools.gen_plans import QUERIES as plan_queries
 
