@@ -264,6 +264,43 @@ def scaling_main() -> None:
 
         return epoch_order(d, "doc_id", 256, epoch=1)
 
+    # round-9: perceptual image near-dup — synthesize a REAL 9x7 PPM
+    # per doc from md5 bytes (5 docs share a base image, one perturbed
+    # byte each, the q_image_neardup_md5 construction) so the banded
+    # pair search has genuine near-dup structure at every tier.
+    def _image_op(d):
+        from real_time_data_anomaly_detection_spark.operators.multimodal import (
+            image_neardup_pairs,
+        )
+
+        hx = F.concat(
+            *[
+                F.md5(
+                    F.concat(
+                        F.lit("img:"),
+                        F.expr("cast(doc_id div 5 as string)"),
+                        F.lit(f":{k}"),
+                    )
+                )
+                for k in range(12)
+            ]
+        )
+        img = d.select(
+            "doc_id",
+            F.concat(
+                F.unhex(F.lit("P6 9 7 255\n".encode().hex())),
+                F.unhex(
+                    F.concat(
+                        F.lpad(F.hex((F.col("doc_id") % 5) * 24), 2, "0"),
+                        F.substring(hx, 3, 376),
+                    )
+                ),
+            ).alias("payload"),
+        )
+        return image_neardup_pairs(
+            img, "payload", "doc_id", max_hamming=3, hash_w=8, hash_h=7
+        )
+
     # PQ/ADC top-k: sample-fit train (constant), one encode pass, one
     # LUT-scored scan planned as TakeOrderedAndProject — the ANN slope
     # row. Probe = deterministic unit basis vector (no collect).
@@ -383,6 +420,8 @@ def scaling_main() -> None:
         "pq_topk": ("emb", _pq_topk_op),
         "url_host_cap": ("docs", _url_op),
         "epoch_shuffle": ("docs", _epoch_op),
+        # round-9 addition
+        "image_neardup": ("docs", _image_op),
     }
     # optional 4th arg: comma-separated op subset
     if len(sys.argv) > 4:
