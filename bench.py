@@ -199,6 +199,8 @@ def main() -> None:
         # round-9 additions
         "q_image_neardup_md5",
         "q_audio_fingerprint_md5",
+        "q_category_drift",
+        "q_peaks_over_threshold",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s

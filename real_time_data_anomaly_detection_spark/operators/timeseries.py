@@ -854,3 +854,152 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT — bit-equal across Spark and DuckDB by construction."""
     e = load_table(spark, sf_dir, "events")
     return ohlc_bars(e, "event_type", "ts", "value", 900)
+
+
+@query(
+    "q_category_drift",
+    oracle="""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS o1,
+                   CAST(sum(CASE WHEN hour(ts) < 12 THEN 0 ELSE 1 END)
+                        AS BIGINT) AS o2
+            FROM events GROUP BY 1),
+        t AS (
+            SELECT CAST(sum(o1) AS BIGINT) AS n1,
+                   CAST(sum(o2) AS BIGINT) AS n2
+            FROM c)
+        SELECT event_type, o1, o2,
+               CAST(floor(
+                   (CAST(o1*n2 - o2*n1 AS DOUBLE)
+                    * CAST(o1*n2 - o2*n1 AS DOUBLE))
+                   * CAST(n1 + n2 AS DOUBLE)
+                   / ((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                      * CAST(o1 + o2 AS DOUBLE))
+                   * 1024.0) AS BIGINT) AS chi2_mil
+        FROM c, t ORDER BY event_type
+    """,
+)
+def q_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detector: per-category chi-square
+    contribution between two time windows of the events stream
+    (morning vs afternoon) — the 2×C homogeneity test every
+    monitoring stack runs to catch category-mix shift before a model
+    sees it. Algebra: with window totals N1, N2 and per-category
+    counts o1, o2, the contribution is
+    (o1·N2 − o2·N1)² · N / (N1·N2·(o1+o2)) — the cross-product form
+    keeps everything integer until the LAST division. Cross products
+    stay exact BIGINTs (< 2^53 up to ~90M-row windows; beyond that,
+    pre-aggregate per shard); the double chain is a PINNED op
+    sequence of correctly-rounded ×,/ over engine-identical
+    integers, so floor(chi2·1024) (exact power-of-two scale) is
+    bit-equal cross-engine. Scale shape: one counts aggregation
+    (|categories| rows), a one-row totals broadcast, map-side
+    arithmetic — nothing event-sized moves."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.hour("ts") < 12).alias("w1")
+    )
+    c = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("w1"), 1).otherwise(0)).cast("bigint").alias("o1"),
+        F.sum(F.when(F.col("w1"), 0).otherwise(1)).cast("bigint").alias("o2"),
+    )
+    tot = c.agg(
+        F.sum("o1").cast("bigint").alias("n1"),
+        F.sum("o2").cast("bigint").alias("n2"),
+    )
+    d = (F.col("o1") * F.col("n2") - F.col("o2") * F.col("n1")).cast("double")
+    chi2 = (
+        d * d
+        * (F.col("n1") + F.col("n2")).cast("double")
+        / (
+            (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            * (F.col("o1") + F.col("o2")).cast("double")
+        )
+    )
+    return (
+        c.join(F.broadcast(tot))
+        .select(
+            "event_type",
+            "o1",
+            "o2",
+            F.floor(chi2 * F.lit(1024.0)).cast("bigint").alias("chi2_mil"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_peaks_over_threshold",
+    oracle="""
+        WITH v AS (
+            SELECT event_type, event_id AS rid,
+                   CAST(round(value * 1000000) AS BIGINT) AS xm
+            FROM events),
+        r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY xm, rid) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM v),
+        thr AS (
+            SELECT event_type, xm AS t FROM r
+            WHERE rn - 1 = (95 * (n - 1)) // 100),
+        ex AS (
+            SELECT v.event_type, thr.t, v.xm - thr.t AS e
+            FROM v JOIN thr USING (event_type) WHERE v.xm > thr.t)
+        SELECT event_type,
+               CAST(min(t) AS BIGINT) AS thr_micro,
+               CAST(count(*) AS BIGINT) AS n_exceed,
+               CAST((sum(e) + 50 * count(*)) // (100 * count(*))
+                    AS DOUBLE) / 10000 AS mean_excess
+        FROM ex GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value (peaks-over-threshold) anomaly profile per
+    event_type: exact integer p95 threshold — the value at rank
+    (95·(n−1)) div 100 of the (xm, rid) total order, the
+    engine-identical rank-selection idiom — then exceedance count and
+    mean excess over it (the empirical ingredients of a GPD tail
+    fit). Micro-unit BIGINTs end-to-end; the mean publishes through
+    _exact_mean_4dp's integer half-up, never round(double). Scale
+    shape: one (type)-keyed window pass for the threshold (per-type
+    streams sort in parallel), a |types|-row broadcast back, then a
+    map-side filter + partial-aggregable groupBy."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").alias("rid"),
+        _micro_units(F.col("value")).alias("xm"),
+    )
+    w = Window.partitionBy("event_type").orderBy("xm", "rid")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "xm",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    thr = r.filter(
+        F.col("rn") - 1 == F.expr("(95 * (n - 1)) div 100")
+    ).select("event_type", F.col("xm").alias("t"))
+    ex = (
+        ev.join(F.broadcast(thr), "event_type")
+        .filter(F.col("xm") > F.col("t"))
+        .select("event_type", "t", (F.col("xm") - F.col("t")).alias("e"))
+    )
+    return (
+        ex.groupBy("event_type")
+        .agg(
+            F.min("t").cast("bigint").alias("thr_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_exceed"),
+            F.sum("e").alias("_se"),
+        )
+        .select(
+            "event_type",
+            "thr_micro",
+            "n_exceed",
+            _exact_mean_4dp("_se", "n_exceed").alias("mean_excess"),
+        )
+        .orderBy("event_type")
+    )

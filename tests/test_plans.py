@@ -174,6 +174,7 @@ def test_no_accidental_cartesians_registry_wide(spark):
         "q_kmv_jaccard",  # four one-row scalar relations cross-combined
         "q_zorder_layout",  # one-row broadcast min/max quantization stats
         "q_temperature_mix",  # one-row broadcast weight-sum scalar
+        "q_category_drift",  # one-row broadcast window-totals scalar
     }
     # Queries whose CONSTRUCTION executes jobs (index builds / iterative
     # training) are excluded from this fast lazy-plan loop and instead
