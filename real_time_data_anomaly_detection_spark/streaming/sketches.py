@@ -20,8 +20,11 @@ import hashlib
 import io as _io
 from collections.abc import Iterator
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -138,4 +141,94 @@ def kmv_quantile_stream(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf="NoTimeout",
+    )
+
+
+def category_drift_stream(
+    df: DataFrame,
+    cat_col: str = "event_type",
+    flag_col: str = "w1",
+) -> DataFrame:
+    """Streaming category-mix drift: the online twin of
+    operators/timeseries.q_category_drift. Per trigger, fold each
+    micro-batch's per-category (o1, o2) window counts into state and
+    re-emit the FULL per-category chi-square table — counts are a
+    commutative monoid, so after any trigger the published
+    (o1, o2, chi2_mil) rows are bit-equal to the batch operator over
+    the stream-so-far (pinned in tests/test_streaming.py).
+
+    The chi-square needs CROSS-category totals (N1, N2), so the fold
+    runs under ONE synthetic key with the whole category table as
+    state (the kmv parquet-blob discipline) — bounded by category
+    cardinality, the explicit contract: this is a drift MONITOR over
+    a bounded label set (event types, languages, domains), not a
+    high-cardinality aggregation. The chi2 double chain is the exact
+    op sequence of the batch operator, so floor(chi2·1024) matches
+    bit-for-bit."""
+    out_schema = T.StructType(
+        [
+            T.StructField(cat_col, T.StringType(), False),
+            T.StructField("o1", T.LongType(), False),
+            T.StructField("o2", T.LongType(), False),
+            T.StructField("chi2_mil", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("counts_parquet", T.BinaryType(), True)]
+    )
+
+    def _update(key, pdf_iter, state):
+        if state.exists:
+            counts = _decode(state.get[0])
+        else:
+            counts = pd.DataFrame(
+                {cat_col: pd.Series(dtype=object),
+                 "o1": pd.Series(dtype="int64"),
+                 "o2": pd.Series(dtype="int64")}
+            )
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            state.update((_encode(counts),))
+            return
+        batch = pd.concat(chunks, ignore_index=True)
+        delta = (
+            batch.assign(
+                o1=batch[flag_col].astype("int64"),
+                o2=(~batch[flag_col]).astype("int64"),
+            )
+            .groupby(cat_col, as_index=False)[["o1", "o2"]]
+            .sum()
+        )
+        counts = (
+            pd.concat([counts, delta], ignore_index=True)
+            .groupby(cat_col, as_index=False)[["o1", "o2"]]
+            .sum()
+            .sort_values(cat_col, kind="mergesort")
+        )
+        state.update((_encode(counts),))
+        n1, n2 = int(counts["o1"].sum()), int(counts["o2"].sum())
+        rows = []
+        for r in counts.itertuples(index=False):
+            o1, o2 = int(r.o1), int(r.o2)
+            # EXACT op order of the batch operator (timeseries.py
+            # q_category_drift): d², ×N, ÷(N1·N2·r), ×1024, floor
+            d = float(o1 * n2 - o2 * n1)
+            chi2 = d * d * float(n1 + n2) / (
+                (float(n1) * float(n2)) * float(o1 + o2)
+            )
+            rows.append(
+                (getattr(r, cat_col), o1, o2, int(math.floor(chi2 * 1024.0)))
+            )
+        yield pd.DataFrame(rows, columns=[cat_col, "o1", "o2", "chi2_mil"])
+
+    return (
+        df.select(F.lit(1).alias("_g"), F.col(cat_col), F.col(flag_col))
+        .groupBy("_g")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
     )

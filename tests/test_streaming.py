@@ -827,3 +827,52 @@ def test_ingest_stream_equals_batch(spark, tmp_path_factory):
         ).collect()
     )
     assert replayed == persisted
+
+
+def test_category_drift_stream_equals_batch(spark, tmp_path_factory):
+    """Streaming chi-square drift (single-key bounded-category count
+    fold) is BIT-equal to batch q_category_drift at the final trigger
+    — counts are a commutative monoid and the chi2 double chain is
+    the identical op sequence."""
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.streaming.sketches import (
+        category_drift_stream,
+    )
+
+    path = str(tmp_path_factory.mktemp("drift_replay"))
+    src = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", (F.hour("ts") < 12).alias("w1")
+    )
+    pdf = src.toPandas()
+    for i in range(3):
+        f = os.path.join(path, f"part-{i:02d}.parquet")
+        pdf.iloc[i::3].to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    want = {
+        (r.event_type): (r.o1, r.o2, r.chi2_mil)
+        for r in REGISTRY["q_category_drift"]
+        .spark_fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+
+    stream_df = file_replay_source(spark, path, spark.read.parquet(path).schema)
+    out = category_drift_stream(stream_df)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_drift")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_drift").collect()
+    # final trigger = rows with the max total count per category
+    latest = {}
+    for r in rows:
+        k = r.event_type
+        if k not in latest or r.o1 + r.o2 > latest[k].o1 + latest[k].o2:
+            latest[k] = r
+    got = {k: (r.o1, r.o2, r.chi2_mil) for k, r in latest.items()}
+    assert got == want and len(want) > 0
