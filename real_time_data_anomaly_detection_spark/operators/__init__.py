@@ -68,22 +68,25 @@ _GATE_WINDOW = [
     "q_join_inner",
     "q_join_broadcast",
     "q_join_semi",
-    "q_join_anti",
     "q_join_3way",
     "q_join_theta",
     "q_agg_group",
     "q_agg_global",
-    "q_agg_distinct",
     "q_agg_rollup",
     "q_agg_having",
     "q_window_rank",
-    "q_window_lag",
     "q_window_lastk",
     "q_topk",
     "q_union_all",
     "q_window_tumbling_batch",
-    # cross-family flagship sample (27 rows; judge-named set + r7/r8
-    # rotation)
+    # cross-family flagship sample (30 rows; judge-named set + r7/r8/r9
+    # rotation — r9 swapped out three redundant relational siblings,
+    # q_join_anti / q_agg_distinct / q_window_lag, for the round-9
+    # flagships: decoder-oracle-checked media near-dup/fingerprint and
+    # the chi-square drift detector)
+    "q_image_neardup_md5",
+    "q_audio_fingerprint_md5",
+    "q_category_drift",
     "q_prefix_jaccard",
     "q_split_leakage_safe",
     "q_hierarchy_flatten",

@@ -76,6 +76,10 @@ def test_driver_gate_window_is_cross_family():
         "q_quantile_sketch",    # KMV sketch
         "q_ohlc_bars",          # time-series rollup
         "q_url_host_cap",       # URL canonicalization + host quota
+        # round-9 rotation: decoder-oracle-checked media + drift
+        "q_image_neardup_md5",  # perceptual dHash through real decode
+        "q_audio_fingerprint_md5",  # WAV decode band fingerprint
+        "q_category_drift",     # chi-square distribution drift
     }
     assert flagship <= set(window), flagship - set(window)
 
