@@ -929,6 +929,76 @@ def q_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_group_quantile(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    rid_col: str,
+    q_pct: int,
+    bucket_bits: int = 20,
+) -> DataFrame:
+    """EXACT per-group quantile by two-level rank selection — the
+    value at 0-based rank (q·(n−1)) div 100 of the (value, rid)
+    total order — WITHOUT ever sorting a whole group in one task
+    (the epoch_order two-level-rank lesson applied to quantiles; a
+    `row_number() over (partition by key)` threshold would funnel
+    each key's full stream through a single task at 100 TB).
+
+    Level 1: per-(key, value div 2^bucket_bits) counts — a bounded
+    relation (value range / 2^bits rows per key) — locate the bucket
+    containing the target rank via a running sum over that tiny
+    relation. Level 2: rank ONLY inside the hit bucket (window
+    partitioned by (key, bucket), max task = bucket occupancy) and
+    take the offset-th element. Deterministic, no sampling; returns
+    (key, q_value). Caveat: a value appearing in a huge fraction of
+    a group concentrates its bucket — shrink bucket width (ties
+    within one value then resolve by rid inside the bucket, which is
+    the bucket's own total order, so correctness never depends on
+    the width, only the max-task bound does)."""
+    n_per = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    k_of = F.expr(f"({q_pct} * (_n - 1)) div 100")
+    b = df.select(
+        key_col,
+        value_col,
+        rid_col,
+        # FLOOR division (power-of-two double divide is IEEE-exact):
+        # `div` truncates toward zero and would interleave negative
+        # values' buckets with positive ones
+        F.floor(F.col(value_col) / F.lit(float(1 << bucket_bits)))
+        .cast("bigint")
+        .alias("_b"),
+    )
+    counts = b.groupBy(key_col, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = counts.select(
+        key_col,
+        "_b",
+        "_c",
+        F.coalesce(F.sum("_c").over(w_cum), F.lit(0)).alias("_cum"),
+    )
+    hit = (
+        cum.join(F.broadcast(n_per), key_col)
+        .filter((F.col("_cum") <= k_of) & (k_of < F.col("_cum") + F.col("_c")))
+        .select(key_col, "_b", (k_of - F.col("_cum")).alias("_off"))
+    )
+    w_in = Window.partitionBy(key_col, "_b").orderBy(value_col, rid_col)
+    return (
+        b.join(F.broadcast(hit), [key_col, "_b"])
+        .select(
+            key_col,
+            value_col,
+            "_off",
+            F.row_number().over(w_in).alias("_rn"),
+        )
+        .filter(F.col("_rn") - 1 == F.col("_off"))
+        .select(key_col, F.col(value_col).alias("q_value"))
+    )
+
+
 @query(
     "q_peaks_over_threshold",
     oracle="""
@@ -959,30 +1029,25 @@ def q_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extreme-value (peaks-over-threshold) anomaly profile per
     event_type: exact integer p95 threshold — the value at rank
-    (95·(n−1)) div 100 of the (xm, rid) total order, the
-    engine-identical rank-selection idiom — then exceedance count and
-    mean excess over it (the empirical ingredients of a GPD tail
-    fit). Micro-unit BIGINTs end-to-end; the mean publishes through
-    _exact_mean_4dp's integer half-up, never round(double). Scale
-    shape: one (type)-keyed window pass for the threshold (per-type
-    streams sort in parallel), a |types|-row broadcast back, then a
-    map-side filter + partial-aggregable groupBy."""
+    (95·(n−1)) div 100 of the (xm, rid) total order, computed by the
+    scale-safe two-level selection (:func:`exact_group_quantile` —
+    bucket counts + in-bucket rank, no whole-group single-task sort)
+    — then exceedance count and mean excess over it (the empirical
+    ingredients of a GPD tail fit). Micro-unit BIGINTs end-to-end;
+    the mean publishes through _exact_mean_4dp's integer half-up,
+    never round(double). The oracle replays the naive global rank
+    selection, so the two-level path is hash-checked equivalent.
+    Scale shape: two bounded aggregations + one bucket-local window
+    for the threshold, a |types|-row broadcast back, then a map-side
+    filter + partial-aggregable groupBy."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.col("event_id").alias("rid"),
         _micro_units(F.col("value")).alias("xm"),
     )
-    w = Window.partitionBy("event_type").orderBy("xm", "rid")
-    wn = Window.partitionBy("event_type")
-    r = ev.select(
-        "event_type",
-        "xm",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    thr = exact_group_quantile(ev, "event_type", "xm", "rid", 95).select(
+        "event_type", F.col("q_value").alias("t")
     )
-    thr = r.filter(
-        F.col("rn") - 1 == F.expr("(95 * (n - 1)) div 100")
-    ).select("event_type", F.col("xm").alias("t"))
     ex = (
         ev.join(F.broadcast(thr), "event_type")
         .filter(F.col("xm") > F.col("t"))

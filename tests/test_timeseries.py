@@ -177,3 +177,42 @@ def test_ohlc_bars_duplicate_timestamp_tiebreak(spark):
     assert bar.low_u == 3 * u
     assert bar.n_ticks == 4
     assert bar.sum_u == (7 + 3 + 5 + 4) * u
+
+
+def test_exact_group_quantile_two_level_matches_naive_and_handles_negatives(spark):
+    """exact_group_quantile (two-level bucket selection) must equal
+    the naive global rank definition on a fixture WITH NEGATIVE
+    values (floor-bucketing, not div-truncation), and its rank
+    window must partition by (key, _b) — never a whole key in one
+    task."""
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        exact_group_quantile,
+    )
+    from real_time_data_anomaly_detection_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    rows = []
+    for k in ("a", "b"):
+        for i in range(2000):
+            # deterministic spread straddling zero, with ties
+            v = ((i * 37) % 401) - 200
+            rows.append((k, i, v * 1_000_000))
+    df = spark.createDataFrame(rows, "key string, rid long, xm long")
+    for q in (50, 95, 99):
+        got = {
+            (r.key): r.q_value
+            for r in exact_group_quantile(df, "key", "xm", "rid", q).collect()
+        }
+        import collections
+
+        vals = collections.defaultdict(list)
+        for k, rid, xm in rows:
+            vals[k].append((xm, rid))
+        want = {}
+        for k, vs in vals.items():
+            vs.sort()
+            want[k] = vs[(q * (len(vs) - 1)) // 100][0]
+        assert got == want, q
+    plan = formatted_plan(exact_group_quantile(df, "key", "xm", "rid", 95))
+    assert "_b" in plan
