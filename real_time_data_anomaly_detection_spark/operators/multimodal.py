@@ -313,11 +313,10 @@ def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int] | None:
     return out
 
 
-def _decode_gif_builtin(payload: bytes) -> np.ndarray | None:
-    """Codec-free GIF decode (87a/89a, non-interlaced, first frame):
-    header + color-table parse in numpy/stdlib, pure-Python GIF-LZW.
-    Interlaced images fall through (None) to the codec path / stub.
-    Same _gray_histogram feature contract as the other decoders."""
+def _gif_pixels(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Codec-free GIF pixel extraction (87a/89a, non-interlaced, first
+    frame): (height, width, rgb uint8 [h*w, 3]) top-down row-major.
+    Interlaced images fall through (None)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     packed = payload[10]
@@ -361,12 +360,22 @@ def _decode_gif_builtin(payload: bytes) -> np.ndarray | None:
             if idx is None or len(idx) < width * height:
                 return None
             px = ct[np.asarray(idx[: width * height]) % len(ct)]
-            return _gray_histogram(_rgb_to_gray(px.astype(np.float64)))
+            return height, width, px
         elif block == 0x3B:
             break
         else:
             return None
     return None
+
+
+def _decode_gif_builtin(payload: bytes) -> np.ndarray | None:
+    """Codec-free GIF decode — _gray_histogram over _gif_pixels, the
+    shared feature contract."""
+    out = _gif_pixels(payload)
+    if out is None:
+        return None
+    _, _, px = out
+    return _gray_histogram(_rgb_to_gray(px.astype(np.float64)))
 
 
 # --- Baseline JPEG (JFIF) decode, codec-free -------------------------------
@@ -457,11 +466,11 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def _decode_jpeg_builtin(payload: bytes) -> np.ndarray | None:
-    """Codec-free baseline JPEG decode: marker parse + canonical Huffman
-    + dequant + inverse zigzag + numpy IDCT, luma plane only. Returns
-    the _gray_histogram feature, or None for non-baseline streams
-    (progressive, 12-bit, arithmetic) so they fall to the stub."""
+def _jpeg_gray_pixels(payload: bytes) -> np.ndarray | None:
+    """Codec-free baseline JPEG luma-plane decode: marker parse +
+    canonical Huffman + dequant + inverse zigzag + numpy IDCT.
+    Returns the gray pixel MATRIX (h×w, 0-255), or None for
+    non-baseline streams (progressive, 12-bit, arithmetic)."""
     if payload[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -629,8 +638,14 @@ def _jpeg_decode_scan(
     # by the luma sampling factor (luma h==hmax, v==vmax in practice)
     crop_w = -(-width * luma["h"] // hmax)
     crop_h = -(-height * luma["v"] // vmax)
-    gray = np.clip(np.round(plane[:crop_h, :crop_w]), 0, 255)
-    return _gray_histogram(gray)
+    return np.clip(np.round(plane[:crop_h, :crop_w]), 0, 255)
+
+
+def _decode_jpeg_builtin(payload: bytes) -> np.ndarray | None:
+    """Codec-free baseline JPEG decode — _gray_histogram over the
+    _jpeg_gray_pixels luma plane, the shared feature contract."""
+    gray = _jpeg_gray_pixels(payload)
+    return None if gray is None else _gray_histogram(gray)
 
 
 def _bmp_pixels(payload: bytes) -> tuple[int, int, np.ndarray] | None:
@@ -778,8 +793,9 @@ def decode_gray_milli(payload: bytes) -> np.ndarray | None:
     g = 299·R + 587·G + 114·B — pure INTEGER algebra, so every engine
     (and the DuckDB oracle of q_image_neardup_md5) reproduces it
     bit-exactly; no float luma rounding ambiguity. Codec-free formats
-    only (PPM P6, 8-bit PNG, 24bpp BMP — the pixel-exposing builtin
-    decoders); others return None and callers fall back / skip."""
+    only (PPM P6, 8-bit PNG, 24bpp BMP, non-interlaced GIF, baseline
+    JPEG luma — the pixel-exposing builtin decoders); others return
+    None and callers fall back / skip."""
     payload = bytes(payload)
     out = _ppm_pixels(payload)
     if out is not None:
@@ -800,6 +816,15 @@ def decode_gray_milli(payload: bytes) -> np.ndarray | None:
         h, w, rgb = bmp
         g = rgb.astype(np.int64)
         return (g[:, 0] * 299 + g[:, 1] * 587 + g[:, 2] * 114).reshape(h, w)
+    gif = _gif_pixels(payload)
+    if gif is not None:
+        h, w, rgb = gif
+        g = rgb.astype(np.int64)
+        return (g[:, 0] * 299 + g[:, 1] * 587 + g[:, 2] * 114).reshape(h, w)
+    jg = _jpeg_gray_pixels(payload)
+    if jg is not None:
+        # luma plane already gray (0-255); scale to the milli contract
+        return jg.astype(np.int64) * 1000
     return None
 
 
@@ -825,6 +850,35 @@ def dhash_bits(gm: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> int:
     for i in range(hash_h):
         for j in range(hash_w):
             if m[i, j] < m[i, j + 1]:
+                bits |= 1 << (i * hash_w + j)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def ahash_bits(gm: np.ndarray, hash_w: int = 8, hash_h: int = 8) -> int:
+    """Average hash over a gray matrix: the same integer block-mean
+    resize as dhash_bits but to an (hash_h × hash_w) grid, then bit
+    i·hash_w+j is set iff the block mean EXCEEDS the grid mean —
+    compared by integer cross-multiplication (cells·block > Σblocks),
+    no division, so it is engine-replayable exactly like dhash_bits
+    and the audio band hash. dHash survives global brightness shifts
+    better; aHash survives local noise better — ship both, band
+    either."""
+    h, w = gm.shape
+    if h < hash_h or w < hash_w:
+        raise ValueError(f"image {h}x{w} smaller than hash grid")
+    re = [(i * h) // hash_h for i in range(hash_h + 1)]
+    ce = [(j * w) // hash_w for j in range(hash_w + 1)]
+    cells = hash_h * hash_w
+    m = np.empty((hash_h, hash_w), dtype=np.int64)
+    for i in range(hash_h):
+        for j in range(hash_w):
+            blk = gm[re[i] : re[i + 1], ce[j] : ce[j + 1]]
+            m[i, j] = int(blk.sum()) // blk.size
+    total = int(m.sum())
+    bits = 0
+    for i in range(hash_h):
+        for j in range(hash_w):
+            if cells * int(m[i, j]) > total:
                 bits |= 1 << (i * hash_w + j)
     return bits - (1 << 64) if bits >= 1 << 63 else bits
 
@@ -858,6 +912,38 @@ def image_dhash(
                     None if gm is None else dhash_bits(gm, hash_w, hash_h)
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "dhash": out})
+
+    return df.select(id_col, payload_col).mapInPandas(_hash, schema)
+
+
+def image_ahash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """(id, ahash BIGINT) per image — average-hash sibling of
+    image_dhash, same Arrow-batched mapInPandas decode."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("ahash", T.LongType(), True),
+        ]
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    out.append(None)
+                    continue
+                gm = decode_gray_milli(bytes(payload))
+                out.append(
+                    None if gm is None else ahash_bits(gm, hash_w, hash_h)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "ahash": out})
 
     return df.select(id_col, payload_col).mapInPandas(_hash, schema)
 
@@ -934,6 +1020,40 @@ _IMG_HX_SQL = " || ".join(
 )
 
 
+def _synth_doc_images(d: DataFrame) -> DataFrame:
+    """(doc_id, payload): a REAL 9×7 binary PPM per document — 189
+    pixel bytes from md5('img:' || doc_id div 5 || ':k') (five docs
+    share each base image) with the first byte replaced by
+    (doc_id % 5)·24, a one-pixel perturbation. Shared by the image
+    md5-twin queries; the DuckDB side replays the same bytes from
+    _IMG_HX_SQL."""
+    header_hex = "P6 9 7 255\n".encode().hex()
+    hx = F.concat(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit("img:"),
+                    F.expr("cast(doc_id div 5 as string)"),
+                    F.lit(f":{k}"),
+                )
+            )
+            for k in range(_IMG_MD5S)
+        ]
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit(header_hex)),
+            F.unhex(
+                F.concat(
+                    F.lpad(F.hex((F.col("doc_id") % 5) * 24), 2, "0"),
+                    F.substring(hx, 3, 376),
+                )
+            ),
+        ).alias("payload"),
+    )
+
+
 @query(
     "q_image_neardup_md5",
     oracle=f"""
@@ -991,31 +1111,7 @@ def q_image_neardup_md5(spark, sf_dir: str) -> DataFrame:
     same-base-image quintuples at distance ≤ 1 (random cross-base
     56-bit hashes land within 3 bits with probability ~3e-12)."""
     d = load_table(spark, sf_dir, "documents")
-    header_hex = "P6 9 7 255\n".encode().hex()
-    hx = F.concat(
-        *[
-            F.md5(
-                F.concat(
-                    F.lit("img:"),
-                    F.expr("cast(doc_id div 5 as string)"),
-                    F.lit(f":{k}"),
-                )
-            )
-            for k in range(_IMG_MD5S)
-        ]
-    )
-    img = d.select(
-        "doc_id",
-        F.concat(
-            F.unhex(F.lit(header_hex)),
-            F.unhex(
-                F.concat(
-                    F.lpad(F.hex((F.col("doc_id") % 5) * 24), 2, "0"),
-                    F.substring(hx, 3, 376),
-                )
-            ),
-        ).alias("payload"),
-    )
+    img = _synth_doc_images(d)
     pairs = image_neardup_pairs(
         img, "payload", "doc_id", max_hamming=3, hash_w=8, hash_h=7
     )
@@ -1169,5 +1265,48 @@ def q_audio_fingerprint_md5(spark, sf_dir: str) -> DataFrame:
     return (
         audio_fingerprints(wav, "payload", "doc_id")
         .select("doc_id", F.col("fingerprint").cast("bigint").alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_image_ahash_md5",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id,
+                   (doc_id % 5) * 24 AS p0,
+                   {_IMG_HX_SQL} AS hx
+            FROM documents),
+        g AS (
+            SELECT doc_id, n // 9 AS i, n % 9 AS j,
+                   299 * (CASE WHEN n = 0 THEN p0
+                          ELSE ('0x' || substr(hx, 2*(n*3) + 1, 2))::INT END)
+                 + 587 * ('0x' || substr(hx, 2*(n*3+1) + 1, 2))::INT
+                 + 114 * ('0x' || substr(hx, 2*(n*3+2) + 1, 2))::INT AS gg
+            FROM base, UNNEST(generate_series(0, 62)) AS t(n)),
+        tot AS (SELECT doc_id, sum(gg) AS tg FROM g GROUP BY 1)
+        SELECT g.doc_id,
+               CAST(sum(CASE WHEN 63 * gg > tg
+                        THEN (1::BIGINT << (i * 9 + j)) ELSE 0 END)
+                    AS BIGINT) AS ahash
+        FROM g JOIN tot ON g.doc_id = tot.doc_id
+        GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_image_ahash_md5(spark, sf_dir: str) -> DataFrame:
+    """Average-hash fingerprints through the REAL decode: the same
+    synthetic 9×7 PPMs as q_image_neardup_md5, hashed with
+    ahash_bits on the identity 9×7 grid (63 bits — bit 62 max, sign-
+    safe in both engines; block mean > grid mean decided by integer
+    cross-multiplication, no division). The oracle replays pixel
+    bytes, luma and the 63-cell mean comparison from the md5 hex —
+    dHash checks adjacent-gradient structure, aHash checks
+    global-contrast structure, and with both twins green the whole
+    perceptual-hash toolbox is decoder-to-bits oracle-verified."""
+    d = load_table(spark, sf_dir, "documents")
+    img = _synth_doc_images(d)
+    return (
+        image_ahash(img, "payload", "doc_id", hash_w=9, hash_h=7)
+        .select("doc_id", F.col("ahash").cast("bigint").alias("ahash"))
         .orderBy("doc_id")
     )

@@ -818,3 +818,74 @@ def test_audio_band_hash_matches_reference():
     e = np.abs(s[:n]).reshape(16, -1).sum(axis=1)
     want = sum(1 << k for k in range(16) if 16 * int(e[k]) > int(e.sum()))
     assert audio_band_hash(s) == want
+
+
+def test_decode_gray_milli_gif_and_jpeg_paths():
+    """decode_gray_milli covers GIF (palette pixels, integer luma) and
+    baseline JPEG (luma plane ×1000); a perturbed GIF copy stays
+    within a small dHash distance while a distinct image does not."""
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        decode_gray_milli,
+        dhash_bits,
+    )
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    gif = _gif_bytes(rgb)
+    gm = decode_gray_milli(gif)
+    assert gm is not None and gm.shape == (16, 16)
+    g = rgb.astype(np.int64)
+    want = g[:, :, 0] * 299 + g[:, :, 1] * 587 + g[:, :, 2] * 114
+    assert (gm == want).all()
+
+    # JPEG: lossy, so check the milli scale and shape contract only
+    img = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    jp = _jpeg_bytes(img)
+    jm = decode_gray_milli(jp)
+    assert jm is not None and jm.shape == (16, 16)
+    assert (jm % 1000 == 0).all() and jm.max() <= 255000
+
+    # perturbed GIF: brighten a few pixels slightly
+    pert = rgb.copy()
+    pert[0, 0] = np.minimum(pert[0, 0].astype(int) + 8, 255).astype(np.uint8)
+    d = bin(
+        (dhash_bits(gm, 8, 8) ^ dhash_bits(decode_gray_milli(_gif_bytes(pert)), 8, 8))
+        & ((1 << 64) - 1)
+    ).count("1")
+    assert d <= 6
+
+
+def test_ahash_matches_numpy_reference():
+    """ahash_bits: block means vs integer cross-multiplied grid mean,
+    against a straight numpy reference on a 36x24 PPM."""
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        ahash_bits,
+        decode_gray_milli,
+    )
+
+    rng = np.random.RandomState(5)
+    w, h = 36, 24
+    rgb = rng.randint(0, 256, size=(h * w * 3,), dtype=np.int64)
+    gm = decode_gray_milli(_ppm(w, h, rgb.astype(np.uint8).tolist()))
+    ref = np.zeros((8, 8), dtype=np.int64)
+    # exact edges: (i*h)//8, (j*w)//8
+    re = [(i * h) // 8 for i in range(9)]
+    ce = [(j * w) // 8 for j in range(9)]
+    for i in range(8):
+        for j in range(8):
+            blk = gm[re[i]:re[i + 1], ce[j]:ce[j + 1]]
+            ref[i, j] = int(blk.sum()) // blk.size
+    total = int(ref.sum())
+    want = sum(
+        1 << (i * 8 + j)
+        for i in range(8)
+        for j in range(8)
+        if 64 * int(ref[i, j]) > total
+    )
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert ahash_bits(gm, 8, 8) == want
