@@ -972,6 +972,17 @@ def image_neardup_pairs(
     fps = image_dhash(df, payload_col, id_col, hash_w, hash_h).filter(
         F.col("dhash").isNotNull()
     )
+    # Both self-join sides consume fps — without a materialization the
+    # Python DECODE subplan evaluates twice (the size-gated
+    # localCheckpoint house pattern; the checkpointed relation is
+    # (id, hash), 16 B/row, never payloads). Gate on the INPUT
+    # estimate: payload relations outgrow the gate long before the
+    # hash relation matters, and above it a 100 TB deployment should
+    # persist hashes to a table instead.
+    from real_time_data_anomaly_detection_spark.plans.inspect import plan_size_bytes
+
+    if plan_size_bytes(df) <= 1 << 30:
+        fps = fps.localCheckpoint(eager=True)
     chunk = lambda i: F.shiftright(F.col("dhash"), i * bw).bitwiseAND(  # noqa: E731
         F.lit(mask)
     )
