@@ -202,6 +202,7 @@ def main() -> None:
         "q_category_drift",
         "q_peaks_over_threshold",
         "q_image_ahash_md5",
+        "q_doc_novelty",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s

@@ -16,7 +16,7 @@ DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_data_anomaly_detection_spark.io import load_table
@@ -1641,3 +1641,83 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rep.orderBy("tbl", "check_name")
+
+
+def doc_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    n-token shingles that are FIRST INTRODUCED by this doc under the
+    min-id attribution (the same survivor rule as exact/near dedup) —
+    the curation signal that separates fresh content from remixes of
+    the corpus (low novelty ≈ boilerplate / near-dup tail even when
+    no single pair crosses a dedup threshold).
+
+    Shuffle discipline: shingles hash to md5 digests before the
+    first-occurrence window — text never enters an exchange — then
+    one digest-keyed window pass and one doc-keyed aggregation.
+    ``novelty_ppm`` publishes via exact integer floor division of
+    engine-identical BIGINTs (both engines floor for non-negative
+    operands)."""
+    from real_time_data_anomaly_detection_spark.operators.dedup import shingles
+
+    sh = shingles(df, text_col, id_col, n).select(
+        id_col, F.md5("shingle").alias("_dig")
+    )
+    w = Window.partitionBy("_dig")
+    firsts = sh.withColumn("_fd", F.min(id_col).over(w))
+    return (
+        firsts.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("_fd") == F.col(id_col), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.expr("(n_novel * 1000000) div n_shingles")
+            .cast("bigint")
+            .alias("novelty_ppm"),
+        )
+        .orderBy(id_col)
+    )
+
+
+@query(
+    "q_doc_novelty",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3),
+        s AS (
+            SELECT DISTINCT doc_id,
+                   md5(array_to_string(w[i+1:i+3], ' ')) AS dig
+            FROM t, UNNEST(generate_series(0, len(w) - 3)) AS g(i)),
+        f AS (
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY dig) AS fd
+            FROM s)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)
+                    * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+        FROM f GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram novelty profile of the documents corpus under min-id
+    first-occurrence attribution: per doc, its distinct shingle
+    count, how many it introduced, and the novelty fraction in exact
+    integer ppm. Exact duplicates of earlier docs score 0; the
+    corpus's planted near-dup tail shows up as the low-ppm band."""
+    d = load_table(spark, sf_dir, "documents")
+    return doc_novelty(d, "text", "doc_id", 3)

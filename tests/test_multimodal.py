@@ -889,3 +889,35 @@ def test_ahash_matches_numpy_reference():
     if want >= 1 << 63:
         want -= 1 << 64
     assert ahash_bits(gm, 8, 8) == want
+
+
+def test_perceptual_hashes_brightness_invariant():
+    """Property (hypothesis): both perceptual hashes are invariant
+    under a global brightness shift — dHash compares adjacent block
+    means (the shift cancels in the inequality), aHash compares each
+    block mean to the grid mean (cells·(m+c) > T+cells·c ⟺
+    cells·m > T). Exactness of the integer algebra makes this a hard
+    equality, not an approximation."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        ahash_bits,
+        dhash_bits,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        shift=st.integers(-50_000, 50_000),
+        h=st.integers(8, 24),
+        w=st.integers(9, 24),
+    )
+    def prop(seed, shift, h, w):
+        rng = np.random.RandomState(seed)
+        gm = rng.randint(0, 255_001, size=(h, w)).astype(np.int64)
+        assert dhash_bits(gm + shift, 8, 8) == dhash_bits(gm, 8, 8)
+        assert ahash_bits(gm + shift, 8, 8) == ahash_bits(gm, 8, 8)
+
+    prop()
