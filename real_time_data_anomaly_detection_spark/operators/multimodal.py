@@ -998,6 +998,43 @@ def image_ahash(
     return df.select(id_col, payload_col).mapInPandas(_hash, schema)
 
 
+def _band_fps(
+    fps: DataFrame, id_col: str, nbits: int, n_bands: int
+) -> DataFrame:
+    """(id, dhash) → exploded band rows (id, dhash, band, key, bk):
+    the hash splits into ``n_bands`` equal chunks; ``bk`` packs
+    (band, key) into ONE bigint (band·2^bw + key) so band-bucket
+    equi-joins ride a single key and a PERSISTED index can sort by it
+    for parquet row-group pruning. shiftright is arithmetic but the
+    mask strips the sign extension, so keys are always in [0, 2^bw)."""
+    if nbits % n_bands:
+        raise ValueError("n_bands must divide hash_w*hash_h")
+    bw = nbits // n_bands
+    mask = (1 << bw) - 1
+    chunk = lambda i: F.shiftright(F.col("dhash"), i * bw).bitwiseAND(  # noqa: E731
+        F.lit(mask)
+    )
+    return fps.select(
+        id_col,
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), chunk(i).alias("key"))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk_s"),
+    ).select(
+        id_col,
+        "dhash",
+        "bk_s.band",
+        "bk_s.key",
+        (F.col("bk_s.band").cast("bigint") * F.lit(mask + 1).cast("bigint")
+         + F.col("bk_s.key").cast("bigint")).alias("bk"),
+    )
+
+
 def _default_bands(nbits: int, max_hamming: int) -> int:
     """Smallest divisor of ``nbits`` strictly greater than
     ``max_hamming`` — the narrowest banding that is still LOSSLESS by
@@ -1045,8 +1082,6 @@ def image_neardup_pairs(
             f">= {n_bands} may be missed",
             stacklevel=2,
         )
-    bw = nbits // n_bands
-    mask = (1 << bw) - 1
     fps = image_dhash(df, payload_col, id_col, hash_w, hash_h).filter(
         F.col("dhash").isNotNull()
     )
@@ -1061,35 +1096,225 @@ def image_neardup_pairs(
 
     if plan_size_bytes(df) <= 1 << 30:
         fps = fps.localCheckpoint(eager=True)
-    chunk = lambda i: F.shiftright(F.col("dhash"), i * bw).bitwiseAND(  # noqa: E731
-        F.lit(mask)
-    )
-    banded = fps.select(
-        id_col,
-        "dhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), chunk(i).alias("key"))
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "dhash", "bk.band", "bk.key")
+    banded = _band_fps(fps, id_col, nbits, n_bands)
     a = banded.select(
-        F.col(id_col).alias("img_a"), F.col("dhash").alias("h_a"), "band", "key"
+        F.col(id_col).alias("img_a"), F.col("dhash").alias("h_a"), "bk"
     )
     b = banded.select(
-        F.col(id_col).alias("img_b"), F.col("dhash").alias("h_b"), "band", "key"
+        F.col(id_col).alias("img_b"), F.col("dhash").alias("h_b"), "bk"
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
-        a.join(b, ["band", "key"])
+        a.join(b, "bk")
         .filter(F.col("img_a") < F.col("img_b"))
         .select("img_a", "img_b", hamming.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted + streaming image-hash index (round-10): the multimodal analog of
+# the text MinHash persisted/incremental/streaming index family — build once,
+# match new image batches incrementally, and gate a continuous image crawl in
+# streaming/ingest.image_ingest_stream against everything ever seen.
+# ---------------------------------------------------------------------------
+
+
+def image_band_rows(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    hash_w: int = 8,
+    hash_h: int = 8,
+    n_bands: int | None = None,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """The banded fingerprint relation a persisted image index stores:
+    (id, dhash, band, key, bk) per DECODABLE image — undecodable/torn
+    payloads contribute no rows (they can never match anything).
+    ``n_bands=None`` resolves like image_neardup_pairs (smallest
+    divisor of the hash width above ``max_hamming`` — lossless)."""
+    nbits = hash_w * hash_h
+    if n_bands is None:
+        n_bands = _default_bands(nbits, max_hamming)
+    fps = image_dhash(df, payload_col, id_col, hash_w, hash_h).filter(
+        F.col("dhash").isNotNull()
+    )
+    return _band_fps(fps, id_col, nbits, n_bands)
+
+
+def build_image_index(
+    images: DataFrame,
+    index_path: str,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    hash_w: int = 8,
+    hash_h: int = 8,
+    n_bands: int | None = None,
+    max_hamming: int = 3,
+    num_files: int = 8,
+) -> None:
+    """Seed the persisted image-hash index: ONE decode pass over the
+    corpus writes the banded fingerprint relation to
+    ``index_path``/seed, range-partitioned and sorted by ``bk`` so an
+    incremental match's bk IN-list prunes parquet row groups instead
+    of scanning every indexed hash. The layout (seed + delta/batch=k
+    + gen=<upto>) is the streaming/ingest.py one — the same
+    _index_paths resolution and compact_ingest_index fold apply
+    unchanged (compaction is schema-agnostic), so a continuously
+    crawled image corpus gets the identical exactly-once and
+    small-files story as the text ingest gate.
+
+    Scale shape: the index holds ~(8 + 8 + 2·4 + 8) bytes × n_bands
+    per image — hashes and band keys only, never pixels; rebuilds are
+    one map-only decode pass."""
+    rows = image_band_rows(
+        images, payload_col, id_col, hash_w, hash_h, n_bands, max_hamming
+    )
+    rows.repartitionByRange(num_files, "bk").sortWithinPartitions(
+        "bk"
+    ).write.mode("overwrite").parquet(f"{index_path}/seed")
+
+
+def image_index_match(
+    index_bands: DataFrame,
+    batch_images: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    n_bands: int | None = None,
+    broadcast_batch: bool | None = None,
+    max_broadcast_bytes: int = 64 << 20,
+    prune_keys_max: int = 100_000,
+) -> DataFrame:
+    """Match a NEW image batch against a persisted index: pairs
+    (idx_id, new_id, hamming ≤ max_hamming). The batch decodes once
+    (size-gated localCheckpoint on the 16 B/row hash relation), its
+    band rows broadcast to the index side (size-gated like
+    ingest_dedup's valve — above the gate it degrades to a shuffle
+    join), and when the batch holds ≤ ``prune_keys_max`` distinct band
+    keys they are pushed as a bk IN-list into the index scan — the
+    two-hop-keys trick: because build_image_index sorted by bk,
+    parquet row-group stats skip everything the batch can't touch, so
+    per-trigger cost scales with the BATCH, not the corpus."""
+    from real_time_data_anomaly_detection_spark.plans.inspect import plan_size_bytes
+
+    nbits = hash_w * hash_h
+    if n_bands is None:
+        n_bands = _default_bands(nbits, max_hamming)
+    if broadcast_batch is None:
+        broadcast_batch = plan_size_bytes(batch_images) <= max_broadcast_bytes
+    fps = image_dhash(batch_images, payload_col, id_col, hash_w, hash_h).filter(
+        F.col("dhash").isNotNull()
+    )
+    if plan_size_bytes(batch_images) <= 1 << 30:
+        fps = fps.localCheckpoint(eager=True)
+    b = _band_fps(fps, id_col, nbits, n_bands).select(
+        F.col(id_col).alias("new_id"), F.col("dhash").alias("h_new"), "bk"
+    )
+    idx = index_bands.select(
+        F.col(id_col).alias("idx_id"), F.col("dhash").alias("h_idx"), "bk"
+    )
+    keys = [
+        r.bk
+        for r in b.select("bk").distinct().limit(prune_keys_max + 1).collect()
+    ]
+    if len(keys) <= prune_keys_max:
+        idx = idx.filter(F.col("bk").isin(keys))
+    right = F.broadcast(b) if broadcast_batch else b
+    hamming = F.bit_count(F.col("h_idx").bitwiseXOR(F.col("h_new")))
+    return (
+        idx.join(right, "bk")
+        .select("idx_id", "new_id", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def image_neardup_admit(
+    index_bands: DataFrame,
+    batch_images: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    n_bands: int | None = None,
+    broadcast_batch: bool | None = None,
+    max_broadcast_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Admission decision for a new image batch against everything
+    SEEN so far: admit exactly the images with (1) no indexed
+    near-dup within ``max_hamming`` and (2) no SMALLER-ID batch
+    neighbor — first-arrival wins intra-batch. Returns (id, dhash)
+    (dhash null for undecodable payloads, which are admitted: no
+    evidence of duplication, and the crawl keeps the bytes for a
+    later decoder).
+
+    The seen-keys contract that makes the streaming fold equal the
+    one-shot batch (Hamming similarity is NOT transitive, so this is
+    deliberate): the index remembers EVERY image ever presented —
+    admitted or rejected (image_ingest_stream appends all batch band
+    rows, not just admitted ones). Under id-ordered arrival,
+    "matches an earlier batch's image" and "matches a smaller-id
+    same-batch image" then compose to exactly "matches ANY
+    smaller-id image or the seed" — the one-shot rule — pinned in
+    tests/test_streaming.py::test_image_ingest_stream_equals_batch."""
+    nbits = hash_w * hash_h
+    if n_bands is None:
+        n_bands = _default_bands(nbits, max_hamming)
+    all_fps = image_dhash(batch_images, payload_col, id_col, hash_w, hash_h)
+    from real_time_data_anomaly_detection_spark.plans.inspect import plan_size_bytes
+
+    if broadcast_batch is None:
+        # the ingest_dedup valve: micro-batches broadcast (the index
+        # side never shuffles); a backfill-sized batch degrades to a
+        # shuffle join instead of an executor-OOM broadcast
+        broadcast_batch = plan_size_bytes(batch_images) <= max_broadcast_bytes
+    if plan_size_bytes(batch_images) <= 1 << 30:
+        all_fps = all_fps.localCheckpoint(eager=True)
+    fps = all_fps.filter(F.col("dhash").isNotNull())
+    banded = _band_fps(fps, id_col, nbits, n_bands)
+    maybe_bc = F.broadcast if broadcast_batch else (lambda x: x)
+    idx = index_bands.select(
+        F.col("dhash").alias("h_idx"), "bk"
+    )
+    hit_idx = (
+        idx.join(
+            maybe_bc(
+                banded.select(
+                    F.col(id_col).alias("_nid"), F.col("dhash").alias("h_new"), "bk"
+                )
+            ),
+            "bk",
+        )
+        .filter(
+            F.bit_count(F.col("h_idx").bitwiseXOR(F.col("h_new")))
+            <= max_hamming
+        )
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+    a = banded.select(
+        F.col(id_col).alias("_ida"), F.col("dhash").alias("h_a"), "bk"
+    )
+    bside = banded.select(
+        F.col(id_col).alias("_idb"), F.col("dhash").alias("h_b"), "bk"
+    )
+    hit_intra = (
+        a.join(bside, "bk")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    rejected = hit_idx.unionByName(hit_intra).distinct()
+    return all_fps.join(rejected, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -1143,9 +1368,10 @@ def _synth_doc_images(d: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "q_image_neardup_md5",
-    oracle=f"""
+# Shared DuckDB replay of the synthetic-image decode + dHash + banding
+# (pixel bytes from _IMG_HX_SQL → integer luma → adjacent comparisons →
+# 56-bit pack → 4×14-bit bands) — the CTE prefix of every image md5 twin.
+_IMG_DHASH_CTES = f"""
         WITH base AS (
             SELECT doc_id,
                    (doc_id % 5) * 24 AS p0,
@@ -1171,7 +1397,12 @@ def _synth_doc_images(d: DataFrame) -> DataFrame:
             FROM bits GROUP BY 1),
         banded AS (
             SELECT doc_id, dh, k, (dh >> (k * 14)) & 16383 AS key
-            FROM h, UNNEST(generate_series(0, 3)) AS t(k)),
+            FROM h, UNNEST(generate_series(0, 3)) AS t(k))"""
+
+
+@query(
+    "q_image_neardup_md5",
+    oracle=f"""{_IMG_DHASH_CTES},
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    a.dh AS ha, b.dh AS hb
@@ -1405,3 +1636,118 @@ def q_image_ahash_md5(spark, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("ahash").cast("bigint").alias("ahash"))
         .orderBy("doc_id")
     )
+
+
+def _image_index_path(sf_dir: str) -> str:
+    """Session-cache image-index dir keyed by the documents corpus
+    fingerprint (the curation._text_index_path staleness contract)."""
+    import hashlib as _hl
+    import os
+
+    root = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    hsh = _hl.md5(("imgidx:" + root).encode())
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            st = os.stat(os.path.join(root, name))
+            hsh.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(root):
+        st = os.stat(root)
+        hsh.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return f"/tmp/spark_graft_imgidx_{hsh.hexdigest()[:16]}"
+
+
+def _img_index_seed(spark, sf_dir: str) -> tuple[str, DataFrame]:
+    """Build-once-per-(corpus, session) persisted image index over the
+    CORPUS half of the synthetic images (doc_id % 10 ∈ {0, 1} — so
+    every even base-image quintuple has 2 corpus + 3 batch members and
+    every odd quintuple is batch-only, exercising both the index-hit
+    and the intra-batch paths), and the BATCH half as a DataFrame."""
+    import os
+
+    d = load_table(spark, sf_dir, "documents")
+    img = _synth_doc_images(d)
+    corpus = img.filter(F.col("doc_id") % 10 <= 1)
+    batch = img.filter(F.col("doc_id") % 10 >= 2)
+    path = _image_index_path(sf_dir)
+    if not os.path.exists(path + "/seed/_SUCCESS"):
+        build_image_index(
+            corpus, path, "payload", "doc_id", hash_w=8, hash_h=7, n_bands=4
+        )
+    return path, batch
+
+
+@query(
+    "q_image_index_md5",
+    oracle=f"""{_IMG_DHASH_CTES}
+        SELECT DISTINCT a.doc_id AS corpus_doc, b.doc_id AS batch_doc,
+               CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hamming
+        FROM banded a JOIN banded b ON a.k = b.k AND a.key = b.key
+        WHERE a.doc_id % 10 <= 1 AND b.doc_id % 10 >= 2
+          AND bit_count(xor(a.dh, b.dh)) <= 3
+        ORDER BY corpus_doc, batch_doc
+    """,
+)
+def q_image_index_md5(spark, sf_dir: str) -> DataFrame:
+    """Incremental image near-dup through the PERSISTED index
+    (round-10): the corpus half of the synthetic 9×7 PPMs is indexed
+    ONCE (build_image_index — banded dHash rows sorted by bk under
+    /tmp, the q_index_phrase_search build-once discipline), then the
+    batch half matches against the index read back from parquet
+    (image_index_match: batch decodes once, bk IN-list prunes index
+    row groups, batch side broadcasts). The oracle replays decode +
+    dHash + banding in DuckDB and joins the two halves directly — a
+    hash-match proves the PERSISTED path returns exactly what the
+    inline pair search would, the index == inline discipline."""
+    path, batch = _img_index_seed(spark, sf_dir)
+    idx = spark.read.parquet(f"{path}/seed")
+    pairs = image_index_match(
+        idx, batch, "payload", "doc_id", max_hamming=3, hash_w=8, hash_h=7,
+        n_bands=4,
+    )
+    return pairs.select(
+        F.col("idx_id").alias("corpus_doc"),
+        F.col("new_id").alias("batch_doc"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    ).orderBy("corpus_doc", "batch_doc")
+
+
+@query(
+    "q_image_ingest_admit_md5",
+    oracle=f"""{_IMG_DHASH_CTES}
+        SELECT b.doc_id, b.dh AS dhash
+        FROM h b
+        WHERE b.doc_id % 10 >= 2
+          AND NOT EXISTS (
+            SELECT 1 FROM banded x JOIN banded y
+                ON x.k = y.k AND x.key = y.key
+            WHERE y.doc_id = b.doc_id AND x.doc_id % 10 <= 1
+              AND bit_count(xor(x.dh, y.dh)) <= 3)
+          AND NOT EXISTS (
+            SELECT 1 FROM banded x JOIN banded y
+                ON x.k = y.k AND x.key = y.key
+            WHERE y.doc_id = b.doc_id AND x.doc_id % 10 >= 2
+              AND x.doc_id < b.doc_id
+              AND bit_count(xor(x.dh, y.dh)) <= 3)
+        ORDER BY doc_id
+    """,
+)
+def q_image_ingest_admit_md5(spark, sf_dir: str) -> DataFrame:
+    """The image-crawl ADMISSION decision, oracle-checked end-to-end
+    (round-10): admit exactly the batch images with no indexed
+    near-dup (Hamming ≤ 3 to the corpus half) and no smaller-id batch
+    neighbor — image_neardup_admit's seen-keys contract, the decision
+    image_ingest_stream applies per micro-batch. Even base-image
+    quintuples have corpus members, so their batch images are all
+    rejected via the index; odd quintuples are batch-only, so exactly
+    their min-id member survives the intra-batch rule — both paths
+    exercised at every SF. The oracle replays the full decode → dHash
+    → banding → double NOT EXISTS in DuckDB."""
+    path, batch = _img_index_seed(spark, sf_dir)
+    idx = spark.read.parquet(f"{path}/seed")
+    admitted = image_neardup_admit(
+        idx, batch, "payload", "doc_id", max_hamming=3, hash_w=8, hash_h=7,
+        n_bands=4,
+    )
+    return admitted.select(
+        "doc_id", F.col("dhash").cast("bigint").alias("dhash")
+    ).orderBy("doc_id")

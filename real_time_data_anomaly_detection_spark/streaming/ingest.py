@@ -222,3 +222,80 @@ def ingest_stream(
     if checkpoint_path is not None:
         writer = writer.option("checkpointLocation", checkpoint_path)
     return writer.start()
+
+
+def image_ingest_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    out_path: str,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    n_bands: int | None = None,
+    trigger: dict | None = None,
+    checkpoint_path: str | None = None,
+):
+    """The image-crawl twin of :func:`ingest_stream` (round-10): per
+    micro-batch, admit only images with no near-dup (dHash Hamming ≤
+    ``max_hamming``) among everything SEEN so far — the seed index
+    (operators/multimodal.build_image_index) plus every earlier
+    batch — with first-arrival (min-id) winning intra-batch; write
+    admitted payload rows to ``out_path``/batch=<id> and the batch's
+    banded hash rows to ``index_path``/delta/batch=<id>.
+
+    The delta holds ALL the batch's band rows, admitted or not — the
+    seen-keys contract: Hamming similarity is not transitive, so
+    remembering only admitted images would let a near-dup of a
+    REJECTED image slip in later; remembering everything seen makes
+    the sequential fold equal the one-shot batch admit under
+    id-ordered arrival (multimodal.image_neardup_admit docstring;
+    pinned in tests/test_streaming.py).
+
+    Same exactly-once discipline as ingest_stream: per-batch overwrite
+    dirs, batch k reads only deltas < k, a durable ``checkpoint_path``
+    keeps batch ids stable across restarts, and compact_ingest_index
+    folds old deltas (the layout and resolver are shared — compaction
+    is schema-agnostic). Per-trigger cost: index side is hash/band
+    rows only (pixels never enter a join or the index), the batch
+    decodes once and broadcasts."""
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        image_band_rows,
+        image_neardup_admit,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = spark.read.parquet(*_index_paths(index_path, batch_id))
+        admitted = image_neardup_admit(
+            idx,
+            batch_df,
+            payload_col,
+            id_col,
+            max_hamming=max_hamming,
+            hash_w=hash_w,
+            hash_h=hash_h,
+            n_bands=n_bands,
+        )
+        batch_df.join(admitted.select(id_col), id_col).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/batch={batch_id}")
+        image_band_rows(
+            batch_df,
+            payload_col,
+            id_col,
+            hash_w,
+            hash_h,
+            n_bands,
+            max_hamming,
+        ).write.mode("overwrite").parquet(
+            f"{index_path}/delta/batch={batch_id}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_process).trigger(
+        **(trigger or {"processingTime": "1 second"})
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

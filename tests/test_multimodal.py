@@ -1076,3 +1076,52 @@ def test_image_neardup_default_bands_lossless(spark):
         warnings.simplefilter("always")
         image_neardup_pairs(df, max_hamming=6)  # default: 8 bands, no warn
         assert not any("lossless" in str(x.message) for x in w)
+
+
+def test_image_index_match_equals_inline_pairs(spark, tmp_path_factory):
+    """Round-10: the PERSISTED image index path returns exactly the
+    inline pair search's cross pairs — build_image_index over a corpus
+    half, image_index_match of the batch half, compared against
+    image_neardup_pairs on the union restricted to (corpus, batch)
+    pairs (the q_index_phrase_search index==inline discipline)."""
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        build_image_index,
+        image_index_match,
+        image_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    w, h = 36, 24
+    rows = []
+    for b in range(12):
+        rgb = rng.randint(0, 256, size=(h * w * 3,), dtype=np.int64)
+        for k in range(3):  # 3 siblings per base: a few perturbed pixels
+            pert = rgb.copy()
+            if k:
+                idx = rng.choice(h * w * 3, size=4, replace=False)
+                pert[idx] = np.minimum(pert[idx] + 8, 255)
+            rows.append((b * 10 + k, _ppm(w, h, pert.astype(np.uint8).tolist())))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    corpus = df.filter(F.col("media_id") % 10 == 0)
+    batch = df.filter(F.col("media_id") % 10 != 0)
+
+    path = str(tmp_path_factory.mktemp("imgidx"))
+    build_image_index(corpus, path, max_hamming=6)
+    idx = spark.read.parquet(f"{path}/seed")
+    got = {
+        (r.idx_id, r.new_id, r.hamming)
+        for r in image_index_match(idx, batch, max_hamming=6).collect()
+    }
+    corpus_ids = {r.media_id for r in corpus.select("media_id").collect()}
+    want = {
+        (r.img_a, r.img_b, r.hamming)
+        for r in image_neardup_pairs(df, max_hamming=6).collect()
+        if (r.img_a in corpus_ids) != (r.img_b in corpus_ids)
+    }
+    # inline pairs are (min, max); index pairs are (corpus, batch)
+    want = {
+        (a, b, hm) if a in corpus_ids else (b, a, hm) for a, b, hm in want
+    }
+    assert got == want and len(got) > 0

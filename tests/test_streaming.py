@@ -935,6 +935,112 @@ def test_ingest_compaction_preserves_replay(spark, tmp_path_factory):
     assert replayed == persisted
 
 
+def test_image_ingest_stream_equals_batch(spark, tmp_path_factory):
+    """Round-10: the streaming image-crawl gate (foreachBatch dHash
+    admission against the persisted band index) admits EXACTLY what
+    the one-shot batch image_neardup_admit admits over the same
+    images, with a compaction firing mid-stream (schema-agnostic
+    generation fold over the image index) and a durable-checkpoint
+    restart in between. Also pins the seen-keys contract: deltas hold
+    ALL batch band rows, admitted or not."""
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _synth_doc_images,
+        build_image_index,
+        image_band_rows,
+        image_neardup_admit,
+    )
+    from real_time_data_anomaly_detection_spark.streaming.ingest import (
+        _index_paths,
+        compact_ingest_index,
+        image_ingest_stream,
+    )
+
+    root = tmp_path_factory.mktemp("image_ingest")
+    feed = str(root / "feed")
+    index = str(root / "index")
+    out = str(root / "out")
+    ckpt = str(root / "ckpt")
+    os.makedirs(feed)
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    img = _synth_doc_images(d)
+    corpus = img.filter(F.col("doc_id") % 10 <= 1)
+    new_imgs = img.filter(F.col("doc_id") % 10 >= 2)
+    build_image_index(
+        corpus, index, "payload", "doc_id", hash_w=8, hash_h=7, n_bands=4
+    )
+
+    pdf = new_imgs.orderBy("doc_id").toPandas()
+    pdf["payload"] = pdf["payload"].map(bytes)
+    cuts = [0, len(pdf) // 3, 2 * len(pdf) // 3, len(pdf)]
+
+    def _write_slice(i: int) -> None:
+        f = os.path.join(feed, f"part-{i:02d}.parquet")
+        pdf.iloc[cuts[i]:cuts[i + 1]].to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def _run() -> None:
+        stream_df = file_replay_source(
+            spark, feed, spark.read.parquet(feed).schema
+        )
+        q = image_ingest_stream(
+            stream_df,
+            index,
+            out,
+            payload_col="payload",
+            id_col="doc_id",
+            max_hamming=3,
+            hash_w=8,
+            hash_h=7,
+            n_bands=4,
+            trigger={"availableNow": True},
+            checkpoint_path=ckpt,
+        )
+        q.awaitTermination(180)
+
+    _write_slice(0)
+    _write_slice(1)
+    _run()
+
+    # seen-keys contract: batch 0's delta holds EVERY image's band rows
+    n_b0 = cuts[1] - cuts[0]
+    delta0 = spark.read.parquet(f"{index}/delta/batch=0")
+    assert delta0.count() == 4 * n_b0
+    assert set(delta0.columns) == {"doc_id", "dhash", "band", "key", "bk"}
+
+    compact_ingest_index(spark, index, upto_batch=2)
+    assert _index_paths(index, 2) == [f"{index}/gen=2"]
+
+    _write_slice(2)
+    _run()  # restart under the durable checkpoint → batch 2
+
+    assert _index_paths(index, 3) == [
+        f"{index}/gen=2",
+        f"{index}/delta/batch=2",
+    ]
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    want = sorted(
+        r.doc_id
+        for r in image_neardup_admit(
+            image_band_rows(
+                corpus, "payload", "doc_id", hash_w=8, hash_h=7, n_bands=4
+            ),
+            new_imgs,
+            "payload",
+            "doc_id",
+            max_hamming=3,
+            hash_w=8,
+            hash_h=7,
+            n_bands=4,
+        ).collect()
+    )
+    assert got == want
+    assert 0 < len(want) < len(pdf)  # some admitted, some rejected
+
+
 def test_category_drift_stream_equals_batch(spark, tmp_path_factory):
     """Streaming chi-square drift (single-key bounded-category count
     fold) is BIT-equal to batch q_category_drift at the final trigger
