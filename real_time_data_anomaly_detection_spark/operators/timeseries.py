@@ -1068,3 +1068,234 @@ def q_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Numeric-feature drift: population stability index (round-10 — the numeric
+# sibling of q_category_drift's categorical chi-square).
+# ---------------------------------------------------------------------------
+
+
+def psi_bucket_edges(
+    ref: DataFrame,
+    key_col: str,
+    value_col: str,
+    rid_col: str,
+    quantiles: tuple[int, ...] = (20, 40, 60, 80),
+) -> DataFrame:
+    """Per-key PSI bucket edges: the EXACT reference-window quantiles
+    at ``quantiles`` via :func:`exact_group_quantile` (two-level rank
+    selection — no whole-group single-task sort), joined into one
+    (key, e0..e{n-1}) row per key. Edges are exact integers of the
+    (value, rid) total order, so bucket assignment — and therefore
+    the whole PSI report — is engine-replayable."""
+    from functools import reduce
+
+    frames = [
+        exact_group_quantile(ref, key_col, value_col, rid_col, q).select(
+            key_col, F.col("q_value").alias(f"e{i}")
+        )
+        for i, q in enumerate(quantiles)
+    ]
+    return reduce(lambda a, b: a.join(b, key_col), frames)
+
+
+def _psi_bucket(value_col: str, n_edges: int):
+    """Bucket id = number of edges strictly below the value (ties go
+    LEFT) — pure integer comparisons against the broadcast edge row."""
+    b = F.lit(0)
+    for i in range(n_edges):
+        b = b + F.when(F.col(value_col) > F.col(f"e{i}"), 1).otherwise(0)
+    return b
+
+
+def _psi_counts(
+    df: DataFrame,
+    edges: DataFrame,
+    key_col: str,
+    value_col: str,
+    flag_col: str,
+    n_edges: int,
+) -> DataFrame:
+    """Grid-complete per-(key, bucket) window counts (o1 = reference
+    rows, o2 = current rows): ONE pass over df (broadcast edge join +
+    partial-aggregable groupBy), then a left join against the full
+    key × bucket grid so empty buckets surface as explicit zeros (the
+    Laplace smoothing needs them)."""
+    nb = n_edges + 1
+    b = df.join(F.broadcast(edges), key_col).select(
+        key_col, flag_col, _psi_bucket(value_col, n_edges).alias("_bk")
+    )
+    g = b.groupBy(key_col, "_bk").agg(
+        F.sum(F.when(F.col(flag_col), 1).otherwise(0))
+        .cast("bigint")
+        .alias("o1"),
+        F.sum(F.when(F.col(flag_col), 0).otherwise(1))
+        .cast("bigint")
+        .alias("o2"),
+    )
+    grid = edges.select(
+        key_col, F.explode(F.expr(f"sequence(0, {nb - 1})")).alias("_bk")
+    )
+    return grid.join(g, [key_col, "_bk"], "left").select(
+        key_col,
+        "_bk",
+        F.coalesce("o1", F.lit(0)).cast("bigint").alias("o1"),
+        F.coalesce("o2", F.lit(0)).cast("bigint").alias("o2"),
+    )
+
+
+def psi_term_u(nb: int):
+    """The PINNED per-bucket PSI term, published as
+    floor(term · 2^20) BIGINT: with Laplace-smoothed counts
+    cp = o2+1, rp = o1+1 and totals CB = cur+nb, RB = ref+nb,
+
+        term = (cp/CB − rp/RB) · ln((cp/rp) · (RB/CB))
+
+    Every non-ln op is a correctly-rounded double ×/−// over
+    engine-identical BIGINTs with IDENTICAL parenthesization in the
+    DuckDB oracle (the q_category_drift pinned-chain discipline);
+    the ratio is factored as (cp/rp)·(RB/CB) so no intermediate
+    integer product can overflow at any corpus size. Per-bucket terms
+    floor to integers BEFORE the per-key sum, so the published PSI is
+    an order-independent BIGINT sum — no double-summation-order
+    divergence. ln is the one op without a correctly-rounded
+    guarantee; a last-ulp difference survives the floor only within
+    ~2^-32 of a boundary (verified bit-equal at three SFs)."""
+    cp = (F.col("o2") + 1).cast("double")
+    rp = (F.col("o1") + 1).cast("double")
+    cb = (F.col("_cn") + nb).cast("double")
+    rb = (F.col("_rn") + nb).cast("double")
+    term = (cp / cb - rp / rb) * F.log((cp / rp) * (rb / cb))
+    return F.floor(term * F.lit(1048576.0)).cast("bigint")
+
+
+def psi_drift(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    rid_col: str,
+    flag_col: str,
+    quantiles: tuple[int, ...] = (20, 40, 60, 80),
+) -> DataFrame:
+    """Population-stability-index drift report per key: bucket the
+    CURRENT window (flag false) against the REFERENCE window's
+    (flag true) exact quantile edges and publish
+    (key, ref_n, cur_n, psi_u) where psi_u = Σ_buckets
+    floor(term · 2^20) — integer end-state, order-independent,
+    oracle-replayable (q_psi_drift). PSI ≈ psi_u / 2^20; the standard
+    alert thresholds 0.1 / 0.25 are ~104 858 / ~262 144 psi_u.
+
+    Keys with no reference rows have no edges and are excluded (a
+    baseline-less feature has no PSI). Scale shape: 4 counts-sized
+    quantile selections over the reference window + ONE bucketing
+    pass over df (broadcast edges, partial-aggregable counts) + grid
+    arithmetic on |keys|·buckets rows — nothing event-sized moves
+    after the scan."""
+    n_edges = len(quantiles)
+    ref = df.filter(F.col(flag_col))
+    edges = psi_bucket_edges(ref, key_col, value_col, rid_col, quantiles)
+    gf = _psi_counts(df, edges, key_col, value_col, flag_col, n_edges)
+    tt = gf.groupBy(key_col).agg(
+        F.sum("o1").cast("bigint").alias("_rn"),
+        F.sum("o2").cast("bigint").alias("_cn"),
+    )
+    nb = n_edges + 1
+    per_bucket = gf.join(F.broadcast(tt), key_col).select(
+        key_col, "_rn", "_cn", psi_term_u(nb).alias("_tu")
+    )
+    return per_bucket.groupBy(key_col).agg(
+        F.min("_rn").alias("ref_n"),
+        F.min("_cn").alias("cur_n"),
+        F.sum("_tu").cast("bigint").alias("psi_u"),
+    )
+
+
+@query(
+    "q_psi_drift",
+    oracle="""
+        WITH v AS (
+            SELECT event_type, event_id AS rid,
+                   CAST(round(value * 1000000) AS BIGINT) AS xm,
+                   (hour(ts) < 12) AS w1
+            FROM events),
+        r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY xm, rid) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM v WHERE w1),
+        e AS (
+            SELECT event_type,
+                   max(CASE WHEN rn - 1 = (20 * (n - 1)) // 100
+                       THEN xm END) AS e0,
+                   max(CASE WHEN rn - 1 = (40 * (n - 1)) // 100
+                       THEN xm END) AS e1,
+                   max(CASE WHEN rn - 1 = (60 * (n - 1)) // 100
+                       THEN xm END) AS e2,
+                   max(CASE WHEN rn - 1 = (80 * (n - 1)) // 100
+                       THEN xm END) AS e3
+            FROM r GROUP BY 1),
+        b AS (
+            SELECT v.event_type, v.w1,
+                   (CASE WHEN v.xm > e0 THEN 1 ELSE 0 END
+                  + CASE WHEN v.xm > e1 THEN 1 ELSE 0 END
+                  + CASE WHEN v.xm > e2 THEN 1 ELSE 0 END
+                  + CASE WHEN v.xm > e3 THEN 1 ELSE 0 END) AS bk
+            FROM v JOIN e USING (event_type)),
+        g AS (
+            SELECT event_type, bk,
+                   CAST(sum(CASE WHEN w1 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+                   CAST(sum(CASE WHEN w1 THEN 0 ELSE 1 END) AS BIGINT) AS o2
+            FROM b GROUP BY 1, 2),
+        grid AS (
+            SELECT event_type, t.bk
+            FROM e, UNNEST(generate_series(0, 4)) AS t(bk)),
+        gf AS (
+            SELECT grid.event_type, grid.bk,
+                   COALESCE(o1, 0) AS o1, COALESCE(o2, 0) AS o2
+            FROM grid LEFT JOIN g
+              ON grid.event_type = g.event_type AND grid.bk = g.bk),
+        tt AS (
+            SELECT event_type,
+                   CAST(sum(o1) AS BIGINT) AS rn_,
+                   CAST(sum(o2) AS BIGINT) AS cn_
+            FROM gf GROUP BY 1),
+        term AS (
+            SELECT gf.event_type, rn_, cn_,
+                   CAST(floor(
+                       (CAST(o2 + 1 AS DOUBLE) / CAST(cn_ + 5 AS DOUBLE)
+                        - CAST(o1 + 1 AS DOUBLE) / CAST(rn_ + 5 AS DOUBLE))
+                       * ln((CAST(o2 + 1 AS DOUBLE)
+                             / CAST(o1 + 1 AS DOUBLE))
+                            * (CAST(rn_ + 5 AS DOUBLE)
+                               / CAST(cn_ + 5 AS DOUBLE)))
+                       * 1048576.0) AS BIGINT) AS tu
+            FROM gf JOIN tt USING (event_type))
+        SELECT event_type,
+               CAST(min(rn_) AS BIGINT) AS ref_n,
+               CAST(min(cn_) AS BIGINT) AS cur_n,
+               CAST(sum(tu) AS BIGINT) AS psi_u
+        FROM term GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-feature drift via the population stability index
+    (round-10, extending the r9 drift family beyond categories): per
+    event_type, the value distribution of the afternoon window is
+    scored against the morning window's EXACT quintile edges
+    (exact_group_quantile — integer order statistics, no sampling),
+    Laplace-smoothed bucket shares, and the pinned double chain
+    (cp/CB − rp/RB)·ln((cp/rp)·(RB/CB)) published as
+    Σ floor(term·2^20) — an order-independent BIGINT, bit-equal
+    cross-engine. The oracle replays edges (naive global rank),
+    buckets, smoothing and the identical op sequence in DuckDB."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").alias("rid"),
+        _micro_units(F.col("value")).alias("xm"),
+        (F.hour("ts") < 12).alias("w1"),
+    )
+    return psi_drift(ev, "event_type", "xm", "rid", "w1").orderBy(
+        "event_type"
+    )

@@ -232,3 +232,104 @@ def category_drift_stream(
             timeoutConf="NoTimeout",
         )
     )
+
+
+def psi_drift_stream(
+    df: DataFrame,
+    edges: DataFrame,
+    ref_counts: pd.DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "xm",
+    n_edges: int = 4,
+) -> DataFrame:
+    """Streaming numeric-feature PSI: the online twin of
+    operators/timeseries.psi_drift against a FROZEN baseline — the
+    production shape, where the reference window is a committed
+    training snapshot (its exact quantile ``edges`` and grid-complete
+    per-bucket ``ref_counts`` precomputed once via
+    psi_bucket_edges/_psi_counts) and the stream is the live current
+    window being monitored.
+
+    The stream bucket-assigns each row with a stream-static broadcast
+    join against ``edges`` (integer comparisons, Catalyst-side), then
+    folds per-(key, bucket) counts in per-key state — nb BIGINTs per
+    key, bounded regardless of stream length — and re-emits the full
+    (key, seen, ref_n, cur_n, psi_u) row each trigger a key receives
+    data. Counts are a commutative monoid, and the psi chain is the
+    EXACT op sequence of psi_term_u (same parenthesization, same
+    floor(·2^20) before the bucket sum), so after any trigger each
+    key's latest emission is bit-equal to the batch psi_drift over
+    baseline + stream-so-far (pinned in tests/test_streaming.py; take
+    the max-``seen`` row per key — a key absent from the final
+    micro-batch last emitted at its own final trigger).
+
+    ``ref_counts`` columns: (key, _bk, o1) covering ALL buckets
+    0..n_edges — bounded at |keys|·(n_edges+1) rows, the same
+    bounded-label contract as category_drift_stream."""
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        _psi_bucket,
+    )
+
+    nb = n_edges + 1
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType(), False),
+            T.StructField("seen", T.LongType(), False),
+            T.StructField("ref_n", T.LongType(), False),
+            T.StructField("cur_n", T.LongType(), False),
+            T.StructField("psi_u", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("counts_parquet", T.BinaryType(), True)]
+    )
+    base = {
+        str(k): g.sort_values("_bk")["o1"].astype("int64").tolist()
+        for k, g in ref_counts.groupby(key_col)
+    }
+
+    def _update(key, pdf_iter, state):
+        kv = key[0]
+        if state.exists:
+            st = _decode(state.get[0])
+            o2 = st["o2"].astype("int64").tolist()
+            seen = int(st["seen"].iloc[0])
+        else:
+            o2 = [0] * nb
+            seen = 0
+        for p in pdf_iter:
+            if not len(p):
+                continue
+            seen += len(p)
+            for bk, c in p.groupby("_bk").size().items():
+                o2[int(bk)] += int(c)
+        state.update(
+            (_encode(pd.DataFrame({"o2": o2, "seen": [seen] * nb})),)
+        )
+        o1 = base.get(str(kv))
+        if o1 is None:
+            return
+        rn_, cn_ = sum(o1), sum(o2)
+        psi_u = 0
+        for b in range(nb):
+            cp, rp = float(o2[b] + 1), float(o1[b] + 1)
+            cb, rb = float(cn_ + nb), float(rn_ + nb)
+            # EXACT op order of psi_term_u: (cp/cb - rp/rb) *
+            # ln((cp/rp) * (rb/cb)), floored at 2^20 PER BUCKET
+            term = (cp / cb - rp / rb) * math.log((cp / rp) * (rb / cb))
+            psi_u += int(math.floor(term * 1048576.0))
+        yield pd.DataFrame(
+            [(kv, seen, rn_, cn_, psi_u)],
+            columns=[key_col, "seen", "ref_n", "cur_n", "psi_u"],
+        )
+
+    bucketed = df.join(F.broadcast(edges), key_col).select(
+        key_col, _psi_bucket(value_col, n_edges).alias("_bk")
+    )
+    return bucketed.groupBy(key_col).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -1088,3 +1088,74 @@ def test_category_drift_stream_equals_batch(spark, tmp_path_factory):
             latest[k] = r
     got = {k: (r.o1, r.o2, r.chi2_mil) for k, r in latest.items()}
     assert got == want and len(want) > 0
+
+
+def test_psi_drift_stream_equals_batch(spark, tmp_path_factory):
+    """Streaming PSI (frozen-baseline bucket-count fold) is BIT-equal
+    to batch q_psi_drift at each key's final trigger — counts are a
+    commutative monoid and the per-bucket floor(term·2^20) chain is
+    the identical op sequence, so the integer psi_u sum matches
+    exactly."""
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        _micro_units,
+        _psi_counts,
+        psi_bucket_edges,
+    )
+    from real_time_data_anomaly_detection_spark.streaming.sketches import (
+        psi_drift_stream,
+    )
+
+    path = str(tmp_path_factory.mktemp("psi_replay"))
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type",
+        F.col("event_id").alias("rid"),
+        _micro_units(F.col("value")).alias("xm"),
+        (F.hour("ts") < 12).alias("w1"),
+    )
+    ref = ev.filter(F.col("w1"))
+    edges = psi_bucket_edges(ref, "event_type", "xm", "rid").localCheckpoint()
+    ref_counts = (
+        _psi_counts(
+            ref.withColumn("_all", F.lit(True)),
+            edges,
+            "event_type",
+            "xm",
+            "_all",
+            4,
+        )
+        .select("event_type", "_bk", "o1")
+        .toPandas()
+    )
+
+    pdf = ev.filter(~F.col("w1")).select("event_type", "xm").toPandas()
+    for i in range(3):
+        f = os.path.join(path, f"part-{i:02d}.parquet")
+        pdf.iloc[i::3].to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    want = {
+        r.event_type: (r.ref_n, r.cur_n, r.psi_u)
+        for r in REGISTRY["q_psi_drift"]
+        .spark_fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+
+    stream_df = file_replay_source(spark, path, spark.read.parquet(path).schema)
+    out = psi_drift_stream(stream_df, edges, ref_counts)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_psi")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_psi").collect()
+    latest = {}
+    for r in rows:
+        if r.event_type not in latest or r.seen > latest[r.event_type].seen:
+            latest[r.event_type] = r
+    got = {k: (r.ref_n, r.cur_n, r.psi_u) for k, r in latest.items()}
+    assert got == want and len(want) > 0
