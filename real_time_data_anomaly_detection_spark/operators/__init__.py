@@ -64,26 +64,28 @@ _GATE_WINDOW = [
     "q_filter_range",
     "q_project_compute",
     "q_case_when",
-    "q_clamp",
     "q_join_inner",
     "q_join_broadcast",
     "q_join_semi",
     "q_join_3way",
-    "q_join_theta",
     "q_agg_group",
     "q_agg_global",
-    "q_agg_rollup",
     "q_agg_having",
     "q_window_rank",
     "q_window_lastk",
     "q_topk",
     "q_union_all",
     "q_window_tumbling_batch",
-    # cross-family flagship sample (30 rows; judge-named set + r7/r8/r9
-    # rotation — r9 swapped out three redundant relational siblings,
-    # q_join_anti / q_agg_distinct / q_window_lag, for the round-9
-    # flagships: decoder-oracle-checked media near-dup/fingerprint and
-    # the chi-square drift detector)
+    # cross-family flagship sample (33 rows; judge-named set + the
+    # r7/r8/r9/r10 rotations — r9 swapped out q_join_anti /
+    # q_agg_distinct / q_window_lag for the media + chi-square-drift
+    # flagships; r10 swapped out q_clamp / q_join_theta / q_agg_rollup
+    # (each family keeps siblings in the window) for the round-10
+    # flagships: PSI numeric drift and the persisted image-index
+    # match + admission twins)
+    "q_psi_drift",
+    "q_image_index_md5",
+    "q_image_ingest_admit_md5",
     "q_image_neardup_md5",
     "q_audio_fingerprint_md5",
     "q_category_drift",

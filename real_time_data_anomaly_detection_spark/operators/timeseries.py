@@ -1299,3 +1299,94 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(ev, "event_type", "xm", "rid", "w1").orderBy(
         "event_type"
     )
+
+
+@query(
+    "q_ks_drift",
+    oracle="""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(round(value * 1000000) AS BIGINT) AS xm,
+                   (hour(ts) < 12) AS w1
+            FROM events),
+        g AS (
+            SELECT event_type, xm,
+                   CAST(sum(CASE WHEN w1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(sum(CASE WHEN w1 THEN 0 ELSE 1 END) AS BIGINT) AS d2
+            FROM v GROUP BY 1, 2),
+        c AS (
+            SELECT event_type,
+                   sum(d1) OVER (PARTITION BY event_type
+                                 ORDER BY xm) AS c1,
+                   sum(d2) OVER (PARTITION BY event_type
+                                 ORDER BY xm) AS c2
+            FROM g),
+        t AS (
+            SELECT event_type,
+                   CAST(sum(d1) AS BIGINT) AS n1,
+                   CAST(sum(d2) AS BIGINT) AS n2
+            FROM g GROUP BY 1)
+        SELECT c.event_type,
+               CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num,
+               n1 AS ref_n, n2 AS cur_n
+        FROM c JOIN t ON c.event_type = t.event_type
+        GROUP BY 1, n1, n2 ORDER BY 1
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift per event_type, EXACT and
+    integer end-to-end (completing the drift triptych: chi-square for
+    categorical mix, PSI for bucketed shares, KS for the full
+    distribution shape): D = max_x |F_ref(x) − F_cur(x)| published as
+    the cross-multiplied numerator ks_num = max |c1·n2 − c2·n1| with
+    the window sizes — D = ks_num/(ref_n·cur_n) exactly, so there is
+    no float anywhere and the oracle is trivially bit-equal. The
+    supremum over all reals is attained at sample points, so
+    evaluating at each distinct micro-unit value is exact.
+
+    Scale shape: the event-sized data collapses in ONE
+    partial-aggregable groupBy to per-(key, distinct value) counts;
+    the running ECDF window then runs over that bounded relation
+    (distinct values per key, not rows — ties are pre-merged, which
+    also makes Spark's rowsBetween and DuckDB's default RANGE frame
+    agree). Bound: c·n products stay in int64 while
+    ref_n·cur_n < 2^63 (~3e9 rows per window side); beyond that,
+    pre-scale counts per shard. The reference's detector flags
+    point outliers (app/app3_ML.py:165); this is the
+    distribution-level companion a fleet monitor needs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        _micro_units(F.col("value")).alias("xm"),
+        (F.hour("ts") < 12).alias("w1"),
+    )
+    g = ev.groupBy("event_type", "xm").agg(
+        F.sum(F.when(F.col("w1"), 1).otherwise(0)).cast("bigint").alias("d1"),
+        F.sum(F.when(F.col("w1"), 0).otherwise(1)).cast("bigint").alias("d2"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("xm")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.select(
+        "event_type",
+        F.sum("d1").over(w).alias("c1"),
+        F.sum("d2").over(w).alias("c2"),
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("d1").cast("bigint").alias("ref_n"),
+        F.sum("d2").cast("bigint").alias("cur_n"),
+    )
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .groupBy("event_type", "ref_n", "cur_n")
+        .agg(
+            F.max(
+                F.abs(F.col("c1") * F.col("cur_n") - F.col("c2") * F.col("ref_n"))
+            )
+            .cast("bigint")
+            .alias("ks_num")
+        )
+        .select("event_type", "ks_num", "ref_n", "cur_n")
+        .orderBy("event_type")
+    )

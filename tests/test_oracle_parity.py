@@ -80,6 +80,10 @@ def test_driver_gate_window_is_cross_family():
         "q_image_neardup_md5",  # perceptual dHash through real decode
         "q_audio_fingerprint_md5",  # WAV decode band fingerprint
         "q_category_drift",     # chi-square distribution drift
+        # round-10 rotation: numeric drift + persisted image index
+        "q_psi_drift",          # PSI numeric-feature drift
+        "q_image_index_md5",    # persisted image-hash index match
+        "q_image_ingest_admit_md5",  # image-crawl admission rule
     }
     assert flagship <= set(window), flagship - set(window)
 
