@@ -268,11 +268,7 @@ def scaling_main() -> None:
     # per doc from md5 bytes (5 docs share a base image, one perturbed
     # byte each, the q_image_neardup_md5 construction) so the banded
     # pair search has genuine near-dup structure at every tier.
-    def _image_op(d):
-        from real_time_data_anomaly_detection_spark.operators.multimodal import (
-            image_neardup_pairs,
-        )
-
+    def _synth_ppm(d):
         hx = F.concat(
             *[
                 F.md5(
@@ -285,7 +281,7 @@ def scaling_main() -> None:
                 for k in range(12)
             ]
         )
-        img = d.select(
+        return d.select(
             "doc_id",
             F.concat(
                 F.unhex(F.lit("P6 9 7 255\n".encode().hex())),
@@ -297,8 +293,60 @@ def scaling_main() -> None:
                 ),
             ).alias("payload"),
         )
+
+    def _image_op(d):
+        from real_time_data_anomaly_detection_spark.operators.multimodal import (
+            image_neardup_pairs,
+        )
+
         return image_neardup_pairs(
-            img, "payload", "doc_id", max_hamming=3, hash_w=8, hash_h=7
+            _synth_ppm(d), "payload", "doc_id", max_hamming=3, hash_w=8,
+            hash_h=7,
+        )
+
+    # round-10: the persisted image-index MATCH path — index grows with
+    # the tier, the batch stays FIXED (1k images), so the slope reads
+    # whether the bk IN-list row-group pruning keeps per-batch match
+    # cost sublinear in corpus size (the whole point of the index). The
+    # per-tier index builds ONCE on first touch (inside rep0's timing;
+    # min-of-3 then reads reps 1-2, which time the match alone).
+    _imgidx_paths: dict[int, str] = {}
+
+    def _image_index_op(d):
+        import tempfile
+
+        from real_time_data_anomaly_detection_spark.operators.multimodal import (
+            build_image_index,
+            image_index_match,
+        )
+
+        key = id(d)
+        if key not in _imgidx_paths:
+            p = tempfile.mkdtemp(prefix="stress_imgidx_")
+            build_image_index(
+                _synth_ppm(d), p, "payload", "doc_id", hash_w=8, hash_h=7,
+                n_bands=4,
+            )
+            _imgidx_paths[key] = p
+        idx = spark.read.parquet(_imgidx_paths[key] + "/seed")
+        batch = _synth_ppm(spark.range(1_000).select(F.col("id").alias("doc_id")))
+        return image_index_match(
+            idx, batch, "payload", "doc_id", max_hamming=3, hash_w=8,
+            hash_h=7, n_bands=4,
+        )
+
+    # round-10: PSI numeric drift — 4 exact-quantile selections over
+    # the reference half + one bucketing pass; counts-sized algebra
+    # after the scan, so wall should read the scan passes (~linear)
+    # and shuffle bytes the bounded bucket/count relations.
+    def _psi_op(x):
+        from real_time_data_anomaly_detection_spark.operators.timeseries import (
+            psi_drift,
+        )
+
+        return psi_drift(
+            x.withColumn("w1", F.col("rid") % 2 == 0),
+            "key", "xm", "rid", "w1",
         )
 
     # PQ/ADC top-k: sample-fit train (constant), one encode pass, one
@@ -422,6 +470,9 @@ def scaling_main() -> None:
         "epoch_shuffle": ("docs", _epoch_op),
         # round-9 addition
         "image_neardup": ("docs", _image_op),
+        # round-10 additions
+        "image_index": ("docs", _image_index_op),
+        "psi_drift": ("events", _psi_op),
     }
     # optional 4th arg: comma-separated op subset
     if len(sys.argv) > 4:
