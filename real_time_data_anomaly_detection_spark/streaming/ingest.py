@@ -167,6 +167,7 @@ def ingest_stream(
     id_col: str = "doc_id",
     trigger: dict | None = None,
     checkpoint_path: str | None = None,
+    compact_every: int | None = None,
 ):
     """Start the micro-batch ingest gate: per trigger, admit only
     docs new by BOTH content digest and canonical URL against the
@@ -185,6 +186,15 @@ def ingest_stream(
     restart — the exactly-once guarantee holds ONLY with one (and it
     is what lets ``compact_ingest_index`` trust committed batch ids).
 
+    ``compact_every=N`` folds the index automatically every N batches:
+    at the START of batch k (k > 0, k ≡ 0 mod N) the stream calls
+    ``compact_ingest_index(upto_batch=k)``. Safe by the foreachBatch
+    contract — when _process(k) runs, batches < k have committed
+    offsets and can never replay, and a replay OF k resolves
+    ``gen=k`` + no deltas = exactly the keys of batches < k, the same
+    state a non-compacted replay reads. Keeps the per-trigger listing
+    O(compact_every) for unbounded streams.
+
     Read the admitted corpus back with
     ``spark.read.parquet(out_path)`` (``batch`` surfaces as a
     partition column)."""
@@ -194,6 +204,8 @@ def ingest_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            compact_ingest_index(spark, index_path, batch_id)
         corpus_keys = spark.read.parquet(
             *_index_paths(index_path, batch_id)
         )
@@ -236,6 +248,7 @@ def image_ingest_stream(
     n_bands: int | None = None,
     trigger: dict | None = None,
     checkpoint_path: str | None = None,
+    compact_every: int | None = None,
 ):
     """The image-crawl twin of :func:`ingest_stream` (round-10): per
     micro-batch, admit only images with no near-dup (dHash Hamming ≤
@@ -257,9 +270,11 @@ def image_ingest_stream(
     dirs, batch k reads only deltas < k, a durable ``checkpoint_path``
     keeps batch ids stable across restarts, and compact_ingest_index
     folds old deltas (the layout and resolver are shared — compaction
-    is schema-agnostic). Per-trigger cost: index side is hash/band
-    rows only (pixels never enter a join or the index), the batch
-    decodes once and broadcasts."""
+    is schema-agnostic; ``compact_every=N`` auto-folds at the start of
+    every Nth batch, same safety argument as ingest_stream's).
+    Per-trigger cost: index side is hash/band rows only (pixels never
+    enter a join or the index), the batch decodes once and
+    broadcasts."""
     from real_time_data_anomaly_detection_spark.operators.multimodal import (
         image_band_rows,
         image_neardup_admit,
@@ -267,6 +282,8 @@ def image_ingest_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            compact_ingest_index(spark, index_path, batch_id)
         idx = spark.read.parquet(*_index_paths(index_path, batch_id))
         admitted = image_neardup_admit(
             idx,

@@ -935,6 +935,72 @@ def test_ingest_compaction_preserves_replay(spark, tmp_path_factory):
     assert replayed == persisted
 
 
+def test_ingest_auto_compaction(spark, tmp_path_factory):
+    """compact_every=N folds the index DURING a live run: 4 replay
+    files with compact_every=2 fire compaction at the start of batch 2
+    (batches 0-1 committed by then under availableNow's sequential
+    foreachBatch), admission is unchanged vs the one-shot batch
+    operator, and the final index resolves to one generation plus only
+    the post-compaction deltas."""
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators.pipeline_ops import (
+        _SYNTH_URL_SQL,
+        ingest_dedup,
+    )
+    from real_time_data_anomaly_detection_spark.streaming.ingest import (
+        _index_paths,
+        build_ingest_index,
+        ingest_stream,
+    )
+
+    root = tmp_path_factory.mktemp("ingest_autocompact")
+    feed = str(root / "feed")
+    index = str(root / "index")
+    out = str(root / "out")
+    os.makedirs(feed)
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    u = d.select("doc_id", "text", F.expr(_SYNTH_URL_SQL).alias("url"))
+    corpus = u.filter(F.col("doc_id") < 300)
+    batch_all = u.filter(F.col("doc_id") >= 300)
+    build_ingest_index(corpus, index)
+
+    pdf = batch_all.orderBy("doc_id").toPandas()
+    cuts = [len(pdf) * i // 4 for i in range(5)]
+    for i in range(4):
+        f = os.path.join(feed, f"part-{i:02d}.parquet")
+        pdf.iloc[cuts[i]:cuts[i + 1]].to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream_df = file_replay_source(
+        spark, feed, spark.read.parquet(feed).schema
+    )
+    q = ingest_stream(
+        stream_df,
+        index,
+        out,
+        trigger={"availableNow": True},
+        compact_every=2,
+    )
+    q.awaitTermination(240)
+
+    assert _index_paths(index, 4) == [
+        f"{index}/gen=2",
+        f"{index}/delta/batch=2",
+        f"{index}/delta/batch=3",
+    ]
+    assert not os.path.isdir(f"{index}/seed")
+    got = sorted(
+        (r.doc_id, r.canon_url)
+        for r in spark.read.parquet(out).select("doc_id", "canon_url").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.canon_url)
+        for r in ingest_dedup(corpus, batch_all).collect()
+    )
+    assert got == want and len(want) > 0
+
+
 def test_image_ingest_stream_equals_batch(spark, tmp_path_factory):
     """Round-10: the streaming image-crawl gate (foreachBatch dHash
     admission against the persisted band index) admits EXACTLY what
