@@ -691,7 +691,9 @@ def _decode_payload(media_type: str, payload: bytes) -> np.ndarray:
     formats when importable, deterministic sha256 stub otherwise.
 
     The stub only remains for progressive/arithmetic JPEG and MP3
-    without libraries, and for video (which would need libav/ffmpeg);
+    without libraries, and for video FRAME PIXELS (which would need
+    libav/ffmpeg — video container METADATA decodes for real, see
+    _mp4_duration_ms);
     tests exercise the real builtin decode end-to-end without optional
     imports (tests/test_multimodal.py::test_builtin_wav_decode /
     _png / _ppm / _bmp / _gif / _jpeg).
@@ -748,20 +750,105 @@ def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     return df.mapInPandas(_extract, _FEATURE_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+def _mp4_duration_ms(payload: bytes) -> int | None:
+    """Codec-free MP4/MOV METADATA decode (round-10): walk the ISO
+    BMFF box tree (size4/type4 headers, largesize and to-EOF forms
+    handled) to ``moov``/``mvhd`` and return
+    duration·1000 div timescale — stdlib byte slicing only, no libav.
+    Frame PIXEL decode still needs real codecs (the sha256 stub
+    stands for that), but duration — what sample_frames actually
+    consumes — no longer depends on caller-supplied metadata. Returns
+    None for non-BMFF bytes, torn boxes, or a zero timescale."""
+
+    def boxes(start: int, end: int):
+        off = start
+        while off + 8 <= end:
+            size = int.from_bytes(payload[off:off + 4], "big")
+            btype = payload[off + 4:off + 8]
+            hdr = 8
+            if size == 1:
+                if off + 16 > end:
+                    return
+                size = int.from_bytes(payload[off + 8:off + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = end - off
+            if size < hdr or off + size > end:
+                return
+            yield btype, off + hdr, off + size
+            off += size
+
+    try:
+        for t, s, _e in boxes(0, len(payload)):
+            if t == b"moov":
+                for t2, s2, e2 in boxes(s, _e):
+                    if t2 == b"mvhd" and e2 - s2 >= 20:
+                        if payload[s2] == 1:  # version 1: 64-bit times
+                            if e2 - s2 < 32:
+                                return None
+                            ts = int.from_bytes(payload[s2 + 20:s2 + 24], "big")
+                            dur = int.from_bytes(payload[s2 + 24:s2 + 32], "big")
+                        else:
+                            ts = int.from_bytes(payload[s2 + 12:s2 + 16], "big")
+                            dur = int.from_bytes(payload[s2 + 16:s2 + 20], "big")
+                        return dur * 1000 // ts if ts else None
+    except Exception:
+        return None
+    return None
+
+
+def video_duration_ms(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, duration_ms BIGINT) per video payload via Arrow-batched
+    mapInPandas over the real ISO-BMFF metadata parse; undecodable or
+    torn payloads yield null (the multimodal contract)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("duration_ms", T.LongType(), True),
+        ]
+    )
+
+    def _dur(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                None if p is None else _mp4_duration_ms(bytes(p))
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "duration_ms": out})
+
+    return df.select(id_col, payload_col).mapInPandas(_dur, schema)
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, decode_missing: bool = False
+) -> DataFrame:
     """Frame-sampling plan for video rows: explode per-frame timestamps
     from metadata — pure column math, no decode. Pairs each (media_id,
     frame_ts_ms); the downstream decode of individual frames would use
-    extract_features on per-frame payloads."""
-    return (
-        df.filter(F.col("media_type") == "video")
-        .filter(F.col("meta.duration_ms").isNotNull())
-        .select(
-            "media_id",
-            F.explode(
-                F.sequence(F.lit(0), F.col("meta.duration_ms"), F.lit(every_ms))
-            ).alias("frame_ts_ms"),
+    extract_features on per-frame payloads.
+
+    ``decode_missing=True`` recovers rows whose ``meta.duration_ms``
+    is null by parsing the duration from the MP4/MOV bytes themselves
+    (:func:`video_duration_ms` — one extra map-only pass over ONLY the
+    metadata-less rows)."""
+    vids = df.filter(F.col("media_type") == "video")
+    known = vids.filter(F.col("meta.duration_ms").isNotNull()).select(
+        "media_id", F.col("meta.duration_ms").cast("bigint").alias("_dur")
+    )
+    if decode_missing:
+        parsed = video_duration_ms(
+            vids.filter(F.col("meta.duration_ms").isNull())
+        ).filter(F.col("duration_ms").isNotNull()).select(
+            "media_id", F.col("duration_ms").alias("_dur")
         )
+        known = known.unionByName(parsed)
+    return known.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("_dur"), F.lit(every_ms).cast("bigint"))
+        ).alias("frame_ts_ms"),
     )
 
 

@@ -1125,3 +1125,73 @@ def test_image_index_match_equals_inline_pairs(spark, tmp_path_factory):
         (a, b, hm) if a in corpus_ids else (b, a, hm) for a, b, hm in want
     }
     assert got == want and len(got) > 0
+
+
+def _mp4_bytes(timescale, duration, version=0):
+    """Minimal ISO-BMFF fixture: ftyp + moov(mvhd) with the given
+    timescale/duration, version 0 (32-bit) or 1 (64-bit) mvhd."""
+    ftyp = (16).to_bytes(4, "big") + b"ftypisom" + b"\x00\x00\x02\x00"
+    if version == 0:
+        body = (
+            b"\x00\x00\x00\x00"          # version 0 + flags
+            + (0).to_bytes(4, "big")      # creation
+            + (0).to_bytes(4, "big")      # modification
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big")
+            + b"\x00" * 80                # rate/volume/matrix/next_track
+        )
+    else:
+        body = (
+            b"\x01\x00\x00\x00"
+            + (0).to_bytes(8, "big")
+            + (0).to_bytes(8, "big")
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(8, "big")
+            + b"\x00" * 80
+        )
+    mvhd = (8 + len(body)).to_bytes(4, "big") + b"mvhd" + body
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    return ftyp + moov
+
+
+def test_mp4_duration_parse_and_sample_frames(spark):
+    """Round-10: REAL codec-free MP4/MOV metadata decode — the ISO-BMFF
+    box walk must read mvhd timescale/duration in both version forms,
+    null out torn bytes, and feed sample_frames(decode_missing=True)
+    for rows whose metadata lacks a duration."""
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _mp4_duration_ms,
+        sample_frames,
+        video_duration_ms,
+    )
+
+    assert _mp4_duration_ms(_mp4_bytes(1000, 3500)) == 3500
+    assert _mp4_duration_ms(_mp4_bytes(600, 1200, version=1)) == 2000
+    assert _mp4_duration_ms(_mp4_bytes(90000, 630000)) == 7000
+    assert _mp4_duration_ms(b"\x00\x00ftypmp4 garbage") is None
+    assert _mp4_duration_ms(_mp4_bytes(0, 99)) is None  # zero timescale
+    assert _mp4_duration_ms(_mp4_bytes(1000, 3500)[:30]) is None  # torn
+
+    rows = [
+        (0, "video", _mp4_bytes(1000, 2500), (None, None, None, None, "h264")),
+        (1, "video", _mp4_bytes(1000, 1000), (None, None, None, 9000, "h264")),
+        (2, "video", b"garbage", (None, None, None, None, "h264")),
+        (3, "image", _mp4_bytes(1000, 5000), (None, None, None, None, "png")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    durs = {r.media_id: r.duration_ms
+            for r in video_duration_ms(df.filter("media_type = 'video'")).collect()}
+    assert durs == {0: 2500, 1: 1000, 2: None}
+
+    got = sorted(
+        (r.media_id, r.frame_ts_ms)
+        for r in sample_frames(df, every_ms=1000, decode_missing=True).collect()
+    )
+    # id 1 keeps its METADATA duration (9000); id 0 parses 2500 from
+    # bytes; id 2 unparseable drops; id 3 is not video.
+    want = sorted(
+        [(0, t) for t in (0, 1000, 2000)]
+        + [(1, t) for t in range(0, 9001, 1000)]
+    )
+    assert got == want
