@@ -448,3 +448,39 @@ def test_ingest_dedup_shuffle_fallback_matches_broadcast(spark):
             else:
                 spark.conf.set(k, v)
     assert bc_rows == sh_rows
+
+
+def test_image_index_match_pushdown_and_broadcast(spark, tmp_path_factory):
+    """The persisted image-index match's plan contract (the shape
+    behind SCALING.md §7.2's flat ladder row): the batch's packed band
+    keys reach the index parquet scan as a PushedFilters In(bk) —
+    row-group pruning, so match cost is batch-bound, not corpus-bound
+    — and the batch side joins as a broadcast."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        build_image_index,
+        image_index_match,
+    )
+    from real_time_data_anomaly_detection_spark.plans.inspect import (
+        formatted_plan,
+        has_broadcast_join,
+    )
+
+    rng = np.random.RandomState(4)
+    rows = [
+        (i, b"P6\n12 10\n255\n" + bytes(rng.randint(0, 256, 360, dtype=np.int64) % 256))
+        for i in range(40)
+    ]
+    root = tmp_path_factory.mktemp("imgidx_plan")
+    src = str(root / "imgs")
+    spark.createDataFrame(rows, "media_id long, payload binary").write.parquet(src)
+    imgs = spark.read.parquet(src)
+    idx_path = str(root / "idx")
+    build_image_index(imgs.filter(F.col("media_id") < 30), idx_path)
+    idx = spark.read.parquet(f"{idx_path}/seed")
+    matched = image_index_match(idx, imgs.filter(F.col("media_id") >= 30))
+    plan = formatted_plan(matched)
+    assert "PushedFilters" in plan and "In(bk" in plan
+    assert has_broadcast_join(matched)
