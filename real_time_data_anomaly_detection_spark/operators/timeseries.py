@@ -964,6 +964,27 @@ def exact_group_quantile(
     total order), only the max-task bound and shuffle size. Caveat
     stands: a single value appearing in a huge fraction of a group
     concentrates its bucket regardless of width."""
+    return exact_group_quantiles(
+        df, key_col, value_col, rid_col, (q_pct,), bucket_bits
+    ).select(key_col, "q_value")
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    rid_col: str,
+    q_pcts: tuple[int, ...],
+    bucket_bits: int | None = None,
+) -> DataFrame:
+    """Multi-quantile form of :func:`exact_group_quantile` — EVERY
+    requested quantile from ONE scan and ONE bucket-count relation
+    (round-10: psi_bucket_edges previously ran the whole two-level
+    selection once per edge, 4 scans for quintiles; the bucket counts,
+    the cumulative window and the in-bucket ranks are q-independent,
+    so all ranks select against the same relations). Returns
+    (key, q_pct, q_value); identical rank definition per q — the
+    single-q wrapper stays oracle-green unchanged."""
     if bucket_bits is None:
         mm = df.agg(
             F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
@@ -975,7 +996,12 @@ def exact_group_quantile(
         )
         bucket_bits = max(rng.bit_length() - 12, 0)
     n_per = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
-    k_of = F.expr(f"({q_pct} * (_n - 1)) div 100")
+    nq = n_per.select(
+        key_col,
+        "_n",
+        F.explode(F.array(*[F.lit(int(q)) for q in q_pcts])).alias("_q"),
+    )
+    k_of = F.expr("(_q * (_n - 1)) div 100")
     b = df.select(
         key_col,
         value_col,
@@ -1000,21 +1026,28 @@ def exact_group_quantile(
         F.coalesce(F.sum("_c").over(w_cum), F.lit(0)).alias("_cum"),
     )
     hit = (
-        cum.join(F.broadcast(n_per), key_col)
+        cum.join(F.broadcast(nq), key_col)
         .filter((F.col("_cum") <= k_of) & (k_of < F.col("_cum") + F.col("_c")))
-        .select(key_col, "_b", (k_of - F.col("_cum")).alias("_off"))
+        .select(key_col, "_q", "_b", (k_of - F.col("_cum")).alias("_off"))
     )
-    w_in = Window.partitionBy(key_col, "_b").orderBy(value_col, rid_col)
+    # a bucket can host several requested ranks — rank rows once per
+    # (key, bucket, q) partition so the joined duplicates stay separate
+    w_in = Window.partitionBy(key_col, "_b", "_q").orderBy(value_col, rid_col)
     return (
         b.join(F.broadcast(hit), [key_col, "_b"])
         .select(
             key_col,
+            "_q",
             value_col,
             "_off",
             F.row_number().over(w_in).alias("_rn"),
         )
         .filter(F.col("_rn") - 1 == F.col("_off"))
-        .select(key_col, F.col(value_col).alias("q_value"))
+        .select(
+            key_col,
+            F.col("_q").alias("q_pct"),
+            F.col(value_col).alias("q_value"),
+        )
     )
 
 
@@ -1103,20 +1136,21 @@ def psi_bucket_edges(
     quantiles: tuple[int, ...] = (20, 40, 60, 80),
 ) -> DataFrame:
     """Per-key PSI bucket edges: the EXACT reference-window quantiles
-    at ``quantiles`` via :func:`exact_group_quantile` (two-level rank
-    selection — no whole-group single-task sort), joined into one
+    at ``quantiles`` via :func:`exact_group_quantiles` — ALL edges
+    from one scan and one bucket-count relation (round-10; previously
+    one full two-level selection per edge), pivoted into one
     (key, e0..e{n-1}) row per key. Edges are exact integers of the
     (value, rid) total order, so bucket assignment — and therefore
     the whole PSI report — is engine-replayable."""
-    from functools import reduce
-
-    frames = [
-        exact_group_quantile(ref, key_col, value_col, rid_col, q).select(
-            key_col, F.col("q_value").alias(f"e{i}")
-        )
-        for i, q in enumerate(quantiles)
-    ]
-    return reduce(lambda a, b: a.join(b, key_col), frames)
+    qs = exact_group_quantiles(ref, key_col, value_col, rid_col, quantiles)
+    return qs.groupBy(key_col).agg(
+        *[
+            F.max(F.when(F.col("q_pct") == int(q), F.col("q_value"))).alias(
+                f"e{i}"
+            )
+            for i, q in enumerate(quantiles)
+        ]
+    )
 
 
 def _psi_bucket(value_col: str, n_edges: int):
