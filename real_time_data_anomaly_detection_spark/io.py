@@ -84,3 +84,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql()."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def corpus_cache_path(sf_dir: str, table: str, prefix: str) -> str:
+    """Session-cache dir under /tmp keyed by a CORPUS FINGERPRINT —
+    the absolute table path plus each data file's (name, size,
+    mtime_ns), never the sf_dir basename — so two corpora sharing a
+    basename, or an in-place rewrite of the same path, get distinct
+    cache dirs instead of silently sharing a stale index (the
+    _SUCCESS gate only guards torn writes, not staleness). One
+    implementation for every persisted-index query cache (IVF /
+    text postings / image hashes) — round-10 dedup of three
+    copy-pastes that would otherwise drift."""
+    import hashlib
+
+    root = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+    h = hashlib.md5(f"{prefix}:{root}".encode())
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            st = os.stat(os.path.join(root, name))
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(root):
+        st = os.stat(root)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return f"/tmp/spark_graft_{prefix}_{h.hexdigest()[:16]}"

@@ -673,20 +673,10 @@ def index_phrase_search(
 
 def _text_index_path(sf_dir: str) -> str:
     """Session-cache index dir keyed by the documents corpus
-    fingerprint (same staleness contract as similarity._ivf_index_path)."""
-    import hashlib
-    import os
+    fingerprint (io.corpus_cache_path — shared staleness contract)."""
+    from real_time_data_anomaly_detection_spark.io import corpus_cache_path
 
-    root = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
-    h = hashlib.md5(("textidx:" + root).encode())
-    if os.path.isdir(root):
-        for name in sorted(os.listdir(root)):
-            st = os.stat(os.path.join(root, name))
-            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
-    elif os.path.exists(root):
-        st = os.stat(root)
-        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
-    return f"/tmp/spark_graft_textidx_{h.hexdigest()[:16]}"
+    return corpus_cache_path(sf_dir, "documents", "textidx")
 
 
 @query(

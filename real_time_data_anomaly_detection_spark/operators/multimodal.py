@@ -758,7 +758,13 @@ def _mp4_duration_ms(payload: bytes) -> int | None:
     Frame PIXEL decode still needs real codecs (the sha256 stub
     stands for that), but duration — what sample_frames actually
     consumes — no longer depends on caller-supplied metadata. Returns
-    None for non-BMFF bytes, torn boxes, or a zero timescale."""
+    None for non-BMFF bytes, torn boxes, a zero timescale, or an
+    absurd duration (> 30 days): a corrupt mvhd with
+    duration=2^64-1/timescale=1 must yield null like any other torn
+    payload — an unbounded int would overflow the Arrow int64 column
+    and a plausible-but-huge one would feed sample_frames a
+    sequence() too long to materialize, either way failing the whole
+    job instead of nulling one row."""
 
     def boxes(start: int, end: int):
         off = start
@@ -791,7 +797,10 @@ def _mp4_duration_ms(payload: bytes) -> int | None:
                         else:
                             ts = int.from_bytes(payload[s2 + 12:s2 + 16], "big")
                             dur = int.from_bytes(payload[s2 + 16:s2 + 20], "big")
-                        return dur * 1000 // ts if ts else None
+                        if ts == 0:
+                            return None
+                        ms = dur * 1000 // ts
+                        return ms if ms <= 30 * 86_400_000 else None
     except Exception:
         return None
     return None
@@ -1255,13 +1264,60 @@ def build_image_index(
 
     Scale shape: the index holds ~(8 + 8 + 2·4 + 8) bytes × n_bands
     per image — hashes and band keys only, never pixels; rebuilds are
-    one map-only decode pass."""
+    one map-only decode pass.
+
+    The banding geometry (hash_w, hash_h, n_bands) is persisted to
+    ``index_path``/meta.json: the packed ``bk`` keys are only
+    comparable under the SAME geometry, so a reader matching with
+    different parameters would silently join almost nothing —
+    ``check_image_index_meta`` turns that mismatch into a loud
+    ValueError (image_ingest_stream checks before starting)."""
+    import json as _json
+
+    nbits = hash_w * hash_h
+    resolved = n_bands if n_bands is not None else _default_bands(
+        nbits, max_hamming
+    )
     rows = image_band_rows(
-        images, payload_col, id_col, hash_w, hash_h, n_bands, max_hamming
+        images, payload_col, id_col, hash_w, hash_h, resolved, max_hamming
     )
     rows.repartitionByRange(num_files, "bk").sortWithinPartitions(
         "bk"
     ).write.mode("overwrite").parquet(f"{index_path}/seed")
+    import os as _os
+
+    with open(_os.path.join(index_path, "meta.json"), "w") as fh:
+        _json.dump(
+            {"hash_w": hash_w, "hash_h": hash_h, "n_bands": resolved}, fh
+        )
+
+
+def check_image_index_meta(
+    index_path: str,
+    hash_w: int,
+    hash_h: int,
+    n_bands: int,
+) -> None:
+    """Raise ValueError when the caller's banding geometry disagrees
+    with the persisted index's meta.json — a mismatch does not error
+    at join time, it silently produces (mostly) empty matches because
+    the packed bk domains differ. Indexes from before meta.json
+    existed pass unchecked (nothing to compare)."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(index_path, "meta.json")
+    if not _os.path.exists(p):
+        return
+    with open(p) as fh:
+        meta = _json.load(fh)
+    mine = {"hash_w": hash_w, "hash_h": hash_h, "n_bands": n_bands}
+    if meta != mine:
+        raise ValueError(
+            f"image index at {index_path} was built with {meta}; "
+            f"caller passed {mine} — banding geometries must match "
+            "exactly or the bk equi-join silently drops pairs"
+        )
 
 
 def image_index_match(
@@ -1297,7 +1353,8 @@ def image_index_match(
     fps = image_dhash(batch_images, payload_col, id_col, hash_w, hash_h).filter(
         F.col("dhash").isNotNull()
     )
-    if plan_size_bytes(batch_images) <= 1 << 30:
+    small = plan_size_bytes(batch_images) <= 1 << 30
+    if small:
         fps = fps.localCheckpoint(eager=True)
     b = _band_fps(fps, id_col, nbits, n_bands).select(
         F.col(id_col).alias("new_id"), F.col("dhash").alias("h_new"), "bk"
@@ -1305,12 +1362,20 @@ def image_index_match(
     idx = index_bands.select(
         F.col(id_col).alias("idx_id"), F.col("dhash").alias("h_idx"), "bk"
     )
-    keys = [
-        r.bk
-        for r in b.select("bk").distinct().limit(prune_keys_max + 1).collect()
-    ]
-    if len(keys) <= prune_keys_max:
-        idx = idx.filter(F.col("bk").isin(keys))
+    if small:
+        # two-hop prune probe reads the CHECKPOINTED hashes — never a
+        # second decode; for un-checkpointed backfill batches the probe
+        # would itself re-run the decode, and a batch that big would
+        # blow past prune_keys_max anyway, so skip it entirely
+        keys = [
+            r.bk
+            for r in b.select("bk")
+            .distinct()
+            .limit(prune_keys_max + 1)
+            .collect()
+        ]
+        if len(keys) <= prune_keys_max:
+            idx = idx.filter(F.col("bk").isin(keys))
     right = F.broadcast(b) if broadcast_batch else b
     hamming = F.bit_count(F.col("h_idx").bitwiseXOR(F.col("h_new")))
     return (
@@ -1332,6 +1397,7 @@ def image_neardup_admit(
     n_bands: int | None = None,
     broadcast_batch: bool | None = None,
     max_broadcast_bytes: int = 64 << 20,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Admission decision for a new image batch against everything
     SEEN so far: admit exactly the images with (1) no indexed
@@ -1349,11 +1415,15 @@ def image_neardup_admit(
     "matches an earlier batch's image" and "matches a smaller-id
     same-batch image" then compose to exactly "matches ANY
     smaller-id image or the seed" — the one-shot rule — pinned in
-    tests/test_streaming.py::test_image_ingest_stream_equals_batch."""
+    tests/test_streaming.py::test_image_ingest_stream_equals_batch.
+
+    ``fps``: optionally pass the already-materialized (id, dhash)
+    relation (null rows included) so a caller that needs the hashes
+    again — image_ingest_stream derives the index delta from them —
+    pays the payload decode ONCE per trigger instead of twice."""
     nbits = hash_w * hash_h
     if n_bands is None:
         n_bands = _default_bands(nbits, max_hamming)
-    all_fps = image_dhash(batch_images, payload_col, id_col, hash_w, hash_h)
     from real_time_data_anomaly_detection_spark.plans.inspect import plan_size_bytes
 
     if broadcast_batch is None:
@@ -1361,8 +1431,11 @@ def image_neardup_admit(
         # side never shuffles); a backfill-sized batch degrades to a
         # shuffle join instead of an executor-OOM broadcast
         broadcast_batch = plan_size_bytes(batch_images) <= max_broadcast_bytes
-    if plan_size_bytes(batch_images) <= 1 << 30:
-        all_fps = all_fps.localCheckpoint(eager=True)
+    if fps is None:
+        fps = image_dhash(batch_images, payload_col, id_col, hash_w, hash_h)
+        if plan_size_bytes(batch_images) <= 1 << 30:
+            fps = fps.localCheckpoint(eager=True)
+    all_fps = fps
     fps = all_fps.filter(F.col("dhash").isNotNull())
     banded = _band_fps(fps, id_col, nbits, n_bands)
     maybe_bc = F.broadcast if broadcast_batch else (lambda x: x)
@@ -1727,20 +1800,10 @@ def q_image_ahash_md5(spark, sf_dir: str) -> DataFrame:
 
 def _image_index_path(sf_dir: str) -> str:
     """Session-cache image-index dir keyed by the documents corpus
-    fingerprint (the curation._text_index_path staleness contract)."""
-    import hashlib as _hl
-    import os
+    fingerprint (io.corpus_cache_path — shared staleness contract)."""
+    from real_time_data_anomaly_detection_spark.io import corpus_cache_path
 
-    root = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
-    hsh = _hl.md5(("imgidx:" + root).encode())
-    if os.path.isdir(root):
-        for name in sorted(os.listdir(root)):
-            st = os.stat(os.path.join(root, name))
-            hsh.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
-    elif os.path.exists(root):
-        st = os.stat(root)
-        hsh.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
-    return f"/tmp/spark_graft_imgidx_{hsh.hexdigest()[:16]}"
+    return corpus_cache_path(sf_dir, "documents", "imgidx")
 
 
 def _img_index_seed(spark, sf_dir: str) -> tuple[str, DataFrame]:

@@ -158,26 +158,12 @@ def _probe_vector(df: DataFrame, id_col: str = "vec_id"):
 
 
 def _ivf_index_path(sf_dir: str) -> str:
-    """Session-cache index dir under /tmp, keyed by a CORPUS
-    FINGERPRINT — the absolute embeddings path plus each data file's
-    (name, size, mtime) — not the sf_dir basename. Two corpora that
-    happen to share a basename, or an in-place rewrite of the same
-    path, therefore get distinct index dirs instead of silently
-    sharing a stale index (the ``_SUCCESS`` gate only guards torn
-    writes, not staleness)."""
-    import hashlib
-    import os
+    """Session-cache index dir under /tmp, keyed by the embeddings
+    corpus fingerprint (io.corpus_cache_path — shared staleness
+    contract with the text and image index caches)."""
+    from real_time_data_anomaly_detection_spark.io import corpus_cache_path
 
-    root = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
-    h = hashlib.md5(root.encode())
-    if os.path.isdir(root):
-        for name in sorted(os.listdir(root)):
-            st = os.stat(os.path.join(root, name))
-            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
-    elif os.path.exists(root):
-        st = os.stat(root)
-        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
-    return f"/tmp/spark_graft_ivf_{h.hexdigest()[:16]}"
+    return corpus_cache_path(sf_dir, "embeddings", "ivf")
 
 
 @query("q_ann_topk")  # approximate (LSH recall) → rows-only

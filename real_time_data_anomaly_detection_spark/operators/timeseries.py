@@ -952,9 +952,10 @@ def exact_group_quantile(
     take the offset-th element. Deterministic, no sampling; returns
     (key, q_value).
 
-    ``bucket_bits=None`` (round-10) sizes buckets from the DATA: one
-    counts-sized min/max pass picks bits so the global value range
-    splits into ~2-4k level-1 buckets. The former fixed default of 20
+    ``bucket_bits=None`` (round-10) sizes buckets from the DATA: an
+    in-plan one-row min/max broadcast picks a power-of-two width so
+    the global value range splits into ~2-4k level-1 buckets (see
+    exact_group_quantiles). The former fixed default of 20
     silently degenerated to ONE bucket whenever the value range was
     under 2^20 (micro-unit metrics often are) — every group then
     sorted in a single level-2 task and the hit-bucket join shuffled
@@ -984,17 +985,14 @@ def exact_group_quantiles(
     the cumulative window and the in-bucket ranks are q-independent,
     so all ranks select against the same relations). Returns
     (key, q_pct, q_value); identical rank definition per q — the
-    single-q wrapper stays oracle-green unchanged."""
-    if bucket_bits is None:
-        mm = df.agg(
-            F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
-        ).first()
-        rng = (
-            max(int(mm.hi) - int(mm.lo), 1)
-            if mm.lo is not None
-            else 1
-        )
-        bucket_bits = max(rng.bit_length() - 12, 0)
+    single-q wrapper stays oracle-green unchanged.
+
+    The auto bucket width is computed IN-PLAN: a one-row min/max agg
+    broadcast-crossed into the bucketing projection (width =
+    2^(ceil(log2(range)) − 12), a power-of-two double, so the floor
+    division stays IEEE-exact). No eager job fires at plan-build time
+    — building the DataFrame stays lazy for plan tooling and tests;
+    width still never affects results, only the max-task bound."""
     n_per = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
     nq = n_per.select(
         key_col,
@@ -1002,17 +1000,45 @@ def exact_group_quantiles(
         F.explode(F.array(*[F.lit(int(q)) for q in q_pcts])).alias("_q"),
     )
     k_of = F.expr("(_q * (_n - 1)) div 100")
-    b = df.select(
-        key_col,
-        value_col,
-        rid_col,
-        # FLOOR division (power-of-two double divide is IEEE-exact):
-        # `div` truncates toward zero and would interleave negative
-        # values' buckets with positive ones
-        F.floor(F.col(value_col) / F.lit(float(1 << bucket_bits)))
-        .cast("bigint")
-        .alias("_b"),
-    )
+    # FLOOR division (power-of-two double divide is IEEE-exact):
+    # `div` truncates toward zero and would interleave negative
+    # values' buckets with positive ones
+    if bucket_bits is None:
+        mm = df.agg(
+            F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
+        )
+        width = F.greatest(
+            F.pow(
+                F.lit(2.0),
+                (
+                    F.ceil(
+                        F.log2(
+                            F.greatest(
+                                (F.col("_hi") - F.col("_lo")).cast("double"),
+                                F.lit(2.0),
+                            )
+                        )
+                    )
+                    - F.lit(12)
+                ).cast("double"),
+            ),
+            F.lit(1.0),
+        )
+        b = df.crossJoin(F.broadcast(mm)).select(
+            key_col,
+            value_col,
+            rid_col,
+            F.floor(F.col(value_col) / width).cast("bigint").alias("_b"),
+        )
+    else:
+        b = df.select(
+            key_col,
+            value_col,
+            rid_col,
+            F.floor(F.col(value_col) / F.lit(float(1 << bucket_bits)))
+            .cast("bigint")
+            .alias("_b"),
+        )
     counts = b.groupBy(key_col, "_b").agg(F.count(F.lit(1)).alias("_c"))
     w_cum = (
         Window.partitionBy(key_col)

@@ -136,11 +136,20 @@ def compact_ingest_index(
     (band, key, id, hash) — compaction just rewrites whatever key
     columns the index carries. ``prune=False`` keeps folded inputs for
     forensic replay at the cost of storage (they are no longer listed
-    either way)."""
-    src = _index_paths(index_path, upto_batch)
-    spark.read.parquet(*src).write.mode("overwrite").parquet(
-        f"{index_path}/gen={upto_batch}"
-    )
+    either way).
+
+    IDEMPOTENT: if ``gen=<upto_batch>`` is already committed the fold
+    is skipped (pruning still runs — it is itself idempotent). This is
+    load-bearing for ``compact_every``: a replay of the very batch
+    that compacted re-enters this function, and without the guard
+    ``_index_paths(upto_batch)`` would resolve to gen=<upto> itself
+    and Spark would refuse to overwrite a path it is reading from —
+    wedging every retry."""
+    if not os.path.exists(f"{index_path}/gen={upto_batch}/_SUCCESS"):
+        src = _index_paths(index_path, upto_batch)
+        spark.read.parquet(*src).write.mode("overwrite").parquet(
+            f"{index_path}/gen={upto_batch}"
+        )
     if not prune:
         return
     delta_root = f"{index_path}/delta"
@@ -276,15 +285,32 @@ def image_ingest_stream(
     enter a join or the index), the batch decodes once and
     broadcasts."""
     from real_time_data_anomaly_detection_spark.operators.multimodal import (
-        image_band_rows,
+        _band_fps,
+        _default_bands,
+        check_image_index_meta,
+        image_dhash,
         image_neardup_admit,
     )
+
+    nbits = hash_w * hash_h
+    resolved_bands = (
+        n_bands if n_bands is not None else _default_bands(nbits, max_hamming)
+    )
+    # fail loudly BEFORE the stream starts if the banding geometry
+    # disagrees with what build_image_index persisted — a mismatch
+    # would not error, it would silently admit near-everything
+    check_image_index_meta(index_path, hash_w, hash_h, resolved_bands)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if compact_every and batch_id and batch_id % compact_every == 0:
             compact_ingest_index(spark, index_path, batch_id)
         idx = spark.read.parquet(*_index_paths(index_path, batch_id))
+        # Decode ONCE per trigger: the checkpointed (id, dhash) relation
+        # serves both the admission decision and the index delta.
+        fps = image_dhash(
+            batch_df, payload_col, id_col, hash_w, hash_h
+        ).localCheckpoint(eager=True)
         admitted = image_neardup_admit(
             idx,
             batch_df,
@@ -293,19 +319,15 @@ def image_ingest_stream(
             max_hamming=max_hamming,
             hash_w=hash_w,
             hash_h=hash_h,
-            n_bands=n_bands,
+            n_bands=resolved_bands,
+            fps=fps,
         )
         batch_df.join(admitted.select(id_col), id_col).write.mode(
             "overwrite"
         ).parquet(f"{out_path}/batch={batch_id}")
-        image_band_rows(
-            batch_df,
-            payload_col,
-            id_col,
-            hash_w,
-            hash_h,
-            n_bands,
-            max_hamming,
+        _band_fps(
+            fps.filter(F.col("dhash").isNotNull()), id_col, nbits,
+            resolved_bands,
         ).write.mode("overwrite").parquet(
             f"{index_path}/delta/batch={batch_id}"
         )

@@ -135,6 +135,12 @@ def ohlc_stream(
             pdf = pdf.drop_duplicates(subset=["_rid"])
             if state.exists:
                 prior = np.frombuffer(state.get[8] or b"", dtype=np.int64)
+                # migration: checkpoints written before the sorted
+                # invariant stored rids in ARRIVAL order — searchsorted
+                # on an unsorted array silently breaks the dedup, so
+                # detect (O(n) vectorized) and sort once.
+                if len(prior) > 1 and (np.diff(prior) < 0).any():
+                    prior = np.sort(prior)
             else:
                 prior = np.empty(0, dtype=np.int64)
             if len(prior):

@@ -1172,6 +1172,14 @@ def test_mp4_duration_parse_and_sample_frames(spark):
     assert _mp4_duration_ms(b"\x00\x00ftypmp4 garbage") is None
     assert _mp4_duration_ms(_mp4_bytes(0, 99)) is None  # zero timescale
     assert _mp4_duration_ms(_mp4_bytes(1000, 3500)[:30]) is None  # torn
+    # corrupt mvhd with an absurd duration must null, not overflow the
+    # Arrow int64 column or hand sample_frames an unmaterializable
+    # sequence (review fix)
+    assert _mp4_duration_ms(_mp4_bytes(1, 2**64 - 1, version=1)) is None
+    assert _mp4_duration_ms(_mp4_bytes(1, 2**50, version=1)) is None
+    assert (
+        _mp4_duration_ms(_mp4_bytes(1000, 30 * 86_400_000)) == 30 * 86_400_000
+    )
 
     rows = [
         (0, "video", _mp4_bytes(1000, 2500), (None, None, None, None, "h264")),
@@ -1195,3 +1203,32 @@ def test_mp4_duration_parse_and_sample_frames(spark):
         + [(1, t) for t in range(0, 9001, 1000)]
     )
     assert got == want
+
+
+def test_image_index_meta_mismatch_raises(spark, tmp_path_factory):
+    """build_image_index persists the banding geometry; a reader with
+    different parameters must fail LOUDLY (review fix) — a geometry
+    mismatch does not error at join time, it silently matches almost
+    nothing because the packed bk domains differ."""
+    import numpy as np
+    import pytest as _pt
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        build_image_index,
+        check_image_index_meta,
+    )
+
+    rng = np.random.RandomState(6)
+    rows = [
+        (i, _ppm(12, 10, rng.randint(0, 256, 360, dtype=np.int64)
+                 .astype(np.uint8).tolist()))
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    path = str(tmp_path_factory.mktemp("imgidx_meta"))
+    build_image_index(df, path, max_hamming=3)  # 8x8, n_bands=4
+    check_image_index_meta(path, 8, 8, 4)  # matching: fine
+    with _pt.raises(ValueError, match="banding geometries"):
+        check_image_index_meta(path, 8, 8, 8)
+    with _pt.raises(ValueError, match="banding geometries"):
+        check_image_index_meta(path, 8, 7, 4)

@@ -175,6 +175,10 @@ def test_no_accidental_cartesians_registry_wide(spark):
         "q_zorder_layout",  # one-row broadcast min/max quantization stats
         "q_temperature_mix",  # one-row broadcast weight-sum scalar
         "q_category_drift",  # one-row broadcast window-totals scalar
+        # exact_group_quantiles' in-plan auto bucket width: a one-row
+        # min/max broadcast crossed into the bucketing projection
+        "q_peaks_over_threshold",
+        "q_psi_drift",
     }
     # Queries whose CONSTRUCTION executes jobs (index builds / iterative
     # training) are excluded from this fast lazy-plan loop and instead

@@ -990,6 +990,21 @@ def test_ingest_auto_compaction(spark, tmp_path_factory):
         f"{index}/delta/batch=3",
     ]
     assert not os.path.isdir(f"{index}/seed")
+
+    # IDEMPOTENCE (review fix): a replay of the compacting batch
+    # re-enters compact_ingest_index with the same upto — without the
+    # _SUCCESS guard it would try to overwrite gen=2 while reading it
+    # and wedge every retry. Must be a no-op, not an AnalysisException.
+    from real_time_data_anomaly_detection_spark.streaming.ingest import (
+        compact_ingest_index,
+    )
+
+    compact_ingest_index(spark, index, upto_batch=2)
+    assert _index_paths(index, 4) == [
+        f"{index}/gen=2",
+        f"{index}/delta/batch=2",
+        f"{index}/delta/batch=3",
+    ]
     got = sorted(
         (r.doc_id, r.canon_url)
         for r in spark.read.parquet(out).select("doc_id", "canon_url").collect()
