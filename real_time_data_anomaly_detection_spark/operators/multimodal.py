@@ -3,10 +3,12 @@
 Media travel as opaque ``binary`` columns + a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages. Codec-free formats (8-bit PNG, GIF, baseline
-JPEG, WAV PCM, PPM, 24bpp BMP) decode for REAL with stdlib+numpy;
-remaining lossy codecs (progressive JPEG, MP3) use Pillow/soundfile
-when importable and otherwise fall to a clearly-marked deterministic
-sha256 stub (as does video, which would need libav). The Spark-side contract (schema, batching, partition
+JPEG — and, round-10, PROGRESSIVE JPEG (SOF2: spectral selection +
+successive approximation) — WAV PCM, PPM, 24bpp BMP) decode for REAL
+with stdlib+numpy; the remaining lossy codec (MP3) uses soundfile when
+importable and otherwise falls to a clearly-marked deterministic
+sha256 stub (as does video FRAME decode, which would need libav —
+video container METADATA decodes for real, _mp4_duration_ms). The Spark-side contract (schema, batching, partition
 sizing) is real either way and is what matters for the 100 TB design:
 
 - media bytes never pass through Python row-at-a-time — Arrow batches
@@ -383,8 +385,10 @@ def _decode_gif_builtin(payload: bytes) -> np.ndarray | None:
 # Round-6 judge item #4: the same move PNG (r4) and GIF (r5) made —
 # entropy decode + inverse transform in numpy/stdlib so the most common
 # image format stops falling to the sha256 stub. Scope: baseline DCT
-# (SOF0/SOF1), 8-bit, Huffman; progressive (SOF2) and arithmetic coding
-# still stub. The gray-histogram feature contract needs only LUMA: the
+# (SOF0/SOF1) and, since round 10, progressive (SOF2 — spectral
+# selection + successive approximation, _jpeg_decode_progressive);
+# 8-bit, Huffman; arithmetic coding and 12-bit still stub. The
+# gray-histogram feature contract needs only LUMA: the
 # JPEG Y component IS the ITU-R 601 luma that _rgb_to_gray computes, so
 # chroma blocks are Huffman-decoded (the bitstream must advance) but
 # their coefficients are discarded — no upsampling/color-convert work.
@@ -466,98 +470,10 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def _jpeg_gray_pixels(payload: bytes) -> np.ndarray | None:
-    """Codec-free baseline JPEG luma-plane decode: marker parse +
-    canonical Huffman + dequant + inverse zigzag + numpy IDCT.
-    Returns the gray pixel MATRIX (h×w, 0-255), or None for
-    non-baseline streams (progressive, 12-bit, arithmetic)."""
-    if payload[:2] != b"\xff\xd8":
-        return None
-    qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
-    comps: list[dict] = []
-    width = height = 0
-    restart_interval = 0
-    i = 2
-    n = len(payload)
-    while i + 4 <= n:
-        if payload[i] != 0xFF:
-            return None
-        marker = payload[i + 1]
-        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
-            i += 2
-            continue
-        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
-        seg = payload[i + 4 : i + 2 + seg_len]
-        if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0xF
-                p += 1
-                if pq == 0:
-                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(
-                        np.int32
-                    )
-                    p += 64
-                else:
-                    tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int32)
-                    p += 128
-                qt[tq] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended sequential
-            if seg[0] != 8:  # 12-bit precision unsupported
-                return None
-            height = int.from_bytes(seg[1:3], "big")
-            width = int.from_bytes(seg[3:5], "big")
-            ncomp = seg[5]
-            comps = [
-                {
-                    "id": seg[6 + 3 * c],
-                    "h": seg[7 + 3 * c] >> 4,
-                    "v": seg[7 + 3 * c] & 0xF,
-                    "tq": seg[8 + 3 * c],
-                }
-                for c in range(ncomp)
-            ]
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive/lossless/arithmetic — stub path
-        elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 0xF
-                counts = list(seg[p + 1 : p + 17])
-                nvals = sum(counts)
-                huff[(tc, th)] = _jpeg_build_huff(
-                    counts, seg[p + 17 : p + 17 + nvals]
-                )
-                p += 17 + nvals
-        elif marker == 0xDD:  # DRI
-            restart_interval = int.from_bytes(seg[0:2], "big")
-        elif marker == 0xDA:  # SOS — entropy-coded data follows
-            ns = seg[0]
-            scan = []
-            for c in range(ns):
-                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(cc for cc in comps if cc["id"] == cid)
-                scan.append({**comp, "td": tt >> 4, "ta": tt & 0xF})
-            data_start = i + 2 + seg_len
-            return _jpeg_decode_scan(
-                payload, data_start, scan, qt, huff, width, height, restart_interval
-            )
-        i += 2 + seg_len
-    return None
-
-
-def _jpeg_decode_scan(
-    payload: bytes,
-    start: int,
-    scan: list[dict],
-    qt: dict,
-    huff: dict,
-    width: int,
-    height: int,
-    restart_interval: int,
-) -> np.ndarray | None:
-    # Split entropy data into restart segments, unstuffing 0xFF00.
+def _entropy_segments(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy-coded data into restart segments
+    (0xFF00 unstuffed, split at RSTn); returns (segments, index of the
+    0xFF byte of the marker that terminated the scan, or len(payload))."""
     segments: list[bytes] = []
     cur = bytearray()
     i, n = start, len(payload)
@@ -578,6 +494,130 @@ def _jpeg_decode_scan(
         cur.append(b)
         i += 1
     segments.append(bytes(cur))
+    return segments, i
+
+
+def _jpeg_gray_pixels(payload: bytes) -> np.ndarray | None:
+    """Codec-free JPEG luma-plane decode: marker parse + canonical
+    Huffman + dequant + inverse zigzag + numpy IDCT. Handles BASELINE
+    (SOF0/1, single scan) and PROGRESSIVE (SOF2 — round-10: spectral
+    selection, successive approximation with DC/AC first and refine
+    passes, EOBRUN, per-scan Huffman redefinitions, restart
+    intervals). Returns the gray pixel MATRIX (h×w, 0-255), or None
+    for 12-bit, lossless, or arithmetic-coded streams."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    comps: list[dict] = []
+    width = height = 0
+    restart_interval = 0
+    progressive = False
+    scans: list[dict] = []
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        seg = payload[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(
+                        np.int32
+                    )
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                qt[tq] = tbl
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if seg[0] != 8:  # 12-bit precision unsupported
+                return None
+            progressive = marker == 0xC2
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = [
+                {
+                    "id": seg[6 + 3 * c],
+                    "h": seg[7 + 3 * c] >> 4,
+                    "v": seg[7 + 3 * c] & 0xF,
+                    "tq": seg[8 + 3 * c],
+                }
+                for c in range(ncomp)
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # lossless/arithmetic — stub path
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                counts = list(seg[p + 1 : p + 17])
+                nvals = sum(counts)
+                huff[(tc, th)] = _jpeg_build_huff(
+                    counts, seg[p + 17 : p + 17 + nvals]
+                )
+                p += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(cc for cc in comps if cc["id"] == cid)
+                scan.append({**comp, "td": tt >> 4, "ta": tt & 0xF})
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            data_start = i + 2 + seg_len
+            if not progressive:
+                return _jpeg_decode_scan(
+                    payload, data_start, scan, qt, huff, width, height,
+                    restart_interval,
+                )
+            segments, nxt = _entropy_segments(payload, data_start)
+            scans.append(
+                {
+                    "comps": scan,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0xF,
+                    "segments": segments,
+                    "huff": dict(huff),  # tables as of THIS scan
+                    "ri": restart_interval,
+                }
+            )
+            i = nxt
+            continue
+        i += 2 + seg_len
+    if progressive and scans:
+        return _jpeg_decode_progressive(scans, qt, comps, width, height)
+    return None
+
+
+def _jpeg_decode_scan(
+    payload: bytes,
+    start: int,
+    scan: list[dict],
+    qt: dict,
+    huff: dict,
+    width: int,
+    height: int,
+    restart_interval: int,
+) -> np.ndarray | None:
+    segments, _ = _entropy_segments(payload, start)
 
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
@@ -641,9 +681,201 @@ def _jpeg_decode_scan(
     return np.clip(np.round(plane[:crop_h, :crop_w]), 0, 255)
 
 
+def _jpeg_decode_progressive(
+    scans: list[dict],
+    qt: dict,
+    comps: list[dict],
+    width: int,
+    height: int,
+) -> np.ndarray | None:
+    """Progressive (SOF2) coefficient accumulation across scans, then
+    one dequant + IDCT of the luma plane. Per-pass semantics follow
+    ITU T.81 §G.2 exactly as libjpeg implements them (jdphuff.c):
+
+    - DC first  (Ss=0, Ah=0): DPCM magnitude decode, value << Al.
+    - DC refine (Ss=0, Ah>0): one raw bit per block, OR-ed at Al.
+    - AC first  (Ss>0, Ah=0): band [Ss, Se], run/size with EOB RUNS —
+      (r<15, s=0) ends (1<<r)+bits(r) blocks including this one.
+    - AC refine (Ss>0, Ah>0): new coefficients appear as ±(1<<Al);
+      every already-nonzero coefficient passed over consumes one
+      correction bit that may grow its magnitude by (1<<Al); EOBRUN
+      blocks still consume correction bits for their nonzero history.
+
+    Interleaved scans (ns>1 — DC only) walk MCU order; single-
+    component scans walk the component's OWN block raster (its used
+    blocks, not the MCU-padded grid). Restart intervals reset DC
+    predictors and EOBRUN per segment, counting MCUs or blocks
+    respectively. Chroma scans are decoded too (their bits must be
+    consumed to keep per-scan state honest) but only luma is
+    reconstructed."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    coefs: dict[int, np.ndarray] = {}
+    used: dict[int, tuple[int, int]] = {}
+    for c in comps:
+        bw_full, bh_full = mcus_x * c["h"], mcus_y * c["v"]
+        coefs[c["id"]] = np.zeros((bh_full, bw_full, 64), dtype=np.int32)
+        cw = -(-width * c["h"] // hmax)
+        ch = -(-height * c["v"] // vmax)
+        used[c["id"]] = (-(-ch // 8), -(-cw // 8))
+
+    def dc_first(bits, blk, comp, preds, al, huffs):
+        t = bits.read_huff(huffs[(0, comp["td"])])
+        diff = _jpeg_extend(bits.read_bits(t), t) if t else 0
+        preds[comp["id"]] += diff
+        blk[0] = preds[comp["id"]] << al
+
+    def dc_refine(bits, blk, al):
+        if bits.read_bit():
+            blk[0] |= 1 << al
+
+    def ac_first(bits, blk, comp, ss, se, al, huffs, state):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        ac_tab = huffs[(1, comp["ta"])]
+        k = ss
+        while k <= se:
+            rs = bits.read_huff(ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += bits.read_bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC coefficient outside band")
+            blk[k] = _jpeg_extend(bits.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(bits, blk, comp, ss, se, al, huffs, state):
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if state["eobrun"] == 0:
+            ac_tab = huffs[(1, comp["ta"])]
+            while k <= se:
+                rs = bits.read_huff(ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("AC refine size must be 1")
+                    val = p1 if bits.read_bit() else m1
+                else:
+                    if r < 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += bits.read_bits(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history positions
+                while k <= se:
+                    if blk[k] != 0:
+                        if bits.read_bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if bits.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    try:
+        for sc in scans:
+            scomps = sc["comps"]
+            ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+            huffs = sc["huff"]
+            segments, ri = sc["segments"], sc["ri"]
+            seg_idx = 0
+            bits = _JpegBits(segments[0])
+            preds = {c["id"]: 0 for c in scomps}
+            state = {"eobrun": 0}
+            unit = 0  # MCUs (interleaved) or blocks (single-component)
+
+            def maybe_restart():
+                nonlocal seg_idx, bits, preds, state
+                if ri and unit and unit % ri == 0:
+                    seg_idx += 1
+                    bits = _JpegBits(segments[seg_idx])
+                    preds = {c["id"]: 0 for c in scomps}
+                    state = {"eobrun": 0}
+
+            if len(scomps) > 1:  # interleaved — DC band only (T.81 G.1.1)
+                if ss != 0:
+                    return None
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        maybe_restart()
+                        for comp in scomps:
+                            arr = coefs[comp["id"]]
+                            for by in range(comp["v"]):
+                                for bx in range(comp["h"]):
+                                    blk = arr[
+                                        my * comp["v"] + by,
+                                        mx * comp["h"] + bx,
+                                    ]
+                                    if ah == 0:
+                                        dc_first(bits, blk, comp, preds, al,
+                                                 huffs)
+                                    else:
+                                        dc_refine(bits, blk, al)
+                        unit += 1
+            else:
+                comp = scomps[0]
+                arr = coefs[comp["id"]]
+                nbh, nbw = used[comp["id"]]
+                for by in range(nbh):
+                    for bx in range(nbw):
+                        maybe_restart()
+                        blk = arr[by, bx]
+                        if ss == 0:
+                            if ah == 0:
+                                dc_first(bits, blk, comp, preds, al, huffs)
+                            else:
+                                dc_refine(bits, blk, al)
+                        elif ah == 0:
+                            ac_first(bits, blk, comp, ss, se, al, huffs, state)
+                        else:
+                            ac_refine(bits, blk, comp, ss, se, al, huffs,
+                                      state)
+                        unit += 1
+    except (EOFError, IndexError, KeyError, StopIteration, ValueError):
+        return None
+
+    luma = comps[0]
+    arr = coefs[luma["id"]]
+    q = qt[luma["tq"]]
+    bh_full, bw_full = arr.shape[0], arr.shape[1]
+    plane = np.zeros((bh_full * 8, bw_full * 8), dtype=np.float64)
+    for by in range(bh_full):
+        for bx in range(bw_full):
+            blk = np.zeros(64, dtype=np.float64)
+            blk[_JPEG_ZIGZAG] = arr[by, bx] * q
+            px = _DCT_C.T @ blk.reshape(8, 8) @ _DCT_C + 128.0
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    crop_w = -(-width * luma["h"] // hmax)
+    crop_h = -(-height * luma["v"] // vmax)
+    return np.clip(np.round(plane[:crop_h, :crop_w]), 0, 255)
+
+
 def _decode_jpeg_builtin(payload: bytes) -> np.ndarray | None:
-    """Codec-free baseline JPEG decode — _gray_histogram over the
-    _jpeg_gray_pixels luma plane, the shared feature contract."""
+    """Codec-free JPEG decode (baseline + progressive) —
+    _gray_histogram over the _jpeg_gray_pixels luma plane, the shared
+    feature contract."""
     gray = _jpeg_gray_pixels(payload)
     return None if gray is None else _gray_histogram(gray)
 
@@ -685,12 +917,12 @@ def _decode_bmp_builtin(payload: bytes) -> np.ndarray | None:
 
 def _decode_payload(media_type: str, payload: bytes) -> np.ndarray:
     """Decode kernel: builtin parsers for codec-free formats (8-bit
-    PNG via stdlib zlib, GIF via pure-Python GIF-LZW, baseline JPEG
-    via numpy Huffman+IDCT, WAV PCM, PPM, 24bpp BMP — REAL in this
-    env), optional codec libraries (Pillow/soundfile) for other
+    PNG via stdlib zlib, GIF via pure-Python GIF-LZW, baseline AND
+    progressive JPEG via numpy Huffman+IDCT, WAV PCM, PPM, 24bpp
+    BMP — REAL in this env), optional codec libraries (Pillow/soundfile) for other
     formats when importable, deterministic sha256 stub otherwise.
 
-    The stub only remains for progressive/arithmetic JPEG and MP3
+    The stub only remains for arithmetic-coded/12-bit JPEG and MP3
     without libraries, and for video FRAME PIXELS (which would need
     libav/ffmpeg — video container METADATA decodes for real, see
     _mp4_duration_ms);
@@ -889,9 +1121,9 @@ def decode_gray_milli(payload: bytes) -> np.ndarray | None:
     g = 299·R + 587·G + 114·B — pure INTEGER algebra, so every engine
     (and the DuckDB oracle of q_image_neardup_md5) reproduces it
     bit-exactly; no float luma rounding ambiguity. Codec-free formats
-    only (PPM P6, 8-bit PNG, 24bpp BMP, non-interlaced GIF, baseline
-    JPEG luma — the pixel-exposing builtin decoders); others return
-    None and callers fall back / skip."""
+    only (PPM P6, 8-bit PNG, 24bpp BMP, non-interlaced GIF, baseline +
+    progressive JPEG luma — the pixel-exposing builtin decoders);
+    others return None and callers fall back / skip."""
     payload = bytes(payload)
     out = _ppm_pixels(payload)
     if out is not None:
