@@ -219,11 +219,25 @@ def _png_unfilter(
     return out
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG spec §8.2.
+_ADAM7_PASSES = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
 def _png_pixels(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
     """Codec-free PNG pixel extraction (stdlib zlib + numpy unfilter),
-    8-bit gray / gray+alpha / RGB / RGBA non-interlaced: (height,
-    width, channels, px uint8 [h*w, channels]) top-down row-major.
-    Paletted, 16-bit and Adam7 fall through (None)."""
+    8-bit gray / gray+alpha / RGB / RGBA, non-interlaced AND Adam7
+    interlaced (round-10: seven independently-filtered sub-images
+    scattered back on the pass grid): (height, width, channels,
+    px uint8 [h*w, channels]) top-down row-major. Paletted and 16-bit
+    fall through (None)."""
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     import zlib
@@ -246,16 +260,39 @@ def _png_pixels(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
     height = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if bit_depth != 8 or channels is None or interlace != 0:
+    if bit_depth != 8 or channels is None or interlace not in (0, 1):
         return None
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    row_bytes = width * channels
-    if raw.size != height * (row_bytes + 1):
+    if interlace == 0:
+        row_bytes = width * channels
+        if raw.size != height * (row_bytes + 1):
+            return None
+        recon = _png_unfilter(raw, height, row_bytes, channels)
+        if recon is None:
+            return None
+        return height, width, channels, recon.reshape(height * width, channels)
+    # Adam7: each pass is an independent sub-image (its own filter
+    # bytes, its own left/up neighbors); empty passes emit NO bytes.
+    out = np.zeros((height, width, channels), dtype=np.uint16)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7_PASSES:
+        pw = (width - x0 + xs - 1) // xs
+        ph = (height - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        rb = pw * channels
+        need = ph * (rb + 1)
+        sub = raw[pos : pos + need]
+        if sub.size != need:
+            return None
+        pos += need
+        rec = _png_unfilter(sub, ph, rb, channels)
+        if rec is None:
+            return None
+        out[y0::ys, x0::xs, :] = rec.reshape(ph, pw, channels)
+    if pos != raw.size:
         return None
-    recon = _png_unfilter(raw, height, row_bytes, channels)
-    if recon is None:
-        return None
-    return height, width, channels, recon.reshape(height * width, channels)
+    return height, width, channels, out.reshape(height * width, channels)
 
 
 def _decode_png_builtin(payload: bytes) -> np.ndarray | None:
@@ -316,9 +353,9 @@ def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int] | None:
 
 
 def _gif_pixels(payload: bytes) -> tuple[int, int, np.ndarray] | None:
-    """Codec-free GIF pixel extraction (87a/89a, non-interlaced, first
-    frame): (height, width, rgb uint8 [h*w, 3]) top-down row-major.
-    Interlaced images fall through (None)."""
+    """Codec-free GIF pixel extraction (87a/89a, first frame,
+    interlaced or not — round-10 added the four-pass row deinterlace):
+    (height, width, rgb uint8 [h*w, 3]) top-down row-major."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     packed = payload[10]
@@ -349,7 +386,7 @@ def _gif_pixels(payload: bytes) -> tuple[int, int, np.ndarray] | None:
                     payload, dtype=np.uint8, count=n, offset=pos
                 ).reshape(-1, 3)
                 pos += n
-            if ipacked & 0x40 or ct is None:  # interlaced / no palette
+            if ct is None:  # no palette anywhere
                 return None
             min_code_size = payload[pos]
             pos += 1
@@ -362,6 +399,17 @@ def _gif_pixels(payload: bytes) -> tuple[int, int, np.ndarray] | None:
             if idx is None or len(idx) < width * height:
                 return None
             px = ct[np.asarray(idx[: width * height]) % len(ct)]
+            if ipacked & 0x40:  # interlaced: rows stored in 4 passes
+                stored = px.reshape(height, width, 3)
+                order = (
+                    list(range(0, height, 8))
+                    + list(range(4, height, 8))
+                    + list(range(2, height, 4))
+                    + list(range(1, height, 2))
+                )
+                display = np.zeros_like(stored)
+                display[np.asarray(order)] = stored
+                px = display.reshape(height * width, 3)
             return height, width, px
         elif block == 0x3B:
             break
@@ -1121,8 +1169,9 @@ def decode_gray_milli(payload: bytes) -> np.ndarray | None:
     g = 299·R + 587·G + 114·B — pure INTEGER algebra, so every engine
     (and the DuckDB oracle of q_image_neardup_md5) reproduces it
     bit-exactly; no float luma rounding ambiguity. Codec-free formats
-    only (PPM P6, 8-bit PNG, 24bpp BMP, non-interlaced GIF, baseline +
-    progressive JPEG luma — the pixel-exposing builtin decoders);
+    only (PPM P6, 8-bit PNG including Adam7, 24bpp BMP, GIF including
+    interlaced, baseline + progressive JPEG luma — the pixel-exposing
+    builtin decoders);
     others return None and callers fall back / skip."""
     payload = bytes(payload)
     out = _ppm_pixels(payload)

@@ -156,24 +156,16 @@ def test_builtin_ppm_and_bmp_decode():
     assert list(feat_bmp) == list(feat)
 
 
-def _png_bytes(pixels, filters=None):
-    """Minimal PNG encoder for fixtures: ``pixels`` is an (h, w, c)
-    uint8 array (c in 1/2/3/4); ``filters`` optionally picks the
-    per-row filter type (0-4), applying the forward filter from the
-    spec so the decoder's unfilter path is genuinely exercised."""
-    import struct
-    import zlib
-
+def _png_filter_rows(flat, c, filters):
+    """Forward PNG scanline filters over a (rows, row_bytes) int16
+    matrix — shared by the plain and Adam7 fixture encoders."""
     import numpy as np
 
-    h, w, c = pixels.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    filters = filters or [0] * h
-    flat = pixels.reshape(h, w * c).astype(np.int16)
     raw = bytearray()
+    nbytes = flat.shape[1]
     for r, ftype in enumerate(filters):
         line = flat[r]
-        prev = flat[r - 1] if r else np.zeros(w * c, dtype=np.int16)
+        prev = flat[r - 1] if r else np.zeros(nbytes, dtype=np.int16)
         left = np.concatenate([np.zeros(c, dtype=np.int16), line[:-c]])
         upleft = np.concatenate([np.zeros(c, dtype=np.int16), prev[:-c]])
         if ftype == 0:
@@ -193,6 +185,23 @@ def _png_bytes(pixels, filters=None):
             enc = line - pred
         raw.append(ftype)
         raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+    return raw
+
+
+def _png_bytes(pixels, filters=None):
+    """Minimal PNG encoder for fixtures: ``pixels`` is an (h, w, c)
+    uint8 array (c in 1/2/3/4); ``filters`` optionally picks the
+    per-row filter type (0-4), applying the forward filter from the
+    spec so the decoder's unfilter path is genuinely exercised."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = pixels.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    filters = filters or [0] * h
+    raw = _png_filter_rows(pixels.reshape(h, w * c).astype(np.int16), c, filters)
 
     def chunk(ctype, data):
         return (
@@ -275,15 +284,25 @@ def test_builtin_decode_through_spark(spark):
     assert out[11][FEATURE_DIM - 1] == 1.0  # white -> top intensity bin
 
 
-def _gif_bytes(rgb):
+def _gif_bytes(rgb, interlaced=False):
     """Minimal GIF89a encoder for tests: 256-entry palette built from
     the image's unique colors, pixels emitted as LITERAL 9-bit LZW
     codes with a clear code every 250 symbols (the classic
-    'uncompressed GIF' technique — valid LZW, zero dictionary use)."""
+    'uncompressed GIF' technique — valid LZW, zero dictionary use).
+    ``interlaced=True`` stores rows in the four-pass GIF order and
+    sets the descriptor flag."""
     import numpy as np
     import struct
 
     h, w, _ = rgb.shape
+    if interlaced:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        rgb = rgb[np.asarray(order)]
     flat = rgb.reshape(-1, 3)
     colors, idx = np.unique(flat, axis=0, return_inverse=True)
     assert len(colors) <= 256
@@ -294,7 +313,8 @@ def _gif_bytes(rgb):
     out += struct.pack("<HH", w, h)
     out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
     out += palette.tobytes()
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlaced else 0x00])
     out += bytes([8])  # LZW min code size
 
     # 9-bit codes, LSB-first: CLEAR, then literals with periodic CLEAR
@@ -1611,3 +1631,93 @@ def test_progressive_jpeg_through_decode_paths(spark):
     assert gm_b is not None and gm_p is not None
     assert np.array_equal(gm_b, gm_p)
     assert dhash_bits(gm_p, 8, 8) == dhash_bits(gm_b, 8, 8)
+
+
+def _png_bytes_interlaced(pixels):
+    """Adam7-interlaced PNG fixture encoder: each pass sub-image is an
+    independently filtered image (filter types cycling 0-4 per row so
+    every unfilter path runs inside passes too); empty passes emit no
+    bytes, per spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = pixels.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = bytearray()
+    for x0, y0, xs, ys in passes:
+        sub = pixels[y0::ys, x0::xs, :]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        flat = sub.reshape(ph, pw * c).astype(np.int16)
+        raw += _png_filter_rows(flat, c, [r % 5 for r in range(ph)])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_adam7_png_decode():
+    """Adam7-interlaced PNGs decode to EXACTLY the same pixels as the
+    plain encoding of the same image — including odd dimensions and
+    tiny images where several passes are empty."""
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _png_pixels,
+    )
+
+    rng = np.random.RandomState(30)
+    for h, w, c in [(21, 13, 3), (16, 16, 1), (3, 3, 3), (1, 1, 3),
+                    (2, 9, 4), (9, 2, 2)]:
+        img = rng.randint(0, 256, size=(h, w, c), dtype=np.int64).astype(
+            np.uint8
+        )
+        plain = _png_pixels(_png_bytes(img, filters=[r % 5 for r in range(h)]))
+        inter = _png_pixels(_png_bytes_interlaced(img))
+        assert plain is not None and inter is not None, (h, w, c)
+        assert plain[:3] == inter[:3]
+        assert np.array_equal(
+            np.asarray(plain[3]), np.asarray(inter[3])
+        ), (h, w, c)
+
+
+def test_interlaced_gif_decode():
+    """Interlaced GIFs (four-pass row order) decode to the same pixels
+    as the non-interlaced encoding of the same image."""
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _gif_pixels,
+    )
+
+    rng = np.random.RandomState(31)
+    for h, w in [(19, 7), (8, 8), (3, 5), (1, 4)]:
+        palette = rng.randint(0, 256, size=(64, 3), dtype=np.int64).astype(
+            np.uint8
+        )
+        idx = rng.randint(0, 64, size=(h, w))
+        img = palette[idx]
+        plain = _gif_pixels(_gif_bytes(img))
+        inter = _gif_pixels(_gif_bytes(img, interlaced=True))
+        assert plain is not None and inter is not None, (h, w)
+        assert plain[:2] == inter[:2]
+        assert np.array_equal(plain[2], inter[2]), (h, w)
