@@ -251,6 +251,7 @@ def main() -> None:
         "q_image_ingest_admit_md5",
         "q_psi_drift",
         "q_ks_drift",
+        "q_drift_report",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s

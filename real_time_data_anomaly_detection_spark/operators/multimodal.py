@@ -233,16 +233,17 @@ _ADAM7_PASSES = [
 
 def _png_pixels(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
     """Codec-free PNG pixel extraction (stdlib zlib + numpy unfilter),
-    8-bit gray / gray+alpha / RGB / RGBA, non-interlaced AND Adam7
-    interlaced (round-10: seven independently-filtered sub-images
-    scattered back on the pass grid): (height, width, channels,
-    px uint8 [h*w, channels]) top-down row-major. Paletted and 16-bit
-    fall through (None)."""
+    8-bit gray / gray+alpha / RGB / RGBA / paletted, non-interlaced
+    AND Adam7 interlaced (round-10: seven independently-filtered
+    sub-images scattered back on the pass grid; paletted indices map
+    through PLTE after unfiltering): (height, width, channels,
+    px uint8 [h*w, channels]) top-down row-major. 16-bit falls
+    through (None)."""
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     import zlib
 
-    ihdr, idat, pos = None, [], 8
+    ihdr, idat, plte, pos = None, [], None, 8
     while pos + 8 <= len(payload):
         length = int.from_bytes(payload[pos : pos + 4], "big")
         ctype = payload[pos + 4 : pos + 8]
@@ -252,6 +253,8 @@ def _png_pixels(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
             ihdr = data
         elif ctype == b"IDAT":
             idat.append(data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IEND":
             break
     if ihdr is None or len(ihdr) < 13 or not idat:
@@ -259,9 +262,20 @@ def _png_pixels(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if bit_depth != 8 or channels is None or interlace not in (0, 1):
         return None
+    if color_type == 3 and plte is None:
+        return None
+
+    def _finish(flat: np.ndarray):
+        if color_type == 3:  # palette lookup AFTER unfiltering
+            rgb = plte[flat.reshape(-1).astype(np.int64) % len(plte)]
+            return height, width, 3, rgb
+        return height, width, channels, flat.reshape(
+            height * width, channels
+        )
+
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if interlace == 0:
         row_bytes = width * channels
@@ -270,7 +284,7 @@ def _png_pixels(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
         recon = _png_unfilter(raw, height, row_bytes, channels)
         if recon is None:
             return None
-        return height, width, channels, recon.reshape(height * width, channels)
+        return _finish(recon)
     # Adam7: each pass is an independent sub-image (its own filter
     # bytes, its own left/up neighbors); empty passes emit NO bytes.
     out = np.zeros((height, width, channels), dtype=np.uint16)
@@ -292,7 +306,7 @@ def _png_pixels(payload: bytes) -> tuple[int, int, int, np.ndarray] | None:
         out[y0::ys, x0::xs, :] = rec.reshape(ph, pw, channels)
     if pos != raw.size:
         return None
-    return height, width, channels, out.reshape(height * width, channels)
+    return _finish(out)
 
 
 def _decode_png_builtin(payload: bytes) -> np.ndarray | None:

@@ -1469,3 +1469,149 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "ks_num", "ref_n", "cur_n")
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_drift_report",
+    oracle="""
+        WITH cc AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS o1,
+                   CAST(sum(CASE WHEN hour(ts) < 12 THEN 0 ELSE 1 END)
+                        AS BIGINT) AS o2
+            FROM events GROUP BY 1),
+        ct AS (
+            SELECT CAST(sum(o1) AS BIGINT) AS n1,
+                   CAST(sum(o2) AS BIGINT) AS n2
+            FROM cc),
+        chi AS (
+            SELECT event_type, o1, o2,
+                   CAST(floor(
+                       (CAST(o1*n2 - o2*n1 AS DOUBLE)
+                        * CAST(o1*n2 - o2*n1 AS DOUBLE))
+                       * CAST(n1 + n2 AS DOUBLE)
+                       / ((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                          * CAST(o1 + o2 AS DOUBLE))
+                       * 1024.0) AS BIGINT) AS chi2_mil
+            FROM cc, ct),
+        v AS (
+            SELECT event_type, event_id AS rid,
+                   CAST(round(value * 1000000) AS BIGINT) AS xm,
+                   (hour(ts) < 12) AS w1
+            FROM events),
+        r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY xm, rid) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM v WHERE w1),
+        e AS (
+            SELECT event_type,
+                   max(CASE WHEN rn - 1 = (20 * (n - 1)) // 100
+                       THEN xm END) AS e0,
+                   max(CASE WHEN rn - 1 = (40 * (n - 1)) // 100
+                       THEN xm END) AS e1,
+                   max(CASE WHEN rn - 1 = (60 * (n - 1)) // 100
+                       THEN xm END) AS e2,
+                   max(CASE WHEN rn - 1 = (80 * (n - 1)) // 100
+                       THEN xm END) AS e3
+            FROM r GROUP BY 1),
+        b AS (
+            SELECT v.event_type, v.w1,
+                   (CASE WHEN v.xm > e0 THEN 1 ELSE 0 END
+                  + CASE WHEN v.xm > e1 THEN 1 ELSE 0 END
+                  + CASE WHEN v.xm > e2 THEN 1 ELSE 0 END
+                  + CASE WHEN v.xm > e3 THEN 1 ELSE 0 END) AS bk
+            FROM v JOIN e USING (event_type)),
+        g AS (
+            SELECT event_type, bk,
+                   CAST(sum(CASE WHEN w1 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+                   CAST(sum(CASE WHEN w1 THEN 0 ELSE 1 END) AS BIGINT) AS o2
+            FROM b GROUP BY 1, 2),
+        grid AS (
+            SELECT event_type, t.bk
+            FROM e, UNNEST(generate_series(0, 4)) AS t(bk)),
+        gf AS (
+            SELECT grid.event_type, grid.bk,
+                   COALESCE(o1, 0) AS o1, COALESCE(o2, 0) AS o2
+            FROM grid LEFT JOIN g
+              ON grid.event_type = g.event_type AND grid.bk = g.bk),
+        tt AS (
+            SELECT event_type,
+                   CAST(sum(o1) AS BIGINT) AS rn_,
+                   CAST(sum(o2) AS BIGINT) AS cn_
+            FROM gf GROUP BY 1),
+        term AS (
+            SELECT gf.event_type, rn_, cn_,
+                   CAST(floor(
+                       (CAST(o2 + 1 AS DOUBLE) / CAST(cn_ + 5 AS DOUBLE)
+                        - CAST(o1 + 1 AS DOUBLE) / CAST(rn_ + 5 AS DOUBLE))
+                       * ln((CAST(o2 + 1 AS DOUBLE)
+                             / CAST(o1 + 1 AS DOUBLE))
+                            * (CAST(rn_ + 5 AS DOUBLE)
+                               / CAST(cn_ + 5 AS DOUBLE)))
+                       * 1048576.0) AS BIGINT) AS tu
+            FROM gf JOIN tt USING (event_type)),
+        psi AS (
+            SELECT event_type, CAST(sum(tu) AS BIGINT) AS psi_u
+            FROM term GROUP BY 1),
+        kg AS (
+            SELECT event_type, xm,
+                   CAST(sum(CASE WHEN w1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(sum(CASE WHEN w1 THEN 0 ELSE 1 END) AS BIGINT) AS d2
+            FROM v GROUP BY 1, 2),
+        kc AS (
+            SELECT event_type,
+                   sum(d1) OVER (PARTITION BY event_type
+                                 ORDER BY xm) AS c1,
+                   sum(d2) OVER (PARTITION BY event_type
+                                 ORDER BY xm) AS c2
+            FROM kg),
+        kt AS (
+            SELECT event_type,
+                   CAST(sum(d1) AS BIGINT) AS n1,
+                   CAST(sum(d2) AS BIGINT) AS n2
+            FROM kg GROUP BY 1),
+        ks AS (
+            SELECT kc.event_type,
+                   CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num
+            FROM kc JOIN kt ON kc.event_type = kt.event_type
+            GROUP BY 1)
+        SELECT chi.event_type,
+               chi.o1 AS ref_n, chi.o2 AS cur_n,
+               chi.chi2_mil, psi.psi_u, ks.ks_num
+        FROM chi
+        JOIN psi ON chi.event_type = psi.event_type
+        JOIN ks ON chi.event_type = ks.event_type
+        ORDER BY 1
+    """,
+)
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-stop drift monitor (round-10): per event_type, all
+    three drift statistics over the same morning/afternoon window
+    split — chi-square contribution (category mix), population
+    stability index (bucketed value shares), and the exact
+    Kolmogorov–Smirnov numerator (full distribution shape) — joined
+    into one counts-sized report. The reference's detector flags point
+    outliers one event at a time (app/app3_ML.py:165); a fleet
+    monitor needs exactly this distribution-level triptych next to
+    it. Composes the three oracle-green queries (each bit-equal
+    cross-engine on its own), so the report is too; the joins are
+    |event_types|-row."""
+    chi = q_category_drift(spark, sf_dir)
+    psi = q_psi_drift(spark, sf_dir).select("event_type", "psi_u")
+    ks = q_ks_drift(spark, sf_dir).select("event_type", "ks_num")
+    return (
+        chi.join(psi, "event_type")
+        .join(ks, "event_type")
+        .select(
+            "event_type",
+            F.col("o1").alias("ref_n"),
+            F.col("o2").alias("cur_n"),
+            "chi2_mil",
+            "psi_u",
+            "ks_num",
+        )
+        .orderBy("event_type")
+    )

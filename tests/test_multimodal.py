@@ -1721,3 +1721,69 @@ def test_interlaced_gif_decode():
         assert plain is not None and inter is not None, (h, w)
         assert plain[:2] == inter[:2]
         assert np.array_equal(plain[2], inter[2]), (h, w)
+
+
+def test_paletted_png_decode():
+    """Color-type-3 (paletted) PNGs decode for real: indices unfilter
+    like any 1-channel image, then map through PLTE — plain and Adam7
+    variants give exactly palette[idx]."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _png_pixels,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def palette_png(idx, palette, interlaced):
+        h, w = idx.shape
+        if interlaced:
+            passes = [
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            ]
+            raw = bytearray()
+            for x0, y0, xs, ys in passes:
+                sub = idx[y0::ys, x0::xs]
+                ph, pw = sub.shape
+                if ph == 0 or pw == 0:
+                    continue
+                raw += _png_filter_rows(
+                    sub.reshape(ph, pw).astype(np.int16), 1,
+                    [r % 5 for r in range(ph)],
+                )
+        else:
+            raw = _png_filter_rows(
+                idx.reshape(h, w).astype(np.int16), 1,
+                [r % 5 for r in range(h)],
+            )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0,
+                           1 if interlaced else 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.RandomState(33)
+    palette = rng.randint(0, 256, size=(40, 3), dtype=np.int64).astype(np.uint8)
+    for h, w in [(13, 9), (8, 8), (2, 3)]:
+        idx = rng.randint(0, 40, size=(h, w)).astype(np.uint8)
+        want = palette[idx.reshape(-1).astype(int)]
+        for inter in (False, True):
+            got = _png_pixels(palette_png(idx, palette, inter))
+            assert got is not None, (h, w, inter)
+            gh, gw, gc, px = got
+            assert (gh, gw, gc) == (h, w, 3)
+            assert np.array_equal(np.asarray(px), want), (h, w, inter)
