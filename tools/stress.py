@@ -349,6 +349,42 @@ def scaling_main() -> None:
             "key", "xm", "rid", "w1",
         )
 
+    # round-10: exact two-sample KS — one partial-aggregable groupBy
+    # collapses events to per-(key, distinct value) counts before the
+    # ECDF window, so the window's input is the distinct-value
+    # relation, not the stream.
+    def _ks_op(x):
+        from pyspark.sql import Window
+
+        v = x.withColumn("w1", F.col("rid") % 2 == 0)
+        g = v.groupBy("key", "xm").agg(
+            F.sum(F.when(F.col("w1"), 1).otherwise(0)).cast("bigint").alias("d1"),
+            F.sum(F.when(F.col("w1"), 0).otherwise(1)).cast("bigint").alias("d2"),
+        )
+        w = (
+            Window.partitionBy("key")
+            .orderBy("xm")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        c = g.select(
+            "key",
+            F.sum("d1").over(w).alias("c1"),
+            F.sum("d2").over(w).alias("c2"),
+        )
+        t = g.groupBy("key").agg(
+            F.sum("d1").cast("bigint").alias("n1"),
+            F.sum("d2").cast("bigint").alias("n2"),
+        )
+        return (
+            c.join(F.broadcast(t), "key")
+            .groupBy("key", "n1", "n2")
+            .agg(
+                F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+                .cast("bigint")
+                .alias("ks_num")
+            )
+        )
+
     # PQ/ADC top-k: sample-fit train (constant), one encode pass, one
     # LUT-scored scan planned as TakeOrderedAndProject — the ANN slope
     # row. Probe = deterministic unit basis vector (no collect).
@@ -473,6 +509,7 @@ def scaling_main() -> None:
         # round-10 additions
         "image_index": ("docs", _image_index_op),
         "psi_drift": ("events", _psi_op),
+        "ks_drift": ("events", _ks_op),
     }
     # optional 4th arg: comma-separated op subset
     if len(sys.argv) > 4:
