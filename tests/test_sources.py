@@ -52,3 +52,28 @@ def test_rate_stream_constructs(spark):
     df = read_stream(spark, "rate", rowsPerSecond=5)
     assert df.isStreaming
     assert set(df.columns) == {"timestamp", "value"}
+
+
+def test_corpus_cache_path_staleness(tmp_path):
+    """The shared /tmp cache-path helper fingerprints the CORPUS, not
+    the directory name: same path + rewritten data → different cache
+    dir; identical data → stable dir; different prefixes never
+    collide."""
+    import os
+    import time
+
+    from real_time_data_anomaly_detection_spark.io import corpus_cache_path
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    f = d / "part-0.parquet"
+    f.write_bytes(b"aaaa")
+    p1 = corpus_cache_path(str(tmp_path), "documents", "textidx")
+    p1b = corpus_cache_path(str(tmp_path), "documents", "textidx")
+    assert p1 == p1b
+    assert corpus_cache_path(str(tmp_path), "documents", "imgidx") != p1
+    time.sleep(0.01)
+    f.write_bytes(b"bbbbbb")  # size + mtime change
+    os.utime(f)
+    p2 = corpus_cache_path(str(tmp_path), "documents", "textidx")
+    assert p2 != p1

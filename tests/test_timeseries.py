@@ -216,3 +216,44 @@ def test_exact_group_quantile_two_level_matches_naive_and_handles_negatives(spar
         assert got == want, q
     plan = formatted_plan(exact_group_quantile(df, "key", "xm", "rid", 95))
     assert "_b" in plan
+
+
+def test_exact_group_quantiles_matches_single_q(spark):
+    """The one-pass multi-quantile selection returns, for every
+    requested q, exactly the single-q two-level selection's value —
+    and both match a driver-side sorted-rank reference — on random
+    keyed data including heavy ties."""
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        exact_group_quantile,
+        exact_group_quantiles,
+    )
+
+    rng = np.random.RandomState(17)
+    rows = [
+        (f"k{rng.randint(3)}", int(rng.randint(0, 40)), i)  # heavy ties
+        for i in range(500)
+    ] + [("k9", 7, 10_000)]  # single-row group: every q = the value
+    df = spark.createDataFrame(rows, "key string, xm long, rid long")
+    qs = (10, 25, 50, 75, 95)
+    multi = {
+        (r.key, r.q_pct): r.q_value
+        for r in exact_group_quantiles(df, "key", "xm", "rid", qs).collect()
+    }
+    by_key: dict = {}
+    for k, x, r in rows:
+        by_key.setdefault(k, []).append((x, r))
+    for k, vals in by_key.items():
+        vals.sort()
+        n = len(vals)
+        for q in qs:
+            want = vals[(q * (n - 1)) // 100][0]
+            assert multi[(k, q)] == want, (k, q)
+    for q in (25, 95):
+        single = {
+            r.key: r.q_value
+            for r in exact_group_quantile(df, "key", "xm", "rid", q).collect()
+        }
+        for k in by_key:
+            assert single[k] == multi[(k, q)], (k, q)
