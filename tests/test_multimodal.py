@@ -1787,3 +1787,48 @@ def test_paletted_png_decode():
             gh, gw, gc, px = got
             assert (gh, gw, gc) == (h, w, 3)
             assert np.array_equal(np.asarray(px), want), (h, w, inter)
+
+
+def test_image_admit_undecodable_policy(spark, tmp_path_factory):
+    """image_neardup_admit's documented policy: undecodable payloads
+    are ADMITTED with a null hash (no evidence of duplication — keep
+    the bytes for a later decoder), near-dups of indexed images are
+    rejected, novel images admitted; band rows exist only for
+    decodable images."""
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        build_image_index,
+        image_band_rows,
+        image_neardup_admit,
+    )
+
+    rng = np.random.RandomState(40)
+    base = rng.randint(0, 256, size=(24 * 36 * 3,), dtype=np.int64)
+    novel = rng.randint(0, 256, size=(24 * 36 * 3,), dtype=np.int64)
+    corpus = spark.createDataFrame(
+        [(1, _ppm(36, 24, base.astype(np.uint8).tolist()))],
+        "media_id long, payload binary",
+    )
+    path = str(tmp_path_factory.mktemp("admit_policy"))
+    build_image_index(corpus, path, max_hamming=6)
+    idx = spark.read.parquet(f"{path}/seed")
+
+    dup = base.copy()
+    dup[:3] = np.minimum(dup[:3] + 5, 255)  # near-dup of the indexed image
+    batch = spark.createDataFrame(
+        [
+            (10, _ppm(36, 24, dup.astype(np.uint8).tolist())),
+            (11, b"P6\n36 "),  # torn header: undecodable
+            (12, _ppm(36, 24, novel.astype(np.uint8).tolist())),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {
+        r.media_id: r.dhash
+        for r in image_neardup_admit(idx, batch, max_hamming=6).collect()
+    }
+    assert set(got) == {11, 12}
+    assert got[11] is None and got[12] is not None
+    bands = image_band_rows(batch, max_hamming=6)
+    assert {r.media_id for r in bands.select("media_id").distinct().collect()} == {10, 12}
