@@ -1240,3 +1240,86 @@ def test_psi_drift_stream_equals_batch(spark, tmp_path_factory):
             latest[r.event_type] = r
     got = {k: (r.ref_n, r.cur_n, r.psi_u) for k, r in latest.items()}
     assert got == want and len(want) > 0
+
+
+def test_psi_drift_stream_restart_recovery(spark, tmp_path_factory):
+    """psi_drift_stream survives a durable-checkpoint restart: two
+    availableNow runs (new feed file in between) fold into the SAME
+    per-key bucket-count state, and the final emission is still
+    bit-equal to batch q_psi_drift — the applyInPandasWithState blob
+    decode path after recovery, not just the single-run fold."""
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        _micro_units,
+        _psi_counts,
+        psi_bucket_edges,
+    )
+    from real_time_data_anomaly_detection_spark.streaming.sketches import (
+        psi_drift_stream,
+    )
+
+    root = tmp_path_factory.mktemp("psi_restart")
+    feed = str(root / "feed")
+    ckpt = str(root / "ckpt")
+    os.makedirs(feed)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type",
+        F.col("event_id").alias("rid"),
+        _micro_units(F.col("value")).alias("xm"),
+        (F.hour("ts") < 12).alias("w1"),
+    )
+    ref = ev.filter(F.col("w1"))
+    edges = psi_bucket_edges(ref, "event_type", "xm", "rid").localCheckpoint()
+    ref_counts = (
+        _psi_counts(
+            ref.withColumn("_all", F.lit(True)), edges, "event_type", "xm",
+            "_all", 4,
+        )
+        .select("event_type", "_bk", "o1")
+        .toPandas()
+    )
+    pdf = ev.filter(~F.col("w1")).select("event_type", "xm").toPandas()
+
+    def _write(i):
+        f = os.path.join(feed, f"part-{i:02d}.parquet")
+        pdf.iloc[i::3].to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out = str(root / "out")
+
+    def _sink(bdf, bid):
+        bdf.write.mode("append").parquet(out)
+
+    def _run():
+        stream_df = file_replay_source(
+            spark, feed, spark.read.parquet(feed).schema
+        )
+        q = (
+            psi_drift_stream(stream_df, edges, ref_counts)
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)  # memory sink can't recover
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(0)
+    _write(1)
+    _run()
+    _write(2)
+    _run()  # restart: state + offsets recovered from ckpt
+
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:
+        if r.event_type not in latest or r.seen > latest[r.event_type].seen:
+            latest[r.event_type] = r
+    got = {k: (r.ref_n, r.cur_n, r.psi_u) for k, r in latest.items()}
+    want = {
+        r.event_type: (r.ref_n, r.cur_n, r.psi_u)
+        for r in REGISTRY["q_psi_drift"]
+        .spark_fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == want and len(want) > 0
