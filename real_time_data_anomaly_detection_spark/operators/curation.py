@@ -698,11 +698,11 @@ def q_index_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_phrase_search from two partition-pruned index reads. Identical
     oracle — a hash-match proves the indexed path returns exactly the
     inline path's results."""
-    import os
+    from real_time_data_anomaly_detection_spark import fs as _fs
 
     d = load_table(spark, sf_dir, "documents")
     path = _text_index_path(sf_dir)
-    if not os.path.exists(path + "/_SUCCESS"):
+    if not _fs.exists(path + "/_SUCCESS", spark):
         build_text_index(d, path)
     phrases = [
         (r.w1, r.w2) for r in top_bigrams(d, 5).select("w1", "w2").collect()

@@ -1579,12 +1579,18 @@ def build_image_index(
     rows.repartitionByRange(num_files, "bk").sortWithinPartitions(
         "bk"
     ).write.mode("overwrite").parquet(f"{index_path}/seed")
-    import os as _os
+    from real_time_data_anomaly_detection_spark import fs as _fs
 
-    with open(_os.path.join(index_path, "meta.json"), "w") as fh:
-        _json.dump(
-            {"hash_w": hash_w, "hash_h": hash_h, "n_bands": resolved}, fh
-        )
+    # meta.json is written AFTER the seed's _SUCCESS commit (readers
+    # gate on the marker, so a torn meta write is never authoritative);
+    # the Hadoop FS shim makes the index portable to hdfs://s3a://
+    _fs.write_text(
+        f"{index_path}/meta.json",
+        _json.dumps(
+            {"hash_w": hash_w, "hash_h": hash_h, "n_bands": resolved}
+        ),
+        images.sparkSession,
+    )
 
 
 def check_image_index_meta(
@@ -1599,13 +1605,13 @@ def check_image_index_meta(
     the packed bk domains differ. Indexes from before meta.json
     existed pass unchecked (nothing to compare)."""
     import json as _json
-    import os as _os
 
-    p = _os.path.join(index_path, "meta.json")
-    if not _os.path.exists(p):
+    from real_time_data_anomaly_detection_spark import fs as _fs
+
+    p = f"{index_path}/meta.json"
+    if not _fs.exists(p):
         return
-    with open(p) as fh:
-        meta = _json.load(fh)
+    meta = _json.loads(_fs.read_text(p))
     mine = {"hash_w": hash_w, "hash_h": hash_h, "n_bands": n_bands}
     if meta != mine:
         raise ValueError(
@@ -2107,14 +2113,14 @@ def _img_index_seed(spark, sf_dir: str) -> tuple[str, DataFrame]:
     every even base-image quintuple has 2 corpus + 3 batch members and
     every odd quintuple is batch-only, exercising both the index-hit
     and the intra-batch paths), and the BATCH half as a DataFrame."""
-    import os
+    from real_time_data_anomaly_detection_spark import fs as _fs
 
     d = load_table(spark, sf_dir, "documents")
     img = _synth_doc_images(d)
     corpus = img.filter(F.col("doc_id") % 10 <= 1)
     batch = img.filter(F.col("doc_id") % 10 >= 2)
     path = _image_index_path(sf_dir)
-    if not os.path.exists(path + "/seed/_SUCCESS"):
+    if not _fs.exists(path + "/seed/_SUCCESS", spark):
         build_image_index(
             corpus, path, "payload", "doc_id", hash_w=8, hash_h=7, n_bands=4
         )

@@ -406,11 +406,11 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=6 pruned cells, exact re-rank of the 50 overfetched
     candidates against the raw table. Recall vs q_cosine_topk pinned
     in tests/test_quantization.py."""
-    import os
+    from real_time_data_anomaly_detection_spark import fs as _fs
 
     e = load_table(spark, sf_dir, "embeddings")
     path = _ivfpq_index_path(sf_dir)
-    if not os.path.exists(path + "/codebooks/_SUCCESS"):
+    if not _fs.exists(path + "/codebooks/_SUCCESS", spark):
         build_ivfpq_index(e.filter(F.col("vec_id") != 0), path)
     probe = np.asarray(
         e.filter(F.col("vec_id") == 0).select("embedding").head()[0], dtype=np.float64

@@ -183,8 +183,7 @@ def q_ivf_probe(spark, sf_dir: str) -> DataFrame:
     """Persisted-IVF probe: builds the cell-partitioned index once per
     (sf, session) under /tmp, then probes it scanning only nprobe cell
     partitions — the serving-path twin of the fused ivf_topk."""
-    import os
-
+    from real_time_data_anomaly_detection_spark import fs as _fs
     from real_time_data_anomaly_detection_spark.io import load_table
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -192,7 +191,7 @@ def q_ivf_probe(spark, sf_dir: str) -> DataFrame:
     path = _ivf_index_path(sf_dir)
     # _SUCCESS marker, not the bare dir: a crashed partial write must
     # trigger a rebuild, not a read of a torn index
-    if not os.path.exists(path + "/centroids/_SUCCESS"):
+    if not _fs.exists(path + "/centroids/_SUCCESS", spark):
         build_ivf_index(e.filter(F.col("vec_id") != 0), path, n_cells=16)
     return ivf_probe(spark, path, probe, k=10, nprobe=6)
 
@@ -202,13 +201,12 @@ def q_ann_batch(spark, sf_dir: str) -> DataFrame:
     """Batched ANN: top-5 neighbors for 20 probe vectors in ONE job
     over the persisted cell-partitioned index (the similarity-join
     shape; single-probe parity asserted in tests/test_similarity.py)."""
-    import os
-
+    from real_time_data_anomaly_detection_spark import fs as _fs
     from real_time_data_anomaly_detection_spark.io import load_table
 
     e = load_table(spark, sf_dir, "embeddings")
     path = _ivf_index_path(sf_dir)
-    if not os.path.exists(path + "/centroids/_SUCCESS"):
+    if not _fs.exists(path + "/centroids/_SUCCESS", spark):
         build_ivf_index(e.filter(F.col("vec_id") != 0), path, n_cells=16)
     probes = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
