@@ -333,3 +333,117 @@ def psi_drift_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def ks_drift_stream(
+    df: DataFrame,
+    ref_counts: pd.DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "xm",
+) -> DataFrame:
+    """Streaming two-sample Kolmogorov–Smirnov drift: the online twin
+    of operators/timeseries.q_ks_drift against a FROZEN baseline
+    (round-11 — completes the drift triptych's streaming side next to
+    category_drift_stream and psi_drift_stream). ``ref_counts`` is the
+    committed reference window's per-(key, distinct value) counts —
+    columns (key_col, value_col, d1) — exactly the bounded relation
+    the batch operator's first groupBy materializes.
+
+    State per key is the CURRENT window's per-distinct-value counts
+    (parquet-blob, the kmv discipline) plus a seen counter — bounded
+    by the key's distinct micro-unit values, the identical bound the
+    batch shuffle pays (ties pre-merge; micro-unit quantization keeps
+    the domain finite), NOT by stream length. Counts are a commutative
+    monoid, and the published statistic is the same cross-multiplied
+    integer numerator as the batch (ks_num = max over pooled distinct
+    values of |c1·n2 − c2·n1|; the supremum of |F_ref − F_cur| is
+    attained at sample points, and the pooled-point evaluation here is
+    the same point set as the batch's grouped union) — so after any
+    trigger each key's latest emission is bit-equal to q_ks_drift over
+    reference + stream-so-far, with no float anywhere (pinned in
+    tests/test_streaming.py, including across a checkpointed restart).
+    Same int64 bound as the batch: exact while ref_n·cur_n < 2^63.
+
+    Emissions: (key, seen, ref_n, cur_n, ks_num); take the max-seen
+    row per key for the latest estimate. Keys absent from
+    ``ref_counts`` fold state but emit nothing (no reference ECDF to
+    compare against — same contract as psi_drift_stream)."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType(), False),
+            T.StructField("seen", T.LongType(), False),
+            T.StructField("ref_n", T.LongType(), False),
+            T.StructField("cur_n", T.LongType(), False),
+            T.StructField("ks_num", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("counts_parquet", T.BinaryType(), True),
+            T.StructField("seen", T.LongType(), True),
+        ]
+    )
+    base: dict[str, tuple] = {}
+    for k, g in ref_counts.groupby(key_col):
+        g = g.sort_values(value_col, kind="mergesort")
+        xs = g[value_col].to_numpy(dtype="int64")
+        c1 = g["d1"].to_numpy(dtype="int64").cumsum()
+        base[str(k)] = (xs, c1, int(c1[-1]) if len(c1) else 0)
+
+    def _update(key, pdf_iter, state):
+        kv = key[0]
+        if state.exists:
+            blob, seen = state.get
+            cur = _decode(blob)
+            seen = int(seen)
+        else:
+            cur = pd.DataFrame(
+                {value_col: pd.Series(dtype="int64"),
+                 "d2": pd.Series(dtype="int64")}
+            )
+            seen = 0
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            state.update((_encode(cur), seen))
+            return
+        batch = pd.concat(chunks, ignore_index=True)
+        seen += len(batch)
+        delta = (
+            batch.groupby(value_col).size().rename("d2").reset_index()
+        )
+        cur = (
+            pd.concat([cur, delta], ignore_index=True)
+            .groupby(value_col, as_index=False)["d2"]
+            .sum()
+            .sort_values(value_col, kind="mergesort")
+        )
+        state.update((_encode(cur), seen))
+        ref = base.get(str(kv))
+        if ref is None:
+            return
+        xs1, c1s, n1 = ref
+        xs2 = cur[value_col].to_numpy(dtype="int64")
+        c2s = cur["d2"].to_numpy(dtype="int64").cumsum()
+        n2 = int(c2s[-1]) if len(c2s) else 0
+        pooled = np.union1d(xs1, xs2)
+        i1 = np.searchsorted(xs1, pooled, side="right")
+        c1p = np.where(i1 > 0, c1s[np.maximum(i1 - 1, 0)], 0)
+        i2 = np.searchsorted(xs2, pooled, side="right")
+        c2p = np.where(i2 > 0, c2s[np.maximum(i2 - 1, 0)], 0)
+        ks = int(np.max(np.abs(c1p * n2 - c2p * n1))) if len(pooled) else 0
+        yield pd.DataFrame(
+            [(kv, seen, n1, n2, ks)],
+            columns=[key_col, "seen", "ref_n", "cur_n", "ks_num"],
+        )
+
+    return df.select(key_col, value_col).groupBy(
+        key_col
+    ).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

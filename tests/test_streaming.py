@@ -1323,3 +1323,125 @@ def test_psi_drift_stream_restart_recovery(spark, tmp_path_factory):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def _ks_ref_fixture(spark):
+    """(ref_counts pdf, cur pdf, batch want) for the KS stream twins:
+    morning window frozen as the reference distinct-value counts, the
+    afternoon window streamed, batch q_ks_drift as the oracle-green
+    ground truth over both."""
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        _micro_units,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type",
+        _micro_units(F.col("value")).alias("xm"),
+        (F.hour("ts") < 12).alias("w1"),
+    )
+    ref_counts = (
+        ev.filter(F.col("w1"))
+        .groupBy("event_type", "xm")
+        .agg(F.count("*").cast("bigint").alias("d1"))
+        .toPandas()
+    )
+    cur = ev.filter(~F.col("w1")).select("event_type", "xm").toPandas()
+    want = {
+        r.event_type: (r.ref_n, r.cur_n, r.ks_num)
+        for r in REGISTRY["q_ks_drift"]
+        .spark_fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    return ref_counts, cur, want
+
+
+def test_ks_drift_stream_equals_batch(spark, tmp_path_factory):
+    """Streaming KS (frozen-baseline distinct-value-count fold) is
+    BIT-equal to batch q_ks_drift at each key's final trigger — counts
+    are a commutative monoid and the published statistic is the same
+    cross-multiplied integer numerator evaluated at the same pooled
+    sample points, so there is no float anywhere to diverge."""
+    from real_time_data_anomaly_detection_spark.streaming.sketches import (
+        ks_drift_stream,
+    )
+
+    ref_counts, cur, want = _ks_ref_fixture(spark)
+    path = str(tmp_path_factory.mktemp("ks_replay"))
+    for i in range(3):
+        f = os.path.join(path, f"part-{i:02d}.parquet")
+        cur.iloc[i::3].to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream_df = file_replay_source(spark, path, spark.read.parquet(path).schema)
+    out = ks_drift_stream(stream_df, ref_counts)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_ks").collect()
+    latest = {}
+    for r in rows:
+        if r.event_type not in latest or r.seen > latest[r.event_type].seen:
+            latest[r.event_type] = r
+    got = {k: (r.ref_n, r.cur_n, r.ks_num) for k, r in latest.items()}
+    assert got == want and len(want) > 0
+
+
+def test_ks_drift_stream_restart_recovery(spark, tmp_path_factory):
+    """ks_drift_stream survives a durable-checkpoint restart: two
+    availableNow runs (new feed file in between) fold into the SAME
+    per-key distinct-value-count state, and the final emission is
+    still bit-equal to batch q_ks_drift — the state blob decode path
+    after recovery, not just the single-run fold (the ca8-commit
+    discipline psi_drift_stream pinned)."""
+    from real_time_data_anomaly_detection_spark.streaming.sketches import (
+        ks_drift_stream,
+    )
+
+    ref_counts, cur, want = _ks_ref_fixture(spark)
+    root = tmp_path_factory.mktemp("ks_restart")
+    feed = str(root / "feed")
+    ckpt = str(root / "ckpt")
+    out = str(root / "out")
+    os.makedirs(feed)
+
+    def _write(i):
+        f = os.path.join(feed, f"part-{i:02d}.parquet")
+        cur.iloc[i::3].to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def _sink(bdf, bid):
+        bdf.write.mode("append").parquet(out)
+
+    def _run():
+        stream_df = file_replay_source(
+            spark, feed, spark.read.parquet(feed).schema
+        )
+        q = (
+            ks_drift_stream(stream_df, ref_counts)
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)  # memory sink can't recover
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(0)
+    _write(1)
+    _run()
+    _write(2)
+    _run()  # restart: state + offsets recovered from ckpt
+
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:
+        if r.event_type not in latest or r.seen > latest[r.event_type].seen:
+            latest[r.event_type] = r
+    got = {k: (r.ref_n, r.cur_n, r.ks_num) for k, r in latest.items()}
+    assert got == want and len(want) > 0
