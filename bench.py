@@ -43,9 +43,17 @@ def _run(fn, spark, sf_dir) -> None:
 
 def _median_rounds(
     registry, names, spark, sf_dir, rounds: int = 5, stall_factor: float = 2.0
-) -> tuple[dict[str, float], dict[str, float], dict[str, int], dict]:
-    """Per-query (median, spread=max-min, stall-dropped count) over
-    ``rounds`` INTERLEAVED passes of the whole list, plus probe stats.
+) -> tuple[
+    dict[str, float], dict[str, float], dict[str, float], dict[str, int], dict
+]:
+    """Per-query (median, min, spread=max-min, stall-dropped count)
+    over ``rounds`` INTERLEAVED passes of the whole list, plus probe
+    stats. The MIN is published alongside the median (round-11 verdict
+    #6): when stalls cluster, the <3-survivors fallback keeps all
+    samples and the median degrades to contaminated — the min of 5
+    interleaved samples is the most stall-robust steady-state
+    estimate a reader can fall back to (a stall can only inflate a
+    sample, never deflate it).
 
     Single-shot timings chased noise across rounds (an identical
     0-exchange broadcast plan swung 0.44 -> 1.94 -> 0.59 s). And
@@ -91,7 +99,7 @@ def _median_rounds(
             _probe()
     pmin = min(probes)
     bad = [p > stall_factor * pmin for p in probes]
-    med, spread, dropped = {}, {}, {}
+    med, mn, spread, dropped = {}, {}, {}, {}
     for n in names:
         ts = samples[n]
         keep = [
@@ -105,6 +113,7 @@ def _median_rounds(
         keep = sorted(keep)
         med[n] = round(keep[len(keep) // 2], 3)
         allts = sorted(ts)
+        mn[n] = round(allts[0], 3)
         spread[n] = round(allts[-1] - allts[0], 3)
         if n_drop:
             dropped[n] = n_drop
@@ -114,7 +123,7 @@ def _median_rounds(
         "probe_stalled": sum(bad),
         "probe_n": len(probes),
     }
-    return med, spread, dropped, probe_stats
+    return med, mn, spread, dropped, probe_stats
 
 
 def _calibration(spark, sf_dir, rounds: int = 5) -> dict[str, float]:
@@ -182,7 +191,7 @@ def main() -> None:
     for name in HEADLINE:
         _run(REGISTRY[name].spark_fn, spark, sf_dir)
 
-    per_query, spread, head_drop, head_probes = _median_rounds(
+    per_query, head_min, spread, head_drop, head_probes = _median_rounds(
         REGISTRY, HEADLINE, spark, sf_dir
     )
 
@@ -259,8 +268,8 @@ def main() -> None:
     # contention noise.
     for name in EXTENDED:
         _run(REGISTRY[name].spark_fn, spark, sf_dir)  # warm
-    extended, extended_spread, ext_drop, ext_probes = _median_rounds(
-        REGISTRY, EXTENDED, spark, sf_dir
+    extended, extended_min, extended_spread, ext_drop, ext_probes = (
+        _median_rounds(REGISTRY, EXTENDED, spark, sf_dir)
     )
 
     total = round(sum(per_query.values()), 3)
@@ -287,6 +296,12 @@ def main() -> None:
         "extended": extended,
         "spread": spread,
         "extended_spread": extended_spread,
+        # Steady-state floor per query (round-11 verdict #6): read the
+        # MIN when a phase's probes flag clustered stalls — the median
+        # falls back to keep-all under <3 survivors and can then carry
+        # contamination; the min cannot (stalls only inflate).
+        "headline_min": head_min,
+        "extended_min": extended_min,
         # Stall accounting (round-10): per-query count of samples
         # dropped because a bracketing probe stalled, plus the probe
         # envelope per phase — a recorded median is trustworthy iff

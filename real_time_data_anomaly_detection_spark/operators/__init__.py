@@ -59,18 +59,17 @@ from real_time_data_anomaly_detection_spark.operators import (  # noqa: E402,F40
 _GATE_WINDOW = [
     # smoke path first (driver convention)
     "q_scan_project",
-    # relational core: filter/project/join/agg/window/set (23 rows)
-    "q_filter_eq",
+    # relational core: filter/project/join/agg/window/set — r11
+    # rotated out q_filter_eq / q_join_semi / q_agg_having (each
+    # family keeps siblings in the window)
     "q_filter_range",
     "q_project_compute",
     "q_case_when",
     "q_join_inner",
     "q_join_broadcast",
-    "q_join_semi",
     "q_join_3way",
     "q_agg_group",
     "q_agg_global",
-    "q_agg_having",
     "q_window_rank",
     "q_window_lastk",
     "q_topk",
@@ -82,7 +81,12 @@ _GATE_WINDOW = [
     # flagships; r10 swapped out q_clamp / q_join_theta / q_agg_rollup
     # (each family keeps siblings in the window) for the round-10
     # flagships: PSI numeric drift and the persisted image-index
-    # match + admission twins)
+    # match + admission twins; r11 promoted the exact-integer KS
+    # drift, the fused single-scan triptych report, and the aHash
+    # twin)
+    "q_ks_drift",
+    "q_drift_report",
+    "q_image_ahash_md5",
     "q_psi_drift",
     "q_image_index_md5",
     "q_image_ingest_admit_md5",

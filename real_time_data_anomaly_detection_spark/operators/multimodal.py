@@ -1430,9 +1430,25 @@ def _default_bands(nbits: int, max_hamming: int) -> int:
     """Smallest divisor of ``nbits`` strictly greater than
     ``max_hamming`` — the narrowest banding that is still LOSSLESS by
     pigeonhole for Hamming distance ≤ max_hamming (fewer bands = fewer
-    exploded rows = cheaper self-join; round-9 advice #3)."""
+    exploded rows = cheaper self-join; round-9 advice #3).
+
+    Floored at 2 bands (round-10 advice #1): ``max_hamming=0`` (exact
+    dup search) would otherwise resolve to ONE band of nbits bits,
+    whose band mask (1<<64)-1 cannot be a Spark BIGINT literal —
+    2 bands keep band width ≤ 32 bits and are still lossless for
+    distance 0 or 1. max_hamming ≥ nbits has no lossless banding at
+    all (every divisor ≤ nbits ≤ max_hamming): a descriptive
+    ValueError instead of a bare StopIteration."""
+    if max_hamming >= nbits:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= hash bits {nbits}: every "
+            "image is within range of every other; no banding (and no "
+            "meaningful near-dup search) exists at this radius"
+        )
     return next(
-        b for b in range(max_hamming + 1, nbits + 1) if nbits % b == 0
+        b
+        for b in range(max(max_hamming + 1, 2), nbits + 1)
+        if nbits % b == 0
     )
 
 
@@ -1621,6 +1637,40 @@ def check_image_index_meta(
         )
 
 
+def load_image_index(
+    spark: SparkSession,
+    index_path: str,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    n_bands: int | None = None,
+    max_hamming: int = 3,
+    before_batch: int | None = None,
+) -> DataFrame:
+    """The guarded way to obtain the ``index_bands`` relation for
+    :func:`image_index_match` / :func:`image_neardup_admit`
+    (round-10 advice #4): resolves the caller's banding geometry the
+    same way those functions will, runs :func:`check_image_index_meta`
+    FIRST (a geometry mismatch silently near-empty-joins otherwise —
+    only image_ingest_stream checked before this helper existed), and
+    reads the persisted layout through the shared generation resolver
+    (newest committed gen + later deltas), so batch callers see the
+    identical index state a streaming trigger would. ``before_batch``
+    bounds the delta range for replay semantics; None reads everything
+    committed so far."""
+    from real_time_data_anomaly_detection_spark.streaming.ingest import (
+        _index_paths,
+    )
+
+    nbits = hash_w * hash_h
+    resolved = (
+        n_bands if n_bands is not None else _default_bands(nbits, max_hamming)
+    )
+    check_image_index_meta(index_path, hash_w, hash_h, resolved)
+    if before_batch is None:
+        before_batch = 1 << 62
+    return spark.read.parquet(*_index_paths(index_path, before_batch, spark))
+
+
 def image_index_match(
     index_bands: DataFrame,
     batch_images: DataFrame,
@@ -1643,7 +1693,12 @@ def image_index_match(
     keys they are pushed as a bk IN-list into the index scan — the
     two-hop-keys trick: because build_image_index sorted by bk,
     parquet row-group stats skip everything the batch can't touch, so
-    per-trigger cost scales with the BATCH, not the corpus."""
+    per-trigger cost scales with the BATCH, not the corpus.
+
+    Obtain ``index_bands`` via :func:`load_image_index` — it runs the
+    check_image_index_meta geometry guard before reading; a raw
+    ``spark.read.parquet`` of a mismatched index silently matches
+    (almost) nothing here."""
     from real_time_data_anomaly_detection_spark.plans.inspect import plan_size_bytes
 
     nbits = hash_w * hash_h
@@ -1717,6 +1772,11 @@ def image_neardup_admit(
     same-batch image" then compose to exactly "matches ANY
     smaller-id image or the seed" — the one-shot rule — pinned in
     tests/test_streaming.py::test_image_ingest_stream_equals_batch.
+
+    Obtain ``index_bands`` via :func:`load_image_index` — it runs the
+    check_image_index_meta geometry guard before reading (a raw
+    parquet read of a mismatched index silently admits
+    near-everything).
 
     ``fps``: optionally pass the already-materialized (id, dhash)
     relation (null rows included) so a caller that needs the hashes

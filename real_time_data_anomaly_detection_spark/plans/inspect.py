@@ -146,3 +146,38 @@ def plan_size_bytes(df) -> int:
         return raw if isinstance(raw, int) else int(raw.toString())
     except Exception:  # estimate unavailable → assume big, recompute
         return 1 << 60
+
+
+def executed_file_scans(df) -> int:
+    """Number of file-scan nodes the EXECUTED plan actually runs —
+    call AFTER an action so AQE has finalized. Walks the adaptive
+    tree (query stages contribute their materialized plan), skipping
+    ReusedExchange subtrees (their source executes once elsewhere),
+    so N identical-looking scans deduped by exchange reuse count as
+    the one physical read they are. The multi-consumer fusion pin:
+    q_drift_report must report exactly 1 (round-11 — the composed
+    version paid 3; differential column pruning is what forks
+    otherwise-identical consumers into re-scans)."""
+    n = 0
+
+    def walk(node) -> None:
+        nonlocal n
+        cname = node.getClass().getSimpleName()
+        if cname in ("ReusedExchangeExec", "ReusedSubqueryExec"):
+            return
+        if cname.startswith("InMemoryTableScan"):
+            return
+        if "FileSourceScan" in cname or "BatchScan" in cname:
+            n += 1
+        if cname == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cname.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return n

@@ -688,9 +688,12 @@ def test_builtin_jpeg_restart_markers():
     assert float(np.abs(got - want).sum()) < 0.12
 
 
-def test_progressive_jpeg_falls_to_stub():
-    """A SOF2 (progressive) header must return None from the builtin
-    decoder — the dispatcher then yields the deterministic stub."""
+def test_scanless_jpeg_falls_to_stub():
+    """A SOF2 stream with NO decodable SOS scan returns None from the
+    builtin decoder — the dispatcher then yields the deterministic
+    stub. (Renamed per round-10 advice #3: SOF2 itself no longer
+    falls to the stub — the progressive decoder is real — this pins
+    only the no-scan degenerate payload.)"""
     from real_time_data_anomaly_detection_spark.operators.multimodal import (
         _decode_jpeg_builtin,
         _decode_payload,
@@ -1832,3 +1835,127 @@ def test_image_admit_undecodable_policy(spark, tmp_path_factory):
     assert got[11] is None and got[12] is not None
     bands = image_band_rows(batch, max_hamming=6)
     assert {r.media_id for r in bands.select("media_id").distinct().collect()} == {10, 12}
+
+
+def test_default_bands_edge_cases(spark):
+    """Round-10 advice #1: max_hamming=0 (exact-dup search) must not
+    resolve to ONE band — a 64-bit band mask (1<<64)-1 is not a Spark
+    BIGINT literal — and max_hamming >= nbits must be a descriptive
+    ValueError, not a bare StopIteration. The floor-at-2 keeps the
+    banding lossless (distance 0 < 2 bands)."""
+    import numpy as np
+    import pytest as _pt
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _default_bands,
+        image_neardup_pairs,
+    )
+
+    assert _default_bands(64, 0) == 2
+    assert _default_bands(64, 1) == 2
+    assert _default_bands(64, 3) == 4
+    assert _default_bands(63, 0) == 3  # 9x7 md5-twin grid
+    with _pt.raises(ValueError, match="max_hamming"):
+        _default_bands(64, 64)
+    with _pt.raises(ValueError, match="max_hamming"):
+        _default_bands(64, 100)
+
+    # the formerly-crashing call now runs end-to-end: exact-dup search
+    # finds the byte-identical pair and nothing else
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, 360, dtype=np.int64).astype(np.uint8).tolist()
+    other = rng.randint(0, 256, 360, dtype=np.int64).astype(np.uint8).tolist()
+    df = spark.createDataFrame(
+        [(1, _ppm(12, 10, base)), (2, _ppm(12, 10, base)),
+         (3, _ppm(12, 10, other))],
+        "media_id long, payload binary",
+    )
+    got = {(r.img_a, r.img_b) for r in
+           image_neardup_pairs(df, max_hamming=0).collect()}
+    assert (1, 2) in got and all(3 not in p for p in got)
+
+
+def test_load_image_index_guards_geometry(spark, tmp_path_factory):
+    """Round-10 advice #4: load_image_index is the guarded read path —
+    it checks the persisted banding geometry BEFORE handing back the
+    relation (a raw parquet read with mismatched parameters silently
+    near-empty-joins), and the relation it returns matches exactly
+    what an inline read of seed does."""
+    import numpy as np
+    import pytest as _pt
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        build_image_index,
+        image_index_match,
+        load_image_index,
+    )
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for b in range(4):
+        px = rng.randint(0, 256, 360, dtype=np.int64)
+        for k in range(2):
+            pert = px.copy()
+            if k:
+                pert[:3] = np.minimum(pert[:3] + 6, 255)
+            rows.append(
+                (b * 10 + k, _ppm(12, 10, pert.astype(np.uint8).tolist()))
+            )
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    corpus = df.filter(F.col("media_id") % 10 == 0)
+    batch = df.filter(F.col("media_id") % 10 == 1)
+    path = str(tmp_path_factory.mktemp("imgidx_load"))
+    build_image_index(corpus, path, max_hamming=6)
+
+    with _pt.raises(ValueError, match="banding geometries"):
+        load_image_index(spark, path, max_hamming=3)  # resolves 4 bands
+
+    idx = load_image_index(spark, path, max_hamming=6)
+    want = {
+        tuple(r)
+        for r in image_index_match(
+            spark.read.parquet(f"{path}/seed"), batch, max_hamming=6
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in image_index_match(idx, batch, max_hamming=6).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_progressive_decode_matches_libjpeg_fixture():
+    """Round-10 advice #2 closed with an INDEPENDENT fixture: the
+    committed tests/golden/libjpeg_{baseline,progressive}.jpg were
+    encoded by libjpeg itself (jpeg_simple_progression scan script,
+    optimized Huffman — generator: gen_progressive_fixture.c), so the
+    repo's progressive decoder is checked against the reference
+    implementation's bitstream, not the repo's own encoder (a shared
+    T.81 misreading can no longer pass). Both encodings share the
+    quantized coefficient tensor → the repo decoder must emit
+    BIT-IDENTICAL luma for both; libjpeg's own decode is a ±1
+    tolerance cross-check (IDCT rounding differs by implementation)."""
+    import os
+
+    import numpy as np
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _jpeg_gray_pixels,
+    )
+
+    g = os.path.join(os.path.dirname(__file__), "golden")
+    prog = open(os.path.join(g, "libjpeg_progressive.jpg"), "rb").read()
+    base = open(os.path.join(g, "libjpeg_baseline.jpg"), "rb").read()
+    assert b"\xff\xc2" in prog  # really SOF2
+    assert b"\xff\xc0" in base  # really SOF0
+
+    gp = _jpeg_gray_pixels(prog)
+    gb = _jpeg_gray_pixels(base)
+    assert gp is not None and gp.shape == (32, 48)
+    assert np.array_equal(gp, gb)  # shared coefficients, two decoders
+
+    lj = np.frombuffer(
+        open(os.path.join(g, "libjpeg_progressive_luma.raw"), "rb").read(),
+        dtype=np.uint8,
+    ).reshape(32, 48)
+    assert int(np.abs(gp.astype(int) - lj.astype(int)).max()) <= 1

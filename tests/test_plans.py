@@ -179,7 +179,6 @@ def test_no_accidental_cartesians_registry_wide(spark):
         # min/max broadcast crossed into the bucketing projection
         "q_peaks_over_threshold",
         "q_psi_drift",
-        "q_drift_report",  # composes psi (min/max) + chi2 (totals)
     }
     # Queries whose CONSTRUCTION executes jobs (index builds / iterative
     # training) are excluded from this fast lazy-plan loop and instead
@@ -251,6 +250,10 @@ def test_partitionless_windows_whitelisted_registry_wide(spark):
       populations).
     - q_rrf_fusion: rank over the fused per-query top-k candidate
       union — k-bounded by construction.
+    - q_drift_report: global window totals over the per-event_type
+      triptych relation (|event_types| rows — the fused round-11 plan
+      replaced the one-row-broadcast BNLJ with this so the relation
+      keeps a single consumer and the input is scanned exactly once).
 
     Iterative/index-building queries were surveyed post-build the
     same way (round 9) and plan ZERO partition-less windows; they are
@@ -261,7 +264,7 @@ def test_partitionless_windows_whitelisted_registry_wide(spark):
         partitionless_windows,
     )
 
-    WINDOW_OK = {"q_rfm", "q_rrf_fusion"}
+    WINDOW_OK = {"q_rfm", "q_rrf_fusion", "q_drift_report"}
     offenders = {}
     for name, q in sorted(REGISTRY.items()):
         if name in ITERATIVE_BUILD:
@@ -489,3 +492,19 @@ def test_image_index_match_pushdown_and_broadcast(spark, tmp_path_factory):
     plan = formatted_plan(matched)
     assert "PushedFilters" in plan and "In(bk" in plan
     assert has_broadcast_join(matched)
+
+
+def test_drift_report_single_scan(spark):
+    """Round-11 verdict #3: the fused q_drift_report derives all three
+    drift statistics (chi²/PSI/KS) from ONE pass — the executed plan
+    runs exactly one FileScan of events (the composed round-10 body
+    paid three scans + three event-sized aggregations). Counted on
+    the post-execution adaptive plan, skipping reused exchanges."""
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.plans.inspect import (
+        executed_file_scans,
+    )
+
+    df = REGISTRY["q_drift_report"].spark_fn(spark, SF_DIR)
+    assert df.count() > 0
+    assert executed_file_scans(df) == 1
