@@ -64,7 +64,6 @@ _GATE_WINDOW = [
     # family keeps siblings in the window)
     "q_filter_range",
     "q_project_compute",
-    "q_case_when",
     "q_join_inner",
     "q_join_broadcast",
     "q_join_3way",
@@ -82,9 +81,11 @@ _GATE_WINDOW = [
     # (each family keeps siblings in the window) for the round-10
     # flagships: PSI numeric drift and the persisted image-index
     # match + admission twins; r11 promoted the exact-integer KS
-    # drift, the fused single-scan triptych report, and the aHash
-    # twin)
+    # drift, the fused single-scan quartet report, the aHash twin,
+    # and the exact earth-mover's drift — q_case_when rotated out
+    # for the last (projection family keeps q_project_compute))
     "q_ks_drift",
+    "q_emd_drift",
     "q_drift_report",
     "q_image_ahash_md5",
     "q_psi_drift",

@@ -1471,6 +1471,162 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emd_drift(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Exact 1-D earth-mover's (Wasserstein-1) drift per key, integer
+    end-to-end (round-11 — the fourth drift statistic: chi² sees the
+    category mix, PSI coarse bucket shares, KS the single worst ECDF
+    gap; EMD integrates the WHOLE gap, so a broad small shift that KS
+    underweights and PSI's five buckets miss still scores).
+
+    W₁ between the two empirical distributions is ∫|F₁−F₂| dx; both
+    ECDFs are step functions constant between consecutive pooled
+    distinct values, so the integral is exactly
+    Σᵢ |F₁(xᵢ)−F₂(xᵢ)|·(xᵢ₊₁−xᵢ). Published normalized:
+
+        emd_u = floor(2²⁰ · W₁ / (max−min))
+              = (Σ |c1·n2 − c2·n1|·gap) · 2²⁰ div (n1·n2·(max−min))
+
+    — in [0, 2²⁰] (|F₁−F₂| ≤ 1), a dimensionless drift score. Every
+    product runs in DECIMAL(38,0) (the oracle in HUGEINT) and the
+    final reduction is integral division, so there is NO float
+    anywhere: exact at any window size whose Σ|…|·gap < 10³⁸ —
+    unlike a raw-integer publication, this never outgrows BIGINT.
+    Keys with an empty reference window or zero value range publish 0.
+
+    Scale shape: identical to q_ks_drift — ONE partial-aggregable
+    groupBy collapses events to per-(key, distinct value) counts, the
+    ECDF/lead windows then run over that bounded relation (ties
+    pre-merged, so Spark's rowsBetween and DuckDB's RANGE agree), and
+    the per-key reduction is counts-sized. The decimal term column is
+    bounded by distinct values per key, never event rows."""
+    g = df.groupBy(key_col, value_col).agg(
+        F.sum(F.when(F.col(flag_col), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col(flag_col), 0).otherwise(1))
+        .cast("bigint")
+        .alias("d2"),
+    )
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lead = Window.partitionBy(key_col).orderBy(value_col)
+    w_key = (
+        Window.partitionBy(key_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    dec = "decimal(38,0)"
+    c = g.select(
+        key_col,
+        value_col,
+        F.sum("d1").over(w_cum).alias("c1"),
+        F.sum("d2").over(w_cum).alias("c2"),
+        F.sum("d1").over(w_key).alias("n1"),
+        F.sum("d2").over(w_key).alias("n2"),
+        F.max(value_col).over(w_key).alias("vmax"),
+        F.min(value_col).over(w_key).alias("vmin"),
+        F.coalesce(
+            F.lead(value_col).over(w_lead) - F.col(value_col), F.lit(0)
+        ).alias("gap"),
+    )
+    term = (
+        F.abs(
+            F.col("c1").cast(dec) * F.col("n2").cast(dec)
+            - F.col("c2").cast(dec) * F.col("n1").cast(dec)
+        )
+        * F.col("gap").cast(dec)
+    )
+    s = c.groupBy(key_col, "n1", "n2", "vmax", "vmin").agg(
+        F.sum(term).alias("num")
+    )
+    denom = (
+        F.col("n1").cast(dec)
+        * F.col("n2").cast(dec)
+        * (F.col("vmax") - F.col("vmin")).cast(dec)
+    )
+    return s.select(
+        key_col,
+        F.col("n1").alias("ref_n"),
+        F.col("n2").alias("cur_n"),
+        (F.col("num") * F.lit(1048576).cast(dec)).cast(dec).alias("_num"),
+        denom.alias("_den"),
+    ).select(
+        key_col,
+        "ref_n",
+        "cur_n",
+        F.coalesce(
+            F.when(F.col("_den") > 0, F.expr("_num div _den")),
+            F.lit(0).cast("bigint"),
+        ).alias("emd_u"),
+    )
+
+
+@query(
+    "q_emd_drift",
+    oracle="""
+        WITH v AS (
+            SELECT event_type,
+                   CAST(round(value * 1000000) AS BIGINT) AS xm,
+                   (hour(ts) < 12) AS w1
+            FROM events),
+        g AS (
+            SELECT event_type, xm,
+                   CAST(sum(CASE WHEN w1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(sum(CASE WHEN w1 THEN 0 ELSE 1 END) AS BIGINT) AS d2
+            FROM v GROUP BY 1, 2),
+        c AS (
+            SELECT event_type, xm,
+                   sum(d1) OVER (PARTITION BY event_type
+                                 ORDER BY xm) AS c1,
+                   sum(d2) OVER (PARTITION BY event_type
+                                 ORDER BY xm) AS c2,
+                   lead(xm) OVER (PARTITION BY event_type
+                                  ORDER BY xm) AS nxt
+            FROM g),
+        t AS (
+            SELECT event_type,
+                   CAST(sum(d1) AS BIGINT) AS n1,
+                   CAST(sum(d2) AS BIGINT) AS n2,
+                   CAST(max(xm) - min(xm) AS BIGINT) AS rng
+            FROM g GROUP BY 1),
+        s AS (
+            SELECT c.event_type, n1, n2, rng,
+                   sum(CAST(abs(CAST(c1 AS HUGEINT) * n2
+                               - CAST(c2 AS HUGEINT) * n1) AS HUGEINT)
+                       * CAST(COALESCE(nxt - xm, 0) AS HUGEINT)) AS num
+            FROM c JOIN t ON c.event_type = t.event_type
+            GROUP BY 1, 2, 3, 4)
+        SELECT event_type, n1 AS ref_n, n2 AS cur_n,
+               CAST(COALESCE(
+                   (num * 1048576)
+                       // NULLIF(CAST(n1 AS HUGEINT) * n2 * rng, 0),
+                   0) AS BIGINT) AS emd_u
+        FROM s ORDER BY 1
+    """,
+)
+def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover's drift per event_type over the morning/afternoon
+    window split — the Wasserstein-1 companion to q_ks_drift (same
+    counts relation, same exact-integer discipline; see
+    :func:`emd_drift`). The reference flags point outliers one event
+    at a time (app/app3_ML.py:165); W₁ is the distribution-level
+    "how far did it move" number next to KS's "worst single gap"."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        _micro_units(F.col("value")).alias("xm"),
+        (F.hour("ts") < 12).alias("w1"),
+    )
+    return emd_drift(ev, "event_type", "xm", "w1").orderBy("event_type")
+
+
 @query(
     "q_drift_report",
     oracle="""
@@ -1562,25 +1718,35 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(CASE WHEN w1 THEN 0 ELSE 1 END) AS BIGINT) AS d2
             FROM v GROUP BY 1, 2),
         kc AS (
-            SELECT event_type,
+            SELECT event_type, xm,
                    sum(d1) OVER (PARTITION BY event_type
                                  ORDER BY xm) AS c1,
                    sum(d2) OVER (PARTITION BY event_type
-                                 ORDER BY xm) AS c2
+                                 ORDER BY xm) AS c2,
+                   lead(xm) OVER (PARTITION BY event_type
+                                  ORDER BY xm) AS nxt
             FROM kg),
         kt AS (
             SELECT event_type,
                    CAST(sum(d1) AS BIGINT) AS n1,
-                   CAST(sum(d2) AS BIGINT) AS n2
+                   CAST(sum(d2) AS BIGINT) AS n2,
+                   CAST(max(xm) - min(xm) AS BIGINT) AS rng
             FROM kg GROUP BY 1),
         ks AS (
             SELECT kc.event_type,
-                   CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num
+                   CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num,
+                   CAST(COALESCE(
+                       (sum(CAST(abs(CAST(c1 AS HUGEINT) * n2
+                                    - CAST(c2 AS HUGEINT) * n1) AS HUGEINT)
+                            * CAST(COALESCE(nxt - xm, 0) AS HUGEINT))
+                        * 1048576)
+                           // NULLIF(CAST(n1 AS HUGEINT) * n2 * rng, 0),
+                       0) AS BIGINT) AS emd_u
             FROM kc JOIN kt ON kc.event_type = kt.event_type
-            GROUP BY 1)
+            GROUP BY 1, n1, n2, rng)
         SELECT chi.event_type,
                chi.o1 AS ref_n, chi.o2 AS cur_n,
-               chi.chi2_mil, psi.psi_u, ks.ks_num
+               chi.chi2_mil, psi.psi_u, ks.ks_num, ks.emd_u
         FROM chi
         JOIN psi ON chi.event_type = psi.event_type
         JOIN ks ON chi.event_type = ks.event_type
@@ -1589,19 +1755,20 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-stop drift monitor (round-10; FUSED round-11): per
-    event_type, all three drift statistics over the same
+    event_type, all four drift statistics over the same
     morning/afternoon window split — chi-square contribution
     (category mix), population stability index (bucketed value
-    shares), and the exact Kolmogorov–Smirnov numerator (full
-    distribution shape) — from ONE scan of events. The round-10 body
-    composed the three oracle-green queries and paid the event-sized
-    scan + aggregation three times (verdict What's-wrong #3); the
-    fused :func:`drift_report` derives all three from a single
-    per-(key, distinct value) count relation, bit-equal to the
-    composed version (same oracle). The reference's detector flags
-    point outliers one event at a time (app/app3_ML.py:165); a fleet
-    monitor needs exactly this distribution-level triptych next to
-    it."""
+    shares), the exact Kolmogorov–Smirnov numerator (worst single
+    ECDF gap), and the exact earth-mover's score (integrated ECDF
+    gap, round-11) — from ONE scan of events. The round-10 body
+    composed the standalone oracle-green queries and paid the
+    event-sized scan + aggregation once per statistic (verdict
+    What's-wrong #3); the fused :func:`drift_report` derives all four
+    from a single per-(key, distinct value) count relation, bit-equal
+    to the composed versions (same oracles). The reference's detector
+    flags point outliers one event at a time (app/app3_ML.py:165); a
+    fleet monitor needs exactly this distribution-level quartet next
+    to it."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         _micro_units(F.col("value")).alias("xm"),
@@ -1619,13 +1786,14 @@ def drift_report(
     flag_col: str,
     quantiles: tuple[int, ...] = (20, 40, 60, 80),
 ) -> DataFrame:
-    """Fused chi²/PSI/KS drift triptych from ONE pass over ``df``
-    (round-11 verdict #3; the round-10 body composed the three
-    standalone queries and paid the event-sized scan + aggregation
-    three times). Single-consumer pipeline — every relation below is
-    consumed exactly once, so the plan has exactly ONE FileScan of the
-    input at ANY scale (pinned in tests/test_plans.py), with no
-    materialization and no plan-build jobs:
+    """Fused chi²/PSI/KS/EMD drift quartet from ONE pass over ``df``
+    (round-11 verdict #3 plus the round-11 earth-mover's statistic;
+    the round-10 body composed the standalone queries and paid the
+    event-sized scan + aggregation once per statistic).
+    Single-consumer pipeline — every relation below is consumed
+    exactly once, so the plan has exactly ONE FileScan of the input at
+    ANY scale (pinned in tests/test_plans.py), with no materialization
+    and no plan-build jobs:
 
         scan → groupBy(key, value) → (d1, d2)           # event-sized
              → per-key ECDF window (c1, c2, nt1, nt2)   # counts-sized
@@ -1644,7 +1812,10 @@ def drift_report(
     from a partitionless window over the bounded |keys| relation —
     whitelisted, replacing the one-row-broadcast BNLJ), PSI via the
     psi_term_u chain inlined per bucket (five floored BIGINTs added —
-    order-free), KS via the cross-multiplied integer numerator.
+    order-free), KS via the cross-multiplied integer numerator, EMD
+    via the emd_drift decimal chain (gap = one more window function
+    over the identical partition/order — no new exchange; the term
+    sum and integral division are order-free integers).
     Keys with no reference rows are excluded after the totals window
     (like psi_drift; their counts still feed the chi² totals)."""
     n_edges = len(quantiles)
@@ -1667,6 +1838,7 @@ def drift_report(
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
+    w_lead = Window.partitionBy(key_col).orderBy(value_col)
     ecdf = g.select(
         key_col,
         value_col,
@@ -1676,6 +1848,17 @@ def drift_report(
         F.sum("d2").over(w_cum).alias("c2"),
         F.sum("d1").over(w_key).alias("nt1"),
         F.sum("d2").over(w_key).alias("nt2"),
+        F.coalesce(
+            F.lead(value_col).over(w_lead) - F.col(value_col), F.lit(0)
+        ).alias("_gap"),
+    )
+    _dec = "decimal(38,0)"
+    _emd_term = (
+        F.abs(
+            F.col("c1").cast(_dec) * F.col("nt2").cast(_dec)
+            - F.col("c2").cast(_dec) * F.col("nt1").cast(_dec)
+        )
+        * F.col("_gap").cast(_dec)
     )
     aggs = [
         F.max("nt1").alias("o1"),
@@ -1685,6 +1868,12 @@ def drift_report(
         )
         .cast("bigint")
         .alias("ks_num"),
+        # EMD pieces (round-11 — the quartet's fourth statistic rides
+        # the same single pass: gap is one more window function over
+        # the identical partition/order, no new exchange)
+        F.sum(_emd_term).alias("_emd_num"),
+        F.max(value_col).alias("_vmax"),
+        F.min(value_col).alias("_vmin"),
     ]
     for i, q in enumerate(quantiles):
         # 0-based reference rank of edge i; the (value, rid) order's
@@ -1740,6 +1929,11 @@ def drift_report(
         ).cast("bigint")
         psi_u = term if psi_u is None else psi_u + term
 
+    _emd_den = (
+        F.col("o1").cast(_dec)
+        * F.col("o2").cast(_dec)
+        * (F.col("_vmax") - F.col("_vmin")).cast(_dec)
+    )
     return (
         per_key.select(
             key_col,
@@ -1748,6 +1942,22 @@ def drift_report(
             F.floor(chi2 * F.lit(1024.0)).cast("bigint").alias("chi2_mil"),
             psi_u.cast("bigint").alias("psi_u"),
             "ks_num",
+            (F.col("_emd_num") * F.lit(1048576).cast(_dec))
+            .cast(_dec)
+            .alias("_en"),
+            _emd_den.alias("_ed"),
+        )
+        .select(
+            key_col,
+            "ref_n",
+            "cur_n",
+            "chi2_mil",
+            "psi_u",
+            "ks_num",
+            F.coalesce(
+                F.when(F.col("_ed") > 0, F.expr("_en div _ed")),
+                F.lit(0).cast("bigint"),
+            ).alias("emd_u"),
         )
         .filter(F.col("ref_n") > 0)
     )

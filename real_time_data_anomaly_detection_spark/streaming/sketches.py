@@ -447,3 +447,188 @@ def ks_drift_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def drift_report_stream(
+    df: DataFrame,
+    ref_counts: pd.DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "xm",
+    quantiles: tuple[int, ...] = (20, 40, 60, 80),
+) -> DataFrame:
+    """The unified online drift monitor (round-11): one stateful fold
+    publishing ALL FOUR drift statistics per key each trigger —
+    chi-square contribution, PSI, the exact KS numerator, and the
+    exact earth-mover's score — bit-equal to the fused batch
+    operators/timeseries.drift_report over reference + stream-so-far
+    (pinned in tests/test_streaming.py, including across a
+    checkpointed restart). ``ref_counts`` is the FROZEN baseline's
+    per-(key, distinct value) counts — columns (key_col, value_col,
+    d1) — exactly the reference half of the relation the batch
+    operator's first groupBy materializes.
+
+    Why ONE synthetic group instead of per-key state (the
+    psi/ks-stream layout): chi² needs CROSS-key window totals, so the
+    fold keeps the whole per-(key, distinct value) current-window
+    count table as state — the category_drift_stream contract
+    generalized: state is bounded by Σ distinct micro-unit values
+    across keys, the SAME relation the batch shuffle materializes,
+    NOT by stream length. This is a drift MONITOR over bounded label
+    sets and micro-unit-quantized values; for high-cardinality
+    domains, pre-bucket upstream.
+
+    Bit-equality argument per statistic: counts are a commutative
+    monoid (any arrival order folds to the same table); chi² and PSI
+    replay the batch's pinned double chains op-for-op (IEEE doubles
+    agree across JVM/Python); KS and EMD are integer end-to-end —
+    KS the cross-multiplied numerator, EMD the Python-bigint term sum
+    with the same floor(2²⁰·W₁/range) integral division the batch
+    runs in DECIMAL(38,0) (Python ints are exact at any width, so
+    this side can never overflow first). PSI edges derive from the
+    frozen reference ECDF alone — the production shape where the
+    baseline is a committed training snapshot.
+
+    Emissions: the FULL per-key quartet every trigger (keys absent
+    from ``ref_counts`` fold into the chi² totals but emit no row —
+    the batch's ref_n > 0 filter); take the max-``seen`` rows for the
+    latest report."""
+    import numpy as np
+
+    n_edges = len(quantiles)
+    nb = n_edges + 1
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType(), False),
+            T.StructField("seen", T.LongType(), False),
+            T.StructField("ref_n", T.LongType(), False),
+            T.StructField("cur_n", T.LongType(), False),
+            T.StructField("chi2_mil", T.LongType(), False),
+            T.StructField("psi_u", T.LongType(), False),
+            T.StructField("ks_num", T.LongType(), False),
+            T.StructField("emd_u", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("counts_parquet", T.BinaryType(), True),
+            T.StructField("seen", T.LongType(), True),
+        ]
+    )
+    base: dict[str, tuple] = {}
+    for k, g in ref_counts.groupby(key_col):
+        g = g.sort_values(value_col, kind="mergesort")
+        xs = g[value_col].to_numpy(dtype="int64")
+        c1 = g["d1"].to_numpy(dtype="int64").cumsum()
+        base[str(k)] = (xs, c1, int(c1[-1]) if len(c1) else 0)
+    n1_total = sum(o1 for _, _, o1 in base.values())
+
+    def _update(key, pdf_iter, state):
+        if state.exists:
+            blob, seen = state.get
+            cur = _decode(blob)
+            seen = int(seen)
+        else:
+            cur = pd.DataFrame(
+                {key_col: pd.Series(dtype=object),
+                 value_col: pd.Series(dtype="int64"),
+                 "d2": pd.Series(dtype="int64")}
+            )
+            seen = 0
+        chunks = [p for p in pdf_iter if len(p)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            seen += len(batch)
+            delta = (
+                batch.groupby([key_col, value_col])
+                .size()
+                .rename("d2")
+                .reset_index()
+            )
+            cur = (
+                pd.concat([cur, delta], ignore_index=True)
+                .groupby([key_col, value_col], as_index=False)["d2"]
+                .sum()
+                .sort_values([key_col, value_col], kind="mergesort")
+            )
+        state.update((_encode(cur), seen))
+        if not chunks:
+            return
+        n2_total = int(cur["d2"].sum())
+        cur_by_key = {
+            str(k): (
+                g[value_col].to_numpy(dtype="int64"),
+                g["d2"].to_numpy(dtype="int64").cumsum(),
+            )
+            for k, g in cur.groupby(key_col)
+        }
+        rows = []
+        for kv, (xs1, c1s, o1) in sorted(base.items()):
+            xs2, c2s = cur_by_key.get(
+                kv, (np.empty(0, dtype="int64"), np.empty(0, dtype="int64"))
+            )
+            o2 = int(c2s[-1]) if len(c2s) else 0
+            # chi²: the q_category_drift pinned double chain over
+            # GLOBAL totals (keys outside ref_counts still count)
+            d = float(o1 * n2_total - o2 * n1_total)
+            chi2 = d * d * float(n1_total + n2_total) / (
+                (float(n1_total) * float(n2_total)) * float(o1 + o2)
+            ) if n1_total and n2_total else 0.0
+            chi2_mil = int(math.floor(chi2 * 1024.0))
+            # PSI: edges from the frozen reference ECDF (the batch's
+            # hit-row capture, replayed as searchsorted on c1s)
+            ce1, ce2 = [], []
+            for q in quantiles:
+                kq = (q * (o1 - 1)) // 100
+                idx = int(np.searchsorted(c1s, kq, side="right"))
+                ce1.append(int(c1s[idx]))
+                pos = int(np.searchsorted(xs2, xs1[idx], side="right"))
+                ce2.append(int(c2s[pos - 1]) if pos > 0 else 0)
+            b1 = [0] + ce1 + [o1]
+            b2 = [0] + ce2 + [o2]
+            rb_, cb_ = float(o1 + nb), float(o2 + nb)
+            psi_u = 0
+            for b in range(nb):
+                cp = float(b2[b + 1] - b2[b] + 1)
+                rp = float(b1[b + 1] - b1[b] + 1)
+                term = (cp / cb_ - rp / rb_) * math.log(
+                    (cp / rp) * (rb_ / cb_)
+                )
+                psi_u += int(math.floor(term * 1048576.0))
+            # KS + EMD over the pooled distinct values (exact ints)
+            pooled = np.union1d(xs1, xs2)
+            i1 = np.searchsorted(xs1, pooled, side="right")
+            c1p = np.where(i1 > 0, c1s[np.maximum(i1 - 1, 0)], 0)
+            i2 = np.searchsorted(xs2, pooled, side="right")
+            c2p = np.where(i2 > 0, c2s[np.maximum(i2 - 1, 0)], 0)
+            diffs = [
+                abs(int(a) * o2 - int(b) * o1)
+                for a, b in zip(c1p.tolist(), c2p.tolist())
+            ]
+            ks = max(diffs) if diffs else 0
+            gaps = np.diff(pooled).tolist() + [0]
+            num = sum(dd * int(gp) for dd, gp in zip(diffs, gaps))
+            rng = int(pooled[-1] - pooled[0]) if len(pooled) else 0
+            den = o1 * o2 * rng
+            emd_u = (num * 1048576) // den if den > 0 else 0
+            rows.append(
+                (kv, seen, o1, o2, chi2_mil, psi_u, ks, emd_u)
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                key_col, "seen", "ref_n", "cur_n",
+                "chi2_mil", "psi_u", "ks_num", "emd_u",
+            ],
+        )
+
+    return (
+        df.select(F.lit(1).alias("_g"), F.col(key_col), F.col(value_col))
+        .groupBy("_g")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -84,9 +84,10 @@ def test_driver_gate_window_is_cross_family():
         "q_psi_drift",          # PSI numeric-feature drift
         "q_image_index_md5",    # persisted image-hash index match
         "q_image_ingest_admit_md5",  # image-crawl admission rule
-        # round-11 rotation: the complete drift triptych + aHash twin
+        # round-11 rotation: the complete drift quartet + aHash twin
         "q_ks_drift",           # exact integer two-sample KS
-        "q_drift_report",       # fused single-scan chi2/PSI/KS report
+        "q_emd_drift",          # exact integer earth-mover's drift
+        "q_drift_report",       # fused single-scan chi2/PSI/KS/EMD report
         "q_image_ahash_md5",    # identity-grid aHash twin
     }
     assert flagship <= set(window), flagship - set(window)

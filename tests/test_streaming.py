@@ -1445,3 +1445,126 @@ def test_ks_drift_stream_restart_recovery(spark, tmp_path_factory):
             latest[r.event_type] = r
     got = {k: (r.ref_n, r.cur_n, r.ks_num) for k, r in latest.items()}
     assert got == want and len(want) > 0
+
+
+def _drift_report_fixture(spark):
+    """(ref_counts pdf, cur pdf, batch want) for the unified drift
+    stream: morning window frozen as the reference per-(key, value)
+    counts, afternoon streamed, fused batch q_drift_report as the
+    oracle-green ground truth over both."""
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        _micro_units,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type",
+        _micro_units(F.col("value")).alias("xm"),
+        (F.hour("ts") < 12).alias("w1"),
+    )
+    ref_counts = (
+        ev.filter(F.col("w1"))
+        .groupBy("event_type", "xm")
+        .agg(F.count("*").cast("bigint").alias("d1"))
+        .toPandas()
+    )
+    cur = ev.filter(~F.col("w1")).select("event_type", "xm").toPandas()
+    want = {
+        r.event_type: (
+            r.ref_n, r.cur_n, r.chi2_mil, r.psi_u, r.ks_num, r.emd_u
+        )
+        for r in REGISTRY["q_drift_report"]
+        .spark_fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    return ref_counts, cur, want
+
+
+def _drift_latest(rows):
+    latest = {}
+    for r in rows:
+        if r.event_type not in latest or r.seen > latest[r.event_type].seen:
+            latest[r.event_type] = r
+    return {
+        k: (r.ref_n, r.cur_n, r.chi2_mil, r.psi_u, r.ks_num, r.emd_u)
+        for k, r in latest.items()
+    }
+
+
+def test_drift_report_stream_equals_batch(spark, tmp_path_factory):
+    """The unified online drift quartet (one stateful fold publishing
+    chi²/PSI/KS/EMD per key) is BIT-equal to the fused batch
+    q_drift_report at the final trigger: counts are a commutative
+    monoid, chi²/PSI replay the batch's pinned double chains
+    op-for-op, KS/EMD are integer end-to-end."""
+    from real_time_data_anomaly_detection_spark.streaming.sketches import (
+        drift_report_stream,
+    )
+
+    ref_counts, cur, want = _drift_report_fixture(spark)
+    path = str(tmp_path_factory.mktemp("drift_replay"))
+    for i in range(3):
+        f = os.path.join(path, f"part-{i:02d}.parquet")
+        cur.iloc[i::3].to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream_df = file_replay_source(spark, path, spark.read.parquet(path).schema)
+    out = drift_report_stream(stream_df, ref_counts)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_driftrep")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _drift_latest(spark.table("t_driftrep").collect())
+    assert got == want and len(want) > 0
+
+
+def test_drift_report_stream_restart_recovery(spark, tmp_path_factory):
+    """drift_report_stream survives a durable-checkpoint restart: two
+    availableNow runs (new feed file in between) fold into the SAME
+    whole-table count state, and the final emission is still bit-equal
+    to the fused batch q_drift_report."""
+    from real_time_data_anomaly_detection_spark.streaming.sketches import (
+        drift_report_stream,
+    )
+
+    ref_counts, cur, want = _drift_report_fixture(spark)
+    root = tmp_path_factory.mktemp("drift_restart")
+    feed = str(root / "feed")
+    ckpt = str(root / "ckpt")
+    out = str(root / "out")
+    os.makedirs(feed)
+
+    def _write(i):
+        f = os.path.join(feed, f"part-{i:02d}.parquet")
+        cur.iloc[i::3].to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def _sink(bdf, bid):
+        bdf.write.mode("append").parquet(out)
+
+    def _run():
+        stream_df = file_replay_source(
+            spark, feed, spark.read.parquet(feed).schema
+        )
+        q = (
+            drift_report_stream(stream_df, ref_counts)
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)  # memory sink can't recover
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(0)
+    _write(1)
+    _run()
+    _write(2)
+    _run()  # restart: state + offsets recovered from ckpt
+
+    got = _drift_latest(spark.read.parquet(out).collect())
+    assert got == want and len(want) > 0

@@ -385,6 +385,20 @@ def scaling_main() -> None:
             )
         )
 
+    # round-11: exact earth-mover's drift — same counts-relation shape
+    # as ks_drift (one partial-aggregable groupBy, windows over the
+    # distinct-value relation) plus the DECIMAL(38,0) term sum; the
+    # slope should read the scan like KS, with decimal arithmetic
+    # confined to the bounded relation.
+    def _emd_op(x):
+        from real_time_data_anomaly_detection_spark.operators.timeseries import (
+            emd_drift,
+        )
+
+        return emd_drift(
+            x.withColumn("w1", F.col("rid") % 2 == 0), "key", "xm", "w1"
+        )
+
     # PQ/ADC top-k: sample-fit train (constant), one encode pass, one
     # LUT-scored scan planned as TakeOrderedAndProject — the ANN slope
     # row. Probe = deterministic unit basis vector (no collect).
@@ -510,6 +524,8 @@ def scaling_main() -> None:
         "image_index": ("docs", _image_index_op),
         "psi_drift": ("events", _psi_op),
         "ks_drift": ("events", _ks_op),
+        # round-11 addition
+        "emd_drift": ("events", _emd_op),
     }
     # optional 4th arg: comma-separated op subset
     if len(sys.argv) > 4:
