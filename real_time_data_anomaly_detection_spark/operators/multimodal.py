@@ -1421,6 +1421,141 @@ def video_frame_dhash(
     return df.select(id_col, payload_col).mapInPandas(_hash, schema)
 
 
+def video_index_match(
+    index_bands: DataFrame,
+    batch_videos: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    n_bands: int | None = None,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Cross-media near-dup (round-11): match every FRAME of a new
+    Motion-JPEG video batch against a persisted IMAGE-hash index
+    (operators.build_image_index / load_image_index) — "does this
+    video contain a shot of anything we've already indexed". Returns
+    (idx_id, video_id, frame_idx, hamming ≤ max_hamming).
+
+    Because video_frame_dhash emits the SAME integer dHash the image
+    path does (pinned frame-vs-direct-image bit-equality in
+    tests/test_multimodal.py), frames enter the identical banded
+    algebra: the banding geometry MUST match the index's meta.json —
+    use load_image_index, which checks it loudly. Scale shape mirrors
+    image_index_match: frames decode once in the Arrow worker, only
+    8-byte hashes + band keys shuffle, and the micro-batch side
+    broadcasts so the index relation never moves."""
+    nbits = hash_w * hash_h
+    if n_bands is None:
+        n_bands = _default_bands(nbits, max_hamming)
+    fps = video_frame_dhash(
+        batch_videos, payload_col, id_col, hash_w, hash_h
+    ).filter(F.col("dhash").isNotNull())
+    b = _band_fps(fps, id_col, nbits, n_bands, extra_cols=("frame_idx",)).select(
+        F.col(id_col).alias("video_id"),
+        "frame_idx",
+        F.col("dhash").alias("h_new"),
+        "bk",
+    )
+    idx = index_bands.select(
+        F.col(id_col).alias("idx_id"), F.col("dhash").alias("h_idx"), "bk"
+    )
+    right = F.broadcast(b) if broadcast_batch else b
+    hamming = F.bit_count(F.col("h_idx").bitwiseXOR(F.col("h_new")))
+    return (
+        idx.join(right, "bk")
+        .select("idx_id", "video_id", "frame_idx", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def video_neardup_pairs(
+    videos: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    min_frac: float = 0.5,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Video-vs-video near-dup over frame perceptual hashes
+    (round-11): a pair qualifies when at least ``min_frac`` of the
+    SHORTER video's decodable frames have a dHash match (Hamming ≤
+    ``max_hamming``) somewhere in the other — the frame-containment
+    rule, robust to one video being a clip/extension of the other.
+    Returns (vid_a, vid_b, n_a, n_b, matched_a, matched_b) with
+    vid_a < vid_b; matched_x = distinct frames of x with a
+    cross-video match.
+
+    Shape: one decode pass (pixels die in the Arrow worker), banded
+    frame self-join on the packed band key (only 8-byte hashes + ids
+    shuffle; banding lossless by pigeonhole at Hamming < n_bands),
+    then two counts-sized aggregations — per-(pair, frame) dedup and
+    the per-pair roll-up joined against the per-video frame counts.
+    The quadratic hazard is band-bucket saturation, same as
+    image_neardup_pairs; the SCALING §7.2 sizing rule (band width
+    grows with corpus) applies unchanged because the algebra is the
+    identical relation."""
+    nbits = hash_w * hash_h
+    if n_bands is None:
+        n_bands = _default_bands(nbits, max_hamming)
+    fps = video_frame_dhash(
+        videos, payload_col, id_col, hash_w, hash_h
+    ).filter(F.col("dhash").isNotNull())
+    fps = fps.localCheckpoint(eager=True)  # decode once: counts + join
+    n_frames = fps.groupBy(id_col).agg(
+        F.countDistinct("frame_idx").alias("n_frames")
+    )
+    banded = _band_fps(fps, id_col, nbits, n_bands, extra_cols=("frame_idx",))
+    a = banded.select(
+        F.col(id_col).alias("vid_a"),
+        F.col("frame_idx").alias("f_a"),
+        F.col("dhash").alias("h_a"),
+        "bk",
+    )
+    b = banded.select(
+        F.col(id_col).alias("vid_b"),
+        F.col("frame_idx").alias("f_b"),
+        F.col("dhash").alias("h_b"),
+        "bk",
+    )
+    hits = (
+        a.join(b, "bk")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .filter(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))) <= max_hamming
+        )
+        .select("vid_a", "vid_b", "f_a", "f_b")
+        .distinct()
+    )
+    per_pair = hits.groupBy("vid_a", "vid_b").agg(
+        F.countDistinct("f_a").alias("matched_a"),
+        F.countDistinct("f_b").alias("matched_b"),
+    )
+    na = n_frames.select(
+        F.col(id_col).alias("vid_a"), F.col("n_frames").alias("n_a")
+    )
+    nb_ = n_frames.select(
+        F.col(id_col).alias("vid_b"), F.col("n_frames").alias("n_b")
+    )
+    return (
+        per_pair.join(F.broadcast(na), "vid_a")
+        .join(F.broadcast(nb_), "vid_b")
+        .filter(
+            F.when(
+                F.col("n_a") <= F.col("n_b"),
+                F.col("matched_a") >= F.ceil(F.col("n_a") * F.lit(min_frac)),
+            ).otherwise(
+                F.col("matched_b") >= F.ceil(F.col("n_b") * F.lit(min_frac))
+            )
+        )
+        .select("vid_a", "vid_b", "n_a", "n_b", "matched_a", "matched_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Perceptual image near-dup (round-8 verdict #6): integer dHash over the
 # codec-free pixel decodes + the SimHash Hamming-band pair search.
@@ -1639,14 +1774,17 @@ def image_ahash(
 
 
 def _band_fps(
-    fps: DataFrame, id_col: str, nbits: int, n_bands: int
+    fps: DataFrame, id_col: str, nbits: int, n_bands: int,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """(id, dhash) → exploded band rows (id, dhash, band, key, bk):
     the hash splits into ``n_bands`` equal chunks; ``bk`` packs
     (band, key) into ONE bigint (band·2^bw + key) so band-bucket
     equi-joins ride a single key and a PERSISTED index can sort by it
     for parquet row-group pruning. shiftright is arithmetic but the
-    mask strips the sign extension, so keys are always in [0, 2^bw)."""
+    mask strips the sign extension, so keys are always in [0, 2^bw).
+    ``extra_cols`` ride along unchanged (video frames carry
+    frame_idx — round-11)."""
     if nbits % n_bands:
         raise ValueError("n_bands must divide hash_w*hash_h")
     bw = nbits // n_bands
@@ -1656,6 +1794,7 @@ def _band_fps(
     )
     return fps.select(
         id_col,
+        *extra_cols,
         "dhash",
         F.explode(
             F.array(
@@ -1667,6 +1806,7 @@ def _band_fps(
         ).alias("bk_s"),
     ).select(
         id_col,
+        *extra_cols,
         "dhash",
         "bk_s.band",
         "bk_s.key",

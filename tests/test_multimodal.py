@@ -2134,3 +2134,60 @@ def test_decode_payload_video_mjpeg_real():
     assert np.array_equal(feat, _decode_jpeg_builtin(frames[0]))
     stub = _decode_payload("video", b"\x00\x01\x02mp3ish")
     assert len(stub) == 16 and all(0 <= v < 1 for v in stub)
+
+
+def test_video_neardup_pairs_frame_containment(spark):
+    """Video-vs-video near-dup over frame hashes: two videos sharing
+    2 of 3 frames (identical JPEG bytes -> Hamming 0) qualify at
+    min_frac=0.5; a frame-disjoint third video pairs with nobody.
+    Counts surface the containment evidence (matched/total)."""
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        video_neardup_pairs,
+    )
+
+    fr, _ = _mjpeg_test_frames(n=6)
+    a, b, c, d, e, f = fr
+    vids = spark.createDataFrame(
+        [
+            (1, _avi_bytes([a, b, c])),
+            (2, _mov_bytes([b, c, d])),
+            (3, _avi_bytes([e, f])),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = video_neardup_pairs(vids, min_frac=0.5).collect()
+    assert [(r.vid_a, r.vid_b) for r in rows] == [(1, 2)]
+    r = rows[0]
+    assert (r.n_a, r.n_b, r.matched_a, r.matched_b) == (3, 3, 2, 2)
+    # raise the bar past the shared fraction -> no pairs
+    assert video_neardup_pairs(vids, min_frac=0.8).count() == 0
+
+
+def test_video_index_match_cross_media(spark, tmp_path):
+    """Cross-media: frames of a new video batch matched against a
+    PERSISTED image index — the video twin of image_index_match.
+    Only the video containing an indexed frame hits, at the right
+    frame_idx, with Hamming 0 (identical bytes, and
+    video_frame_dhash == image_dhash is pinned separately)."""
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        build_image_index,
+        load_image_index,
+        video_index_match,
+    )
+
+    fr, _ = _mjpeg_test_frames(n=5)
+    a, b, c, d, e = fr
+    idx_path = str(tmp_path / "imgidx")
+    images = spark.createDataFrame(
+        [(100, d), (101, e)], "media_id long, payload binary"
+    )
+    build_image_index(images, idx_path)
+    vids = spark.createDataFrame(
+        [(1, _avi_bytes([a, b, c])), (2, _mov_bytes([b, c, d]))],
+        "media_id long, payload binary",
+    )
+    idx = load_image_index(spark, idx_path)
+    got = video_index_match(idx, vids).collect()
+    assert [(r.idx_id, r.video_id, r.frame_idx, r.hamming) for r in got] == [
+        (100, 2, 2, 0)
+    ]
