@@ -1556,6 +1556,122 @@ def video_neardup_pairs(
     )
 
 
+def video_neardup_admit(
+    index_bands: DataFrame,
+    batch_videos: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    min_frac: float = 0.5,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    n_bands: int | None = None,
+    broadcast_batch: bool = True,
+    fps: DataFrame | None = None,
+) -> DataFrame:
+    """Frame-coverage admission for a video batch (round-11 — the
+    video gate next to the text and image gates): admit exactly the
+    videos for which FEWER than ``min_frac`` of their decodable
+    frames are already covered — a frame is covered when it has a
+    dHash near-dup (Hamming ≤ ``max_hamming``) in the seen-frame
+    index OR in a SMALLER-ID video of the same batch (first-arrival
+    wins). Returns (id, n_frames, covered) for admitted videos;
+    videos with NO decodable frames are admitted with (0, 0) — no
+    evidence of duplication, same policy as the image gate's
+    null-hash admissions.
+
+    The decision is a pure function of (this video's frame hashes,
+    the SEEN frame-hash set): coverage needs no per-video grouping of
+    the index side, so — exactly like image_neardup_admit's seen-keys
+    contract — remembering EVERY presented frame (admitted or not)
+    makes the sequential micro-batch fold equal the one-shot batch
+    admit under id-ordered arrival (pinned in tests/test_streaming.py).
+    Intra-batch coverage composes the same way: under id order,
+    "covered by an earlier batch" plus "covered by a smaller-id
+    same-batch video" equals "covered by ANY smaller-id video or the
+    seed".
+
+    ``fps``: pass the already-materialized (id, frame_idx, dhash)
+    relation (null rows included) so video_ingest_stream pays the
+    container+JPEG decode ONCE per trigger."""
+    nbits = hash_w * hash_h
+    if n_bands is None:
+        n_bands = _default_bands(nbits, max_hamming)
+    if fps is None:
+        fps = video_frame_dhash(
+            batch_videos, payload_col, id_col, hash_w, hash_h
+        )
+        from real_time_data_anomaly_detection_spark.plans.inspect import (
+            plan_size_bytes,
+        )
+
+        if plan_size_bytes(batch_videos) <= 1 << 30:
+            fps = fps.localCheckpoint(eager=True)
+    good = fps.filter(F.col("dhash").isNotNull())
+    banded = _band_fps(good, id_col, nbits, n_bands, extra_cols=("frame_idx",))
+    maybe_bc = F.broadcast if broadcast_batch else (lambda x: x)
+    new_side = banded.select(
+        F.col(id_col).alias("_vid"),
+        F.col("frame_idx").alias("_fidx"),
+        F.col("dhash").alias("h_new"),
+        "bk",
+    )
+    # covered-by-index frames
+    hit_idx = (
+        index_bands.select(F.col("dhash").alias("h_idx"), "bk")
+        .join(maybe_bc(new_side), "bk")
+        .filter(
+            F.bit_count(F.col("h_idx").bitwiseXOR(F.col("h_new")))
+            <= max_hamming
+        )
+        .select("_vid", "_fidx")
+    )
+    # covered-by-smaller-id-same-batch frames (frames of the SAME
+    # video never cover each other — a static shot is not a dup)
+    older = banded.select(
+        F.col(id_col).alias("_ovid"), F.col("dhash").alias("h_old"), "bk"
+    )
+    hit_intra = (
+        older.join(
+            new_side, "bk"
+        )
+        .filter(F.col("_ovid") < F.col("_vid"))
+        .filter(
+            F.bit_count(F.col("h_old").bitwiseXOR(F.col("h_new")))
+            <= max_hamming
+        )
+        .select("_vid", "_fidx")
+    )
+    covered = (
+        hit_idx.unionByName(hit_intra)
+        .distinct()
+        .groupBy("_vid")
+        .agg(F.count(F.lit(1)).alias("covered"))
+    )
+    n_frames = good.groupBy(id_col).agg(
+        F.countDistinct("frame_idx").alias("n_frames")
+    )
+    # one row per presented video (undecodable containers included via
+    # the fps null rows -> n_frames 0)
+    all_vids = fps.select(id_col).distinct()
+    stats = (
+        all_vids.join(n_frames, id_col, "left")
+        .join(covered.withColumnRenamed("_vid", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+            F.coalesce("covered", F.lit(0)).alias("covered"),
+        )
+    )
+    return stats.filter(
+        F.col("covered") < F.ceil(F.col("n_frames") * F.lit(min_frac))
+    ).unionByName(
+        stats.filter(F.col("n_frames") == 0).select(
+            id_col, F.lit(0).alias("n_frames"), F.lit(0).alias("covered")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Perceptual image near-dup (round-8 verdict #6): integer dHash over the
 # codec-free pixel decodes + the SimHash Hamming-band pair search.
@@ -1995,6 +2111,51 @@ def build_image_index(
             {"hash_w": hash_w, "hash_h": hash_h, "n_bands": resolved}
         ),
         images.sparkSession,
+    )
+
+
+def build_video_index(
+    videos: DataFrame,
+    index_path: str,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    hash_w: int = 8,
+    hash_h: int = 8,
+    n_bands: int | None = None,
+    max_hamming: int = 3,
+    num_files: int = 8,
+) -> None:
+    """Seed the persisted SEEN-FRAME index for the video gate
+    (round-11): one decode pass over the video corpus writes the
+    banded per-frame fingerprint relation — (id, frame_idx, dhash,
+    band, key, bk), bk-sorted for row-group pruning — to
+    ``index_path``/seed, plus the same meta.json geometry marker the
+    image index carries (checked by check_image_index_meta; the bk
+    domain is only comparable under one geometry). The layout is the
+    shared streaming/ingest.py one, so _index_paths resolution and
+    compact_ingest_index folds apply unchanged. Pixels never enter
+    the index: ~40 bytes × n_bands per FRAME."""
+    import json as _json
+
+    nbits = hash_w * hash_h
+    resolved = n_bands if n_bands is not None else _default_bands(
+        nbits, max_hamming
+    )
+    fps = video_frame_dhash(videos, payload_col, id_col, hash_w, hash_h).filter(
+        F.col("dhash").isNotNull()
+    )
+    rows = _band_fps(fps, id_col, nbits, resolved, extra_cols=("frame_idx",))
+    rows.repartitionByRange(num_files, "bk").sortWithinPartitions(
+        "bk"
+    ).write.mode("overwrite").parquet(f"{index_path}/seed")
+    from real_time_data_anomaly_detection_spark import fs as _fs
+
+    _fs.write_text(
+        f"{index_path}/meta.json",
+        _json.dumps(
+            {"hash_w": hash_w, "hash_h": hash_h, "n_bands": resolved}
+        ),
+        videos.sparkSession,
     )
 
 

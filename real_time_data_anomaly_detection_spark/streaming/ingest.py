@@ -351,3 +351,95 @@ def image_ingest_stream(
     if checkpoint_path is not None:
         writer = writer.option("checkpointLocation", checkpoint_path)
     return writer.start()
+
+
+def video_ingest_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    out_path: str,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    min_frac: float = 0.5,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    n_bands: int | None = None,
+    trigger: dict | None = None,
+    checkpoint_path: str | None = None,
+    compact_every: int | None = None,
+):
+    """The video-crawl gate (round-11) — third member of the ingest
+    family next to :func:`ingest_stream` (text) and
+    :func:`image_ingest_stream` (images): per micro-batch, admit only
+    videos with fewer than ``min_frac`` of their decodable frames
+    already covered (dHash Hamming ≤ ``max_hamming``) by everything
+    SEEN so far — the seed index (operators/multimodal.
+    build_video_index) plus every earlier batch — with first-arrival
+    (min-id) winning intra-batch; write admitted payload rows to
+    ``out_path``/batch=<id> and the batch's per-frame band rows to
+    ``index_path``/delta/batch=<id>.
+
+    The delta holds ALL the batch's decodable frame band rows,
+    admitted or not — the seen-keys contract: the admission decision
+    is a pure function of (new video's frame hashes, seen frame set),
+    so remembering every PRESENTED frame makes the sequential fold
+    equal the one-shot batch admit under id-ordered arrival (the
+    image gate's argument, unchanged; pinned in
+    tests/test_streaming.py). Same exactly-once discipline and
+    generation-compaction story as the other two gates (the layout
+    and resolver are shared). Per-trigger cost: the index side is
+    frame-hash rows only (pixels never enter a join or the index);
+    the batch decodes once and broadcasts."""
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _band_fps,
+        _default_bands,
+        check_image_index_meta,
+        video_frame_dhash,
+        video_neardup_admit,
+    )
+
+    nbits = hash_w * hash_h
+    resolved_bands = (
+        n_bands if n_bands is not None else _default_bands(nbits, max_hamming)
+    )
+    check_image_index_meta(index_path, hash_w, hash_h, resolved_bands)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            compact_ingest_index(spark, index_path, batch_id)
+        idx = spark.read.parquet(*_index_paths(index_path, batch_id, spark))
+        fps = video_frame_dhash(
+            batch_df, payload_col, id_col, hash_w, hash_h
+        ).localCheckpoint(eager=True)
+        admitted = video_neardup_admit(
+            idx,
+            batch_df,
+            payload_col,
+            id_col,
+            max_hamming=max_hamming,
+            min_frac=min_frac,
+            hash_w=hash_w,
+            hash_h=hash_h,
+            n_bands=resolved_bands,
+            fps=fps,
+        )
+        batch_df.join(admitted.select(id_col), id_col).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/batch={batch_id}")
+        _band_fps(
+            fps.filter(F.col("dhash").isNotNull()),
+            id_col,
+            nbits,
+            resolved_bands,
+            extra_cols=("frame_idx",),
+        ).write.mode("overwrite").parquet(
+            f"{index_path}/delta/batch={batch_id}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_process).trigger(
+        **(trigger or {"processingTime": "1 second"})
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()
