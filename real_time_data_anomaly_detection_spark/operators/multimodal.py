@@ -1133,7 +1133,9 @@ def video_duration_ms(
                 None if p is None else _mp4_duration_ms(bytes(p))
                 for p in pdf[payload_col]
             ]
-            yield pd.DataFrame({id_col: pdf[id_col], "duration_ms": out})
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "duration_ms": _int64_col(out)}
+            )
 
     return df.select(id_col, payload_col).mapInPandas(_dur, schema)
 
@@ -1363,6 +1365,20 @@ def _mjpeg_frames(payload: bytes) -> list[bytes] | None:
     return frames if frames is not None else _mov_jpeg_frames(payload)
 
 
+def _int64_col(values: list) -> pd.array:
+    """Nullable pandas Int64 column for Arrow handoff. The naive
+    ``pd.DataFrame({"h": [None, big_int, ...]})`` infers FLOAT64 the
+    moment any chunk mixes a null with ints — and float64 silently
+    rounds 64-bit hashes past 2^53, so a torn payload co-batched with
+    good ones CORRUPTED the good rows' hashes by up to ±7 ulps
+    (found round-11: a streamed micro-batch put an undecodable video
+    next to a decodable one, its frame hashes lost their low bits,
+    and the near-dup gate silently admitted a duplicate). Nullable
+    Int64 keeps the integers exact through Arrow; pinned in
+    tests/test_multimodal.py::test_null_cobatched_hashes_stay_exact."""
+    return pd.array(values, dtype="Int64")
+
+
 def video_frame_dhash(
     df: DataFrame,
     payload_col: str = "payload",
@@ -1415,7 +1431,11 @@ def video_frame_dhash(
                     idxs.append(i)
                     hashes.append(h)
             yield pd.DataFrame(
-                {id_col: ids, "frame_idx": idxs, "dhash": hashes}
+                {
+                    id_col: ids,
+                    "frame_idx": _int64_col(idxs),
+                    "dhash": _int64_col(hashes),
+                }
             )
 
     return df.select(id_col, payload_col).mapInPandas(_hash, schema)
@@ -1848,7 +1868,9 @@ def image_dhash(
                     )
                 except Exception:
                     out.append(None)
-            yield pd.DataFrame({id_col: pdf[id_col], "dhash": out})
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "dhash": _int64_col(out)}
+            )
 
     return df.select(id_col, payload_col).mapInPandas(_hash, schema)
 
@@ -1884,7 +1906,9 @@ def image_ahash(
                     )
                 except Exception:
                     out.append(None)
-            yield pd.DataFrame({id_col: pdf[id_col], "ahash": out})
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "ahash": _int64_col(out)}
+            )
 
     return df.select(id_col, payload_col).mapInPandas(_hash, schema)
 
@@ -2596,7 +2620,9 @@ def audio_fingerprints(
                     )
                 except Exception:
                     out.append(None)
-            yield pd.DataFrame({id_col: pdf[id_col], "fingerprint": out})
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "fingerprint": _int64_col(out)}
+            )
 
     return df.select(id_col, payload_col).mapInPandas(_fp, schema)
 

@@ -2191,3 +2191,46 @@ def test_video_index_match_cross_media(spark, tmp_path):
     assert [(r.idx_id, r.video_id, r.frame_idx, r.hamming) for r in got] == [
         (100, 2, 2, 0)
     ]
+
+
+def test_null_cobatched_hashes_stay_exact(spark):
+    """Round-11 corruption regression: an undecodable payload in the
+    SAME Arrow chunk as decodable ones must not disturb the good
+    rows' hashes. pd.DataFrame over a [None, int, ...] list infers
+    float64, which rounds 64-bit hashes past 2^53 — found when a
+    streamed micro-batch (one file -> one chunk) admitted a video
+    duplicate because its frame hashes had lost their low bits. The
+    fix is the nullable-Int64 handoff (_int64_col); this pins it for
+    the image, video, and audio hash paths by forcing everything
+    into ONE partition/chunk."""
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        image_dhash,
+        video_frame_dhash,
+    )
+
+    frames, _ = _mjpeg_test_frames(n=2)
+    imgs = spark.createDataFrame(
+        [(1, None), (2, b"torn"), (3, frames[0]), (4, frames[1])],
+        "media_id long, payload binary",
+    ).coalesce(1)
+    solo = spark.createDataFrame(
+        [(3, frames[0]), (4, frames[1])], "media_id long, payload binary"
+    ).repartition(2)
+    want = {r.media_id: r.dhash for r in image_dhash(solo).collect()}
+    got = {
+        r.media_id: r.dhash
+        for r in image_dhash(imgs).collect()
+        if r.dhash is not None
+    }
+    assert got == want  # bit-exact despite co-batched nulls
+
+    vids = spark.createDataFrame(
+        [(1, b"not a video"), (2, _avi_bytes(frames))],
+        "media_id long, payload binary",
+    ).coalesce(1)
+    vgot = {
+        (r.media_id, r.frame_idx): r.dhash
+        for r in video_frame_dhash(vids).collect()
+        if r.dhash is not None
+    }
+    assert vgot == {(2, 0): want[3], (2, 1): want[4]}

@@ -1568,3 +1568,111 @@ def test_drift_report_stream_restart_recovery(spark, tmp_path_factory):
 
     got = _drift_latest(spark.read.parquet(out).collect())
     assert got == want and len(want) > 0
+
+
+def test_video_ingest_stream_equals_batch(spark, tmp_path_factory):
+    """Round-11: the streaming video gate (frame-coverage admission
+    against the persisted seen-frame index) admits EXACTLY what the
+    one-shot batch video_neardup_admit admits over the same videos,
+    with a compaction firing mid-stream and a durable-checkpoint
+    restart in between. Pins the seen-keys contract the hard way: a
+    later video is rejected because its frames were presented by an
+    earlier REJECTED video."""
+    from tests.test_multimodal import _avi_bytes, _mjpeg_test_frames
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _band_fps,
+        build_video_index,
+        video_frame_dhash,
+        video_neardup_admit,
+    )
+    from real_time_data_anomaly_detection_spark.streaming.ingest import (
+        _index_paths,
+        compact_ingest_index,
+        video_ingest_stream,
+    )
+    import pandas as pd
+
+    fr, _ = _mjpeg_test_frames(n=24)
+    root = tmp_path_factory.mktemp("video_ingest")
+    feed = str(root / "feed")
+    index = str(root / "index")
+    out = str(root / "out")
+    ckpt = str(root / "ckpt")
+    os.makedirs(feed)
+
+    # seed corpus: frames 0..8 across three videos
+    corpus = spark.createDataFrame(
+        [(i, _avi_bytes(fr[3 * i: 3 * i + 3])) for i in range(3)],
+        "media_id long, payload binary",
+    )
+    build_video_index(corpus, index)
+
+    # new videos, streamed in id order (slices of 2):
+    new_payloads = [
+        (10, _avi_bytes(fr[0:3])),            # exact seed re-encode -> reject
+        (11, _avi_bytes([fr[3], fr[4], fr[9]])),   # 2/3 seed -> reject;
+                                                   # fr[9] now SEEN
+        (12, _avi_bytes([fr[6], fr[10], fr[11]])),  # 1/3 seed -> admit
+        (13, _avi_bytes([fr[9], fr[12]])),     # 1/2 covered via the
+                                               # REJECTED 11 -> reject
+        (14, _avi_bytes(fr[15:18])),           # fresh -> admit
+        (15, b"not a video"),                  # undecodable -> admit
+        (16, _avi_bytes([fr[15], fr[16], fr[20]])),  # 2/3 of admitted 14
+                                               # -> reject (cross-batch)
+        (17, _avi_bytes(fr[21:24])),           # fresh -> admit
+    ]
+    new_df = spark.createDataFrame(
+        new_payloads, "media_id long, payload binary"
+    )
+    pdf = pd.DataFrame(new_payloads, columns=["media_id", "payload"])
+    cuts = [0, 3, 5, 8]
+
+    def _write_slice(i: int) -> None:
+        f = os.path.join(feed, f"part-{i:02d}.parquet")
+        pdf.iloc[cuts[i]:cuts[i + 1]].to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def _run() -> None:
+        stream_df = file_replay_source(
+            spark, feed, spark.read.parquet(feed).schema
+        )
+        q = video_ingest_stream(
+            stream_df,
+            index,
+            out,
+            trigger={"availableNow": True},
+            checkpoint_path=ckpt,
+        )
+        q.awaitTermination(180)
+
+    _write_slice(0)
+    _write_slice(1)
+    _run()
+
+    # seen-keys contract: batch 0's delta holds band rows for EVERY
+    # decodable frame presented (videos 10, 11, 12 -> 9 frames x 4 bands)
+    delta0 = spark.read.parquet(f"{index}/delta/batch=0")
+    assert delta0.count() == 9 * 4
+    assert set(delta0.columns) == {
+        "media_id", "frame_idx", "dhash", "band", "key", "bk"
+    }
+
+    compact_ingest_index(spark, index, upto_batch=2)
+    assert _index_paths(index, 2) == [f"{index}/gen=2"]
+
+    _write_slice(2)
+    _run()  # restart under the durable checkpoint -> batch 2
+
+    got = sorted(
+        r.media_id for r in spark.read.parquet(out).select("media_id").collect()
+    )
+    fps_corpus = video_frame_dhash(corpus).filter(F.col("dhash").isNotNull())
+    want = sorted(
+        r.media_id
+        for r in video_neardup_admit(
+            _band_fps(fps_corpus, "media_id", 64, 4,
+                      extra_cols=("frame_idx",)),
+            new_df,
+        ).collect()
+    )
+    assert got == want == [12, 14, 15, 17]
