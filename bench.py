@@ -261,8 +261,9 @@ def main() -> None:
         "q_psi_drift",
         "q_ks_drift",
         "q_drift_report",
-        # round-11 addition
+        # round-11 additions
         "q_emd_drift",
+        "q_holt_forecast",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from real_time_data_anomaly_detection_spark.io import load_table
 from real_time_data_anomaly_detection_spark.operators.registry import query
@@ -1961,3 +1962,147 @@ def drift_report(
         )
         .filter(F.col("ref_n") > 0)
     )
+
+
+def holt_smooth(
+    df: DataFrame,
+    key_col: str,
+    slot_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per key over an
+    integer series, engine-portable by construction (round-11 — the
+    forecasting companion to the anomaly/drift family; the reference
+    refits its detector per window, app/app3_ML.py:165, with no
+    forward view at all).
+
+    Standard recursion with DYADIC constants α=1/2, β=1/4 — every
+    multiply is exact in IEEE doubles, so the only rounding is the
+    additions, and those are identical correctly-rounded ops in any
+    engine as long as the PARENTHESIZATION matches (the pinned-chain
+    oracle discipline, sequential here because smoothing is
+    inherently ordered — one state chain per key, computed in
+    arrival order, never a parallel reduction):
+
+        l₁ = x₁;  b₁ = x₂ − x₁
+        lₜ = 0.5·xₜ + 0.5·(lₜ₋₁ + bₜ₋₁)
+        bₜ = 0.25·(lₜ − lₜ₋₁) + 0.75·bₜ₋₁       (t = 2..n)
+
+    Published per key (n ≥ 2 slots): n_slots, floor(level),
+    floor(trend·2²⁰), floor(level+trend) — the one-step-ahead
+    forecast. Inputs must be exact integers < 2⁵³ (micro-unit hourly
+    sums) so the float conversion itself is lossless.
+
+    Scale shape: the smoothing runs over the per-(key, slot)
+    AGGREGATED series — bounded by slots, not events — inside one
+    applyInPandas per key; the event-sized work is the one
+    partial-aggregable groupBy that builds the series. The oracle
+    replays the identical chain as a DuckDB recursive CTE."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType(), False),
+            T.StructField("n_slots", T.LongType(), False),
+            T.StructField("level_i", T.LongType(), False),
+            T.StructField("trend_u", T.LongType(), False),
+            T.StructField("forecast_i", T.LongType(), False),
+        ]
+    )
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(slot_col, kind="mergesort")
+        xs = [float(v) for v in pdf[value_col]]
+        if len(xs) < 2:
+            return pd.DataFrame(
+                columns=[key_col, "n_slots", "level_i", "trend_u",
+                         "forecast_i"]
+            )
+        level = xs[0]
+        trend = xs[1] - xs[0]
+        for x in xs[1:]:
+            new_level = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.25 * (new_level - level) + 0.75 * trend
+            level = new_level
+        import math as _math
+
+        return pd.DataFrame(
+            [
+                (
+                    pdf[key_col].iloc[0],
+                    len(xs),
+                    int(_math.floor(level)),
+                    int(_math.floor(trend * 1048576.0)),
+                    int(_math.floor(level + trend)),
+                )
+            ],
+            columns=[key_col, "n_slots", "level_i", "trend_u", "forecast_i"],
+        )
+
+    series = df.groupBy(key_col, slot_col).agg(
+        F.sum(value_col).cast("bigint").alias("_x")
+    )
+    return series.select(key_col, slot_col, "_x").groupBy(
+        key_col
+    ).applyInPandas(
+        lambda p: _fit(p.rename(columns={"_x": value_col})), out_schema
+    )
+
+
+@query(
+    "q_holt_forecast",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS slot,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM events GROUP BY 1, 2),
+        s AS (
+            SELECT event_type, x,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY slot) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM hourly),
+        rec AS (
+            WITH RECURSIVE r AS (
+                SELECT a.event_type, CAST(1 AS BIGINT) AS t,
+                       CAST(a.x AS DOUBLE) AS l,
+                       CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE) AS tr
+                FROM s a JOIN s b
+                  ON a.event_type = b.event_type
+                 AND a.rn = 1 AND b.rn = 2
+                UNION ALL
+                SELECT r.event_type, r.t + 1,
+                       0.5 * CAST(s.x AS DOUBLE) + 0.5 * (r.l + r.tr),
+                       0.25 * ((0.5 * CAST(s.x AS DOUBLE)
+                                + 0.5 * (r.l + r.tr)) - r.l)
+                           + 0.75 * r.tr
+                FROM r JOIN s ON s.event_type = r.event_type
+                             AND s.rn = r.t + 1
+            ) SELECT * FROM r),
+        fin AS (
+            SELECT rec.event_type, rec.l, rec.tr, s.n
+            FROM rec JOIN s ON s.event_type = rec.event_type AND s.rn = 1
+            WHERE rec.t = s.n)
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_slots,
+               CAST(floor(l) AS BIGINT) AS level_i,
+               CAST(floor(tr * 1048576.0) AS BIGINT) AS trend_u,
+               CAST(floor(l + tr) AS BIGINT) AS forecast_i
+        FROM fin ORDER BY 1
+    """,
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of each event_type's hourly
+    micro-unit volume, with the one-step-ahead forecast — see
+    :func:`holt_smooth` for the dyadic-constant portability argument.
+    The oracle replays the identical sequential chain as a DuckDB
+    recursive CTE, so level/trend/forecast hash bit-equal: a
+    grouped-map (applyInPandas) operator under the full oracle gate,
+    not just a rows-only check."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("slot"),
+        _micro_units(F.col("value")).alias("xm"),
+    )
+    return holt_smooth(ev, "event_type", "slot", "xm").orderBy("event_type")

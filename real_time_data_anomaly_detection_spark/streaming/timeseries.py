@@ -228,3 +228,108 @@ def ohlc_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def holt_stream(
+    df: DataFrame,
+    key_col: str = "event_type",
+    slot_col: str = "slot",
+    value_col: str = "xm",
+) -> DataFrame:
+    """Streaming Holt linear smoothing (round-11): the online twin of
+    operators/timeseries.holt_smooth — exponential smoothing is the
+    rare model whose state is O(1) BY DESIGN (level, trend), so the
+    online fold is the algorithm, not an approximation of it.
+
+    Contract: ``df`` streams FINALIZED per-(key, slot) integer series
+    rows (slot_col, value_col) — e.g. a watermark-closed tumbling
+    aggregation — arriving in slot order per key across triggers
+    (within a trigger, rows are sorted before folding). State per key:
+    (level, trend, n, last_slot); the chain is the EXACT dyadic
+    sequence of holt_smooth (α=1/2, β=1/4 — multiplications exact in
+    IEEE, additions identical ops in both runtimes), so after any
+    trigger each key's latest emission is bit-equal to the batch
+    operator over the series-so-far (pinned in tests/test_streaming.py,
+    including across a checkpointed restart). Idempotent under
+    at-least-once re-delivery: a slot ≤ last applied slot is skipped,
+    so a replayed micro-batch cannot double-apply.
+
+    Emissions per trigger a key receives data: (key, n_slots, level_i,
+    trend_u, forecast_i) — floor-published like the batch. Keys still
+    at one slot emit nothing (the batch's n ≥ 2 rule)."""
+    import math
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType(), False),
+            T.StructField("n_slots", T.LongType(), False),
+            T.StructField("level_i", T.LongType(), False),
+            T.StructField("trend_u", T.LongType(), False),
+            T.StructField("forecast_i", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("level", T.DoubleType(), True),
+            T.StructField("trend", T.DoubleType(), True),
+            T.StructField("n", T.LongType(), True),
+            T.StructField("last_slot", T.LongType(), True),
+            T.StructField("x1", T.LongType(), True),
+        ]
+    )
+
+    def _update(key, pdf_iter, state):
+        kv = key[0]
+        if state.exists:
+            level, trend, n, last_slot, x1 = state.get
+        else:
+            level, trend, n, last_slot, x1 = None, None, 0, None, None
+        chunks = [p for p in pdf_iter if len(p)]
+        if not chunks:
+            state.update((level, trend, n, last_slot, x1))
+            return
+        batch = pd.concat(chunks, ignore_index=True).sort_values(
+            slot_col, kind="mergesort"
+        )
+        for slot, x in zip(batch[slot_col], batch[value_col]):
+            slot = int(slot)
+            if last_slot is not None and slot <= last_slot:
+                continue  # at-least-once replay guard
+            last_slot = slot
+            x = float(int(x))
+            n += 1
+            if n == 1:
+                x1 = int(x)
+                continue
+            if n == 2:
+                # the batch init: l1 = x1, b1 = x2 - x1, then step 2
+                # consumes x2 — replay that exact sequence
+                level, trend = float(x1), x - float(x1)
+            new_level = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.25 * (new_level - level) + 0.75 * trend
+            level = new_level
+        state.update((level, trend, n, last_slot, x1))
+        if n < 2:
+            return
+        yield pd.DataFrame(
+            [
+                (
+                    kv,
+                    n,
+                    int(math.floor(level)),
+                    int(math.floor(trend * 1048576.0)),
+                    int(math.floor(level + trend)),
+                )
+            ],
+            columns=[key_col, "n_slots", "level_i", "trend_u", "forecast_i"],
+        )
+
+    return df.select(key_col, slot_col, value_col).groupBy(
+        key_col
+    ).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

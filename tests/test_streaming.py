@@ -1676,3 +1676,88 @@ def test_video_ingest_stream_equals_batch(spark, tmp_path_factory):
         ).collect()
     )
     assert got == want == [12, 14, 15, 17]
+
+
+def test_holt_stream_equals_batch_with_restart(spark, tmp_path_factory):
+    """Streaming Holt smoothing (O(1) per-key level/trend state) is
+    BIT-equal to batch holt_smooth over the series-so-far at the
+    final trigger, ACROSS a durable-checkpoint restart — the dyadic
+    chain replays op-for-op online because exponential smoothing's
+    state is the whole algorithm. Also exercises the slot-ordered
+    multi-batch fold (3 feed files) and the n<2 no-emit rule."""
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        _micro_units,
+        holt_smooth,
+    )
+    from real_time_data_anomaly_detection_spark.streaming.timeseries import (
+        holt_stream,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("slot"),
+        _micro_units(F.col("value")).alias("xm"),
+    )
+    want = {
+        r.event_type: (r.n_slots, r.level_i, r.trend_u, r.forecast_i)
+        for r in holt_smooth(ev, "event_type", "slot", "xm").collect()
+    }
+    series = (
+        ev.groupBy("event_type", "slot")
+        .agg(F.sum("xm").cast("bigint").alias("xm"))
+        .select(
+            "event_type",
+            F.unix_timestamp("slot").cast("bigint").alias("slot"),
+            "xm",
+        )
+        .toPandas()
+        .sort_values(["slot", "event_type"], kind="mergesort")
+    )
+    root = tmp_path_factory.mktemp("holt")
+    feed = str(root / "feed")
+    ckpt = str(root / "ckpt")
+    out = str(root / "out")
+    os.makedirs(feed)
+    n = len(series)
+    cuts = [0, n // 3, 2 * n // 3, n]
+
+    def _write(i):
+        f = os.path.join(feed, f"part-{i:02d}.parquet")
+        series.iloc[cuts[i]:cuts[i + 1]].to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def _sink(bdf, bid):
+        bdf.write.mode("append").parquet(out)
+
+    def _run():
+        stream_df = file_replay_source(
+            spark, feed, spark.read.parquet(feed).schema
+        )
+        q = (
+            holt_stream(stream_df)
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(0)
+    _write(1)
+    _run()
+    _write(2)
+    _run()  # restart: level/trend state recovered from ckpt
+
+    latest = {}
+    for r in spark.read.parquet(out).collect():
+        if (
+            r.event_type not in latest
+            or r.n_slots > latest[r.event_type].n_slots
+        ):
+            latest[r.event_type] = r
+    got = {
+        k: (r.n_slots, r.level_i, r.trend_u, r.forecast_i)
+        for k, r in latest.items()
+    }
+    assert got == want and len(want) > 0

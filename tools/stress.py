@@ -399,6 +399,19 @@ def scaling_main() -> None:
             x.withColumn("w1", F.col("rid") % 2 == 0), "key", "xm", "w1"
         )
 
+    # round-11: Holt smoothing — the event-sized work is ONE
+    # partial-aggregable groupBy building the per-(key, slot) series;
+    # the sequential chain then runs over the slots-sized relation in
+    # one applyInPandas per key, so wall should read the scan.
+    def _holt_op(x):
+        from real_time_data_anomaly_detection_spark.operators.timeseries import (
+            holt_smooth,
+        )
+
+        return holt_smooth(
+            x.withColumn("slot", F.col("ts") % 1024), "key", "slot", "xm"
+        )
+
     # PQ/ADC top-k: sample-fit train (constant), one encode pass, one
     # LUT-scored scan planned as TakeOrderedAndProject — the ANN slope
     # row. Probe = deterministic unit basis vector (no collect).
@@ -524,8 +537,9 @@ def scaling_main() -> None:
         "image_index": ("docs", _image_index_op),
         "psi_drift": ("events", _psi_op),
         "ks_drift": ("events", _ks_op),
-        # round-11 addition
+        # round-11 additions
         "emd_drift": ("events", _emd_op),
+        "holt": ("events", _holt_op),
     }
     # optional 4th arg: comma-separated op subset
     if len(sys.argv) > 4:
