@@ -1451,6 +1451,7 @@ def video_index_match(
     hash_h: int = 8,
     n_bands: int | None = None,
     broadcast_batch: bool = True,
+    prune_keys_max: int = 100_000,
 ) -> DataFrame:
     """Cross-media near-dup (round-11): match every FRAME of a new
     Motion-JPEG video batch against a persisted IMAGE-hash index
@@ -1463,15 +1464,21 @@ def video_index_match(
     tests/test_multimodal.py), frames enter the identical banded
     algebra: the banding geometry MUST match the index's meta.json —
     use load_image_index, which checks it loudly. Scale shape mirrors
-    image_index_match: frames decode once in the Arrow worker, only
-    8-byte hashes + band keys shuffle, and the micro-batch side
-    broadcasts so the index relation never moves."""
+    image_index_match: frames decode ONCE in the Arrow worker onto a
+    localCheckpoint, only 8-byte hashes + band keys shuffle, the
+    micro-batch side broadcasts so the index relation never moves,
+    and when the batch holds ≤ ``prune_keys_max`` distinct band keys
+    they are pushed as a bk IN-list into the index scan — the
+    two-hop-keys trick over build_image_index's bk-sorted layout, so
+    per-trigger cost scales with the BATCH's frames, not the corpus
+    (the image ladder's flat 1.27→1.48 s row transfers verbatim)."""
     nbits = hash_w * hash_h
     if n_bands is None:
         n_bands = _default_bands(nbits, max_hamming)
     fps = video_frame_dhash(
         batch_videos, payload_col, id_col, hash_w, hash_h
     ).filter(F.col("dhash").isNotNull())
+    fps = fps.localCheckpoint(eager=True)  # decode once: probe + join
     b = _band_fps(fps, id_col, nbits, n_bands, extra_cols=("frame_idx",)).select(
         F.col(id_col).alias("video_id"),
         "frame_idx",
@@ -1481,6 +1488,14 @@ def video_index_match(
     idx = index_bands.select(
         F.col(id_col).alias("idx_id"), F.col("dhash").alias("h_idx"), "bk"
     )
+    # two-hop prune probe reads the CHECKPOINTED hashes — never a
+    # second decode (the image_index_match discipline)
+    keys = [
+        r.bk
+        for r in b.select("bk").distinct().limit(prune_keys_max + 1).collect()
+    ]
+    if len(keys) <= prune_keys_max:
+        idx = idx.filter(F.col("bk").isin(keys))
     right = F.broadcast(b) if broadcast_batch else b
     hamming = F.bit_count(F.col("h_idx").bitwiseXOR(F.col("h_new")))
     return (
