@@ -2234,3 +2234,23 @@ def test_null_cobatched_hashes_stay_exact(spark):
         if r.dhash is not None
     }
     assert vgot == {(2, 0): want[3], (2, 1): want[4]}
+
+
+def test_video_scene_cuts(spark):
+    """Hash-delta scene detection: identical consecutive frames score
+    Hamming 0 (no cut); a content change scores far above threshold.
+    Sequence [A, A, B, B, C] -> cuts exactly at frame_idx 2 and 4."""
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        video_scene_cuts,
+    )
+
+    fr, _ = _mjpeg_test_frames(n=3)
+    a, b, c = fr
+    vids = spark.createDataFrame(
+        [(1, _avi_bytes([a, a, b, b, c]))], "media_id long, payload binary"
+    )
+    rows = {r.frame_idx: r for r in video_scene_cuts(vids).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert [i for i, r in sorted(rows.items()) if r.is_cut] == [2, 4]
+    assert rows[1].hamming == 0 and rows[3].hamming == 0
+    assert rows[2].prev_idx == 1 and rows[4].prev_idx == 3
