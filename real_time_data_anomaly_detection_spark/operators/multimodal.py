@@ -1200,17 +1200,22 @@ def _avi_mjpeg_frames(payload: bytes) -> list[bytes] | None:
     """Frame byte-streams of a Motion-JPEG AVI, in storage order —
     codec-free RIFF walk: LIST recursion, the 'strh' stream header
     must declare a 'vids' stream with an MJPG-family handler (DMB1 is
-    the OpenDML alias), frames are the '##dc' compressed-video chunks
-    (even-padded per RIFF). Returns None for non-AVI bytes, torn
-    chunk trees, or non-MJPEG video (those still need real codecs)."""
+    the OpenDML alias), frames are that STREAM's '##dc'
+    compressed-video chunks (the two digits are the stream index —
+    strh order assigns it, so a multi-stream AVI with one MJPG track
+    next to a foreign-codec track yields only the MJPG frames,
+    round-11 review; even-padded per RIFF). Returns None for non-AVI
+    bytes, torn chunk trees, or no MJPEG video stream (those still
+    need real codecs)."""
     if (
         len(payload) < 12
         or payload[:4] != b"RIFF"
         or payload[8:12] != b"AVI "
     ):
         return None
-    handler_ok = False
-    frames: list[bytes] = []
+    mjpg_streams: set[bytes] = set()
+    n_streams = 0
+    frames: list[tuple[bytes, bytes]] = []  # (stream id, frame bytes)
 
     def chunks(start: int, end: int):
         off = start
@@ -1224,7 +1229,7 @@ def _avi_mjpeg_frames(payload: bytes) -> list[bytes] | None:
             off = data_end + (size & 1)  # chunks pad to even offsets
 
     def walk(start: int, end: int) -> None:
-        nonlocal handler_ok
+        nonlocal n_streams
         for cid, s, e in chunks(start, end):
             if cid == b"LIST":
                 walk(s + 4, e)  # skip the 4-byte list type
@@ -1232,15 +1237,17 @@ def _avi_mjpeg_frames(payload: bytes) -> list[bytes] | None:
                 if payload[s:s + 4] == b"vids" and payload[
                     s + 4:s + 8
                 ].upper() in (b"MJPG", b"DMB1"):
-                    handler_ok = True
+                    mjpg_streams.add(b"%02d" % n_streams)
+                n_streams += 1
             elif cid[2:4] == b"dc" and cid[:2].isdigit():
-                frames.append(payload[s:e])
+                frames.append((cid[:2], payload[s:e]))
 
     try:
         walk(12, len(payload))
     except Exception:
         return None
-    return frames if handler_ok and frames else None
+    out = [fb for sid, fb in frames if sid in mjpg_streams]
+    return out if out else None
 
 
 def _mov_jpeg_frames(payload: bytes) -> list[bytes] | None:
@@ -1450,7 +1457,8 @@ def video_index_match(
     hash_w: int = 8,
     hash_h: int = 8,
     n_bands: int | None = None,
-    broadcast_batch: bool = True,
+    broadcast_batch: bool | None = None,
+    max_broadcast_bytes: int = 64 << 20,
     prune_keys_max: int = 100_000,
 ) -> DataFrame:
     """Cross-media near-dup (round-11): match every FRAME of a new
@@ -1472,9 +1480,16 @@ def video_index_match(
     two-hop-keys trick over build_image_index's bk-sorted layout, so
     per-trigger cost scales with the BATCH's frames, not the corpus
     (the image ladder's flat 1.27→1.48 s row transfers verbatim)."""
+    from real_time_data_anomaly_detection_spark.plans.inspect import plan_size_bytes
+
     nbits = hash_w * hash_h
     if n_bands is None:
         n_bands = _default_bands(nbits, max_hamming)
+    if broadcast_batch is None:
+        # the image twins' valve: micro-batches broadcast, a
+        # backfill-sized batch degrades to a shuffle join instead of
+        # an executor-OOM broadcast
+        broadcast_batch = plan_size_bytes(batch_videos) <= max_broadcast_bytes
     fps = video_frame_dhash(
         batch_videos, payload_col, id_col, hash_w, hash_h
     ).filter(F.col("dhash").isNotNull())
@@ -1638,7 +1653,8 @@ def video_neardup_admit(
     hash_w: int = 8,
     hash_h: int = 8,
     n_bands: int | None = None,
-    broadcast_batch: bool = True,
+    broadcast_batch: bool | None = None,
+    max_broadcast_bytes: int = 64 << 20,
     fps: DataFrame | None = None,
 ) -> DataFrame:
     """Frame-coverage admission for a video batch (round-11 — the
@@ -1666,17 +1682,22 @@ def video_neardup_admit(
     ``fps``: pass the already-materialized (id, frame_idx, dhash)
     relation (null rows included) so video_ingest_stream pays the
     container+JPEG decode ONCE per trigger."""
+    from real_time_data_anomaly_detection_spark.plans.inspect import (
+        plan_size_bytes,
+    )
+
     nbits = hash_w * hash_h
     if n_bands is None:
         n_bands = _default_bands(nbits, max_hamming)
+    if broadcast_batch is None:
+        # the image twins' valve: micro-batches broadcast (the index
+        # side never shuffles); a backfill-sized batch degrades to a
+        # shuffle join instead of an executor-OOM broadcast
+        broadcast_batch = plan_size_bytes(batch_videos) <= max_broadcast_bytes
     if fps is None:
         fps = video_frame_dhash(
             batch_videos, payload_col, id_col, hash_w, hash_h
         )
-        from real_time_data_anomaly_detection_spark.plans.inspect import (
-            plan_size_bytes,
-        )
-
         if plan_size_bytes(batch_videos) <= 1 << 30:
             fps = fps.localCheckpoint(eager=True)
     good = fps.filter(F.col("dhash").isNotNull())

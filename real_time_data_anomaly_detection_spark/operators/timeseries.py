@@ -1472,6 +1472,41 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emd_u_expr(num_col: str, den_col: str):
+    """floor(2²⁰·num/den) over DECIMAL(38,0) columns (num ≤ den), as
+    base-2¹⁰ long division so the largest intermediate is den·2¹⁰,
+    not num·2²⁰ — the naive single multiply overflowed decimal(38,0)
+    once Σterms passed ~9.6e31 and Spark's non-ANSI overflow-null was
+    swallowed into a silent emd_u=0, i.e. maximal drift published as
+    NO drift (round-11 review #2). Exact while den·2¹⁰ < 10³⁸
+    (n1·n2·range ≤ ~9.7e34); beyond that the null PROPAGATES — a loud
+    unknown, never a silent zero. den = 0 (empty window / zero range)
+    publishes 0. Shared by emd_drift and drift_report so the pinned
+    standalone == fused equality holds by construction; the identity
+    q·2²⁰ + hi·2¹⁰ + lo == floor(num·2²⁰/den) keeps the streaming
+    twins' exact Python-int path unchanged."""
+    split = (
+        f"({num_col} div {den_col}) * 1048576"
+        f" + ((({num_col} % {den_col}) * 1024) div {den_col}) * 1024"
+        f" + (((({num_col} % {den_col}) * 1024) % {den_col}) * 1024)"
+        f" div {den_col}"
+    )
+    return F.when(F.col(den_col) > 0, F.expr(split)).otherwise(
+        F.lit(0).cast("bigint")
+    )
+
+
+# The DuckDB replay of _emd_u_expr (HUGEINT internals; overflow there
+# ERRORS loudly rather than nulling). {n}/{d} are the num/den columns.
+_EMD_U_SQL = (
+    "CAST(COALESCE(CASE WHEN {d} > 0 THEN"
+    " ({n} // {d}) * 1048576"
+    " + ((({n} % {d}) * 1024) // {d}) * 1024"
+    " + (((({n} % {d}) * 1024) % {d}) * 1024) // {d}"
+    " END, 0) AS BIGINT)"
+)
+
+
 def emd_drift(
     df: DataFrame,
     key_col: str,
@@ -1494,10 +1529,13 @@ def emd_drift(
 
     — in [0, 2²⁰] (|F₁−F₂| ≤ 1), a dimensionless drift score. Every
     product runs in DECIMAL(38,0) (the oracle in HUGEINT) and the
-    final reduction is integral division, so there is NO float
-    anywhere: exact at any window size whose Σ|…|·gap < 10³⁸ —
-    unlike a raw-integer publication, this never outgrows BIGINT.
-    Keys with an empty reference window or zero value range publish 0.
+    final reduction is :func:`_emd_u_expr`'s base-2¹⁰ long division,
+    so there is NO float anywhere: exact while n1·n2·range·2¹⁰ < 10³⁸
+    (~9.7e34 — e.g. two 10⁹-row windows over a 9.7e16 micro-unit
+    range), and beyond that bound the result is NULL, never a silent
+    zero. Unlike a raw-integer publication this never outgrows
+    BIGINT. Keys with an empty reference window or zero value range
+    publish 0.
 
     Scale shape: identical to q_ks_drift — ONE partial-aggregable
     groupBy collapses events to per-(key, distinct value) counts, the
@@ -1557,22 +1595,24 @@ def emd_drift(
         key_col,
         F.col("n1").alias("ref_n"),
         F.col("n2").alias("cur_n"),
-        (F.col("num") * F.lit(1048576).cast(dec)).cast(dec).alias("_num"),
+        F.col("num").alias("_num"),
         denom.alias("_den"),
     ).select(
         key_col,
         "ref_n",
         "cur_n",
-        F.coalesce(
-            F.when(F.col("_den") > 0, F.expr("_num div _den")),
-            F.lit(0).cast("bigint"),
-        ).alias("emd_u"),
+        _emd_u_expr("_num", "_den").alias("emd_u"),
     )
+
+
+_EMD_ORACLE_PUBLISH = _EMD_U_SQL.format(
+    n="num", d="(CAST(n1 AS HUGEINT) * n2 * rng)"
+)
 
 
 @query(
     "q_emd_drift",
-    oracle="""
+    oracle=f"""
         WITH v AS (
             SELECT event_type,
                    CAST(round(value * 1000000) AS BIGINT) AS xm,
@@ -1606,10 +1646,7 @@ def emd_drift(
             FROM c JOIN t ON c.event_type = t.event_type
             GROUP BY 1, 2, 3, 4)
         SELECT event_type, n1 AS ref_n, n2 AS cur_n,
-               CAST(COALESCE(
-                   (num * 1048576)
-                       // NULLIF(CAST(n1 AS HUGEINT) * n2 * rng, 0),
-                   0) AS BIGINT) AS emd_u
+               {_EMD_ORACLE_PUBLISH} AS emd_u
         FROM s ORDER BY 1
     """,
 )
@@ -1630,7 +1667,7 @@ def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_drift_report",
-    oracle="""
+    oracle=f"""
         WITH cc AS (
             SELECT event_type,
                    CAST(sum(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END)
@@ -1733,18 +1770,18 @@ def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(d2) AS BIGINT) AS n2,
                    CAST(max(xm) - min(xm) AS BIGINT) AS rng
             FROM kg GROUP BY 1),
-        ks AS (
-            SELECT kc.event_type,
+        ksagg AS (
+            SELECT kc.event_type, n1, n2, rng,
                    CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num,
-                   CAST(COALESCE(
-                       (sum(CAST(abs(CAST(c1 AS HUGEINT) * n2
-                                    - CAST(c2 AS HUGEINT) * n1) AS HUGEINT)
-                            * CAST(COALESCE(nxt - xm, 0) AS HUGEINT))
-                        * 1048576)
-                           // NULLIF(CAST(n1 AS HUGEINT) * n2 * rng, 0),
-                       0) AS BIGINT) AS emd_u
+                   sum(CAST(abs(CAST(c1 AS HUGEINT) * n2
+                               - CAST(c2 AS HUGEINT) * n1) AS HUGEINT)
+                       * CAST(COALESCE(nxt - xm, 0) AS HUGEINT)) AS num
             FROM kc JOIN kt ON kc.event_type = kt.event_type
-            GROUP BY 1, n1, n2, rng)
+            GROUP BY 1, 2, 3, 4),
+        ks AS (
+            SELECT event_type, ks_num,
+                   {_EMD_ORACLE_PUBLISH} AS emd_u
+            FROM ksagg)
         SELECT chi.event_type,
                chi.o1 AS ref_n, chi.o2 AS cur_n,
                chi.chi2_mil, psi.psi_u, ks.ks_num, ks.emd_u
@@ -1943,9 +1980,7 @@ def drift_report(
             F.floor(chi2 * F.lit(1024.0)).cast("bigint").alias("chi2_mil"),
             psi_u.cast("bigint").alias("psi_u"),
             "ks_num",
-            (F.col("_emd_num") * F.lit(1048576).cast(_dec))
-            .cast(_dec)
-            .alias("_en"),
+            F.col("_emd_num").alias("_en"),
             _emd_den.alias("_ed"),
         )
         .select(
@@ -1955,10 +1990,7 @@ def drift_report(
             "chi2_mil",
             "psi_u",
             "ks_num",
-            F.coalesce(
-                F.when(F.col("_ed") > 0, F.expr("_en div _ed")),
-                F.lit(0).cast("bigint"),
-            ).alias("emd_u"),
+            _emd_u_expr("_en", "_ed").alias("emd_u"),
         )
         .filter(F.col("ref_n") > 0)
     )

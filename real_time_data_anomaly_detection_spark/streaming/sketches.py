@@ -335,6 +335,42 @@ def psi_drift_stream(
     )
 
 
+def _ref_base(ref_counts: pd.DataFrame, key_col: str, value_col: str,
+              count_col: str = "d1") -> dict:
+    """key → (sorted distinct values, cumulative counts, total) from a
+    frozen-baseline per-(key, distinct value) count frame — the shared
+    reference ECDF of ks_drift_stream and drift_report_stream."""
+    base: dict[str, tuple] = {}
+    for k, g in ref_counts.groupby(key_col):
+        g = g.sort_values(value_col, kind="mergesort")
+        xs = g[value_col].to_numpy(dtype="int64")
+        cs = g[count_col].to_numpy(dtype="int64").cumsum()
+        base[str(k)] = (xs, cs, int(cs[-1]) if len(cs) else 0)
+    return base
+
+
+def _pooled_ecdf(xs1, c1s, xs2, c2s):
+    """(pooled distinct values, cumulative count of side 1 at each,
+    cumulative of side 2) — with the EMPTY-side guard: a reference key
+    that has received no current-window rows yet has an empty
+    (xs2, c2s), and indexing an empty array (even under np.where,
+    which evaluates both branches) raised IndexError and killed the
+    micro-batch — with state already updated, every replay re-crashed
+    (round-11 review #1). Shared by ks_drift_stream and
+    drift_report_stream so the guard exists once."""
+    import numpy as np
+
+    pooled = np.union1d(xs1, xs2)
+
+    def cum(xs, cs):
+        if not len(cs):
+            return np.zeros(len(pooled), dtype="int64")
+        i = np.searchsorted(xs, pooled, side="right")
+        return np.where(i > 0, cs[np.maximum(i - 1, 0)], 0)
+
+    return pooled, cum(xs1, c1s), cum(xs2, c2s)
+
+
 def ks_drift_stream(
     df: DataFrame,
     ref_counts: pd.DataFrame,
@@ -385,12 +421,7 @@ def ks_drift_stream(
             T.StructField("seen", T.LongType(), True),
         ]
     )
-    base: dict[str, tuple] = {}
-    for k, g in ref_counts.groupby(key_col):
-        g = g.sort_values(value_col, kind="mergesort")
-        xs = g[value_col].to_numpy(dtype="int64")
-        c1 = g["d1"].to_numpy(dtype="int64").cumsum()
-        base[str(k)] = (xs, c1, int(c1[-1]) if len(c1) else 0)
+    base = _ref_base(ref_counts, key_col, value_col)
 
     def _update(key, pdf_iter, state):
         kv = key[0]
@@ -427,11 +458,7 @@ def ks_drift_stream(
         xs2 = cur[value_col].to_numpy(dtype="int64")
         c2s = cur["d2"].to_numpy(dtype="int64").cumsum()
         n2 = int(c2s[-1]) if len(c2s) else 0
-        pooled = np.union1d(xs1, xs2)
-        i1 = np.searchsorted(xs1, pooled, side="right")
-        c1p = np.where(i1 > 0, c1s[np.maximum(i1 - 1, 0)], 0)
-        i2 = np.searchsorted(xs2, pooled, side="right")
-        c2p = np.where(i2 > 0, c2s[np.maximum(i2 - 1, 0)], 0)
+        pooled, c1p, c2p = _pooled_ecdf(xs1, c1s, xs2, c2s)
         ks = int(np.max(np.abs(c1p * n2 - c2p * n1))) if len(pooled) else 0
         yield pd.DataFrame(
             [(kv, seen, n1, n2, ks)],
@@ -514,12 +541,7 @@ def drift_report_stream(
             T.StructField("seen", T.LongType(), True),
         ]
     )
-    base: dict[str, tuple] = {}
-    for k, g in ref_counts.groupby(key_col):
-        g = g.sort_values(value_col, kind="mergesort")
-        xs = g[value_col].to_numpy(dtype="int64")
-        c1 = g["d1"].to_numpy(dtype="int64").cumsum()
-        base[str(k)] = (xs, c1, int(c1[-1]) if len(c1) else 0)
+    base = _ref_base(ref_counts, key_col, value_col)
     n1_total = sum(o1 for _, _, o1 in base.values())
 
     def _update(key, pdf_iter, state):
@@ -595,11 +617,7 @@ def drift_report_stream(
                 )
                 psi_u += int(math.floor(term * 1048576.0))
             # KS + EMD over the pooled distinct values (exact ints)
-            pooled = np.union1d(xs1, xs2)
-            i1 = np.searchsorted(xs1, pooled, side="right")
-            c1p = np.where(i1 > 0, c1s[np.maximum(i1 - 1, 0)], 0)
-            i2 = np.searchsorted(xs2, pooled, side="right")
-            c2p = np.where(i2 > 0, c2s[np.maximum(i2 - 1, 0)], 0)
+            pooled, c1p, c2p = _pooled_ecdf(xs1, c1s, xs2, c2s)
             diffs = [
                 abs(int(a) * o2 - int(b) * o1)
                 for a, b in zip(c1p.tolist(), c2p.tolist())

@@ -2254,3 +2254,47 @@ def test_video_scene_cuts(spark):
     assert [i for i, r in sorted(rows.items()) if r.is_cut] == [2, 4]
     assert rows[1].hamming == 0 and rows[3].hamming == 0
     assert rows[2].prev_idx == 1 and rows[4].prev_idx == 3
+
+
+def test_avi_multistream_takes_only_mjpg_frames(spark):
+    """Round-11 review #4: an AVI whose stream 00 is a foreign codec
+    and stream 01 is MJPG must yield ONLY the 01dc frames — the
+    walker previously collected every '##dc' chunk once any stream
+    was MJPG, interleaving undecodable foreign frames (shifting
+    frame_idx and deflating coverage fractions)."""
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _avi_mjpeg_frames,
+    )
+
+    frames, _ = _mjpeg_test_frames(n=2)
+
+    def chunk(cid, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + len(data).to_bytes(4, "little") + data + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    strh0 = chunk(b"strh", b"vids" + b"DIB " + b"\x00" * 48)
+    strh1 = chunk(b"strh", b"vids" + b"MJPG" + b"\x00" * 48)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", b"\x00" * 56) + lst(b"strl", strh0) + lst(b"strl", strh1),
+    )
+    movi = lst(
+        b"movi",
+        chunk(b"00dc", b"\x01\x02\x03")  # foreign-codec frame
+        + chunk(b"01dc", frames[0])
+        + chunk(b"00dc", b"\x04\x05")
+        + chunk(b"01dc", frames[1]),
+    )
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + len(body).to_bytes(4, "little") + body
+    assert _avi_mjpeg_frames(avi) == [frames[0], frames[1]]
+    # all-foreign AVI -> None (no MJPG stream at all)
+    body2 = b"AVI " + lst(
+        b"hdrl", chunk(b"avih", b"\x00" * 56) + lst(b"strl", strh0)
+    ) + lst(b"movi", chunk(b"00dc", b"\x01"))
+    assert _avi_mjpeg_frames(
+        b"RIFF" + len(body2).to_bytes(4, "little") + body2
+    ) is None

@@ -1761,3 +1761,55 @@ def test_holt_stream_equals_batch_with_restart(spark, tmp_path_factory):
         for k, r in latest.items()
     }
     assert got == want and len(want) > 0
+
+
+def test_drift_report_stream_ref_key_without_stream_rows(spark, tmp_path_factory):
+    """Round-11 review #1 regression: a reference key that has
+    received NO current-window rows yet must still emit (its quartet
+    against an empty current ECDF), not IndexError the micro-batch —
+    the empty (xs2, c2s) side used to be indexed eagerly under
+    np.where. Want = the fused batch over ref ∪ (cur minus that key),
+    which emits the key with cur_n = 0."""
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        drift_report,
+    )
+    from real_time_data_anomaly_detection_spark.streaming.sketches import (
+        drift_report_stream,
+    )
+
+    ref_counts, cur, _ = _drift_report_fixture(spark)
+    dropped = sorted(cur.event_type.unique())[0]
+    cur = cur[cur.event_type != dropped]
+
+    ref_rows = ref_counts.loc[
+        ref_counts.index.repeat(ref_counts["d1"])
+    ][["event_type", "xm"]]
+    both = spark.createDataFrame(
+        ref_rows.assign(w1=True).to_dict("records")
+        + cur.assign(w1=False).to_dict("records"),
+        "event_type string, xm long, w1 boolean",
+    )
+    want = {
+        r.event_type: (
+            r.ref_n, r.cur_n, r.chi2_mil, r.psi_u, r.ks_num, r.emd_u
+        )
+        for r in drift_report(both, "event_type", "xm", "w1").collect()
+    }
+    assert want[dropped][1] == 0  # the batch emits it with cur_n 0
+
+    path = str(tmp_path_factory.mktemp("drift_nokey"))
+    f = os.path.join(path, "part-00.parquet")
+    cur.to_parquet(f, index=False)
+    os.utime(f, (1_700_000_000, 1_700_000_000))
+    stream_df = file_replay_source(spark, path, spark.read.parquet(path).schema)
+    q = (
+        drift_report_stream(stream_df, ref_counts)
+        .writeStream.format("memory")
+        .queryName("t_drift_nokey")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _drift_latest(spark.table("t_drift_nokey").collect())
+    assert got == want and dropped in got
