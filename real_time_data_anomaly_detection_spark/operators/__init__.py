@@ -65,7 +65,6 @@ _GATE_WINDOW = [
     "q_filter_range",
     "q_project_compute",
     "q_join_inner",
-    "q_join_broadcast",
     "q_join_3way",
     "q_agg_group",
     "q_agg_global",
@@ -82,10 +81,13 @@ _GATE_WINDOW = [
     # flagships: PSI numeric drift and the persisted image-index
     # match + admission twins; r11 promoted the exact-integer KS
     # drift, the fused single-scan quartet report, the aHash twin,
-    # and the exact earth-mover's drift — q_case_when rotated out
-    # for the last (projection family keeps q_project_compute))
+    # the exact earth-mover's drift, and the Holt forecast —
+    # q_case_when / q_join_broadcast rotated out for the last two
+    # (projection keeps q_project_compute; join keeps inner + 3way,
+    # and the broadcast strategy stays plan-pinned in tests/test_plans))
     "q_ks_drift",
     "q_emd_drift",
+    "q_holt_forecast",
     "q_drift_report",
     "q_image_ahash_md5",
     "q_psi_drift",

@@ -87,6 +87,7 @@ def test_driver_gate_window_is_cross_family():
         # round-11 rotation: the complete drift quartet + aHash twin
         "q_ks_drift",           # exact integer two-sample KS
         "q_emd_drift",          # exact integer earth-mover's drift
+        "q_holt_forecast",      # oracle-gated grouped-map forecasting
         "q_drift_report",       # fused single-scan chi2/PSI/KS/EMD report
         "q_image_ahash_md5",    # identity-grid aHash twin
     }
