@@ -257,3 +257,55 @@ def test_exact_group_quantiles_matches_single_q(spark):
         }
         for k in by_key:
             assert single[k] == multi[(k, q)], (k, q)
+
+
+def test_emd_publish_long_division_identity(spark):
+    """Round-11 review #2 pin: _emd_u_expr's base-2^10 long division
+    equals floor(num*2^20/den) EXACTLY, at magnitudes the naive
+    single multiply could not represent (num*2^20 > 10^38) — checked
+    against Python bigints in Spark AND against the shared DuckDB
+    oracle fragment, across the whole usable range including num=den
+    (full separation -> exactly 2^20), num=0, and den=0 -> 0."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        _EMD_U_SQL,
+        _emd_u_expr,
+    )
+
+    rng = random.Random(11)
+    cases = [(0, 0), (0, 7), (5, 5), (1, 10**34)]
+    for mag in (10**6, 10**12, 10**20, 10**28, 10**34):
+        for _ in range(6):
+            den = rng.randrange(1, mag)
+            cases.append((rng.randrange(0, den + 1), den))
+    want = [
+        0 if d == 0 else (n * 1048576) // d for n, d in cases
+    ]
+
+    rows = [(i, str(n), str(d)) for i, (n, d) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, n string, d string").select(
+        "i",
+        F.col("n").cast("decimal(38,0)").alias("_num"),
+        F.col("d").cast("decimal(38,0)").alias("_den"),
+    )
+    got = {
+        r.i: r.u
+        for r in df.select("i", _emd_u_expr("_num", "_den").alias("u"))
+        .collect()
+    }
+    assert [got[i] for i in range(len(cases))] == want
+
+    con = duckdb.connect()
+    frag = _EMD_U_SQL.format(n="n", d="d")
+    duck = [
+        con.execute(
+            f"SELECT {frag} FROM (SELECT CAST(? AS HUGEINT) n,"
+            " CAST(? AS HUGEINT) d)", [str(n), str(d)]
+        ).fetchone()[0]
+        for n, d in cases
+    ]
+    assert duck == want
