@@ -1491,19 +1491,28 @@ def _emd_u_expr(num_col: str, den_col: str):
         f" + (((({num_col} % {den_col}) * 1024) % {den_col}) * 1024)"
         f" div {den_col}"
     )
-    return F.when(F.col(den_col) > 0, F.expr(split)).otherwise(
-        F.lit(0).cast("bigint")
+    # Two explicit WHEN branches and NO otherwise: a den that itself
+    # overflowed decimal(38,0) (n1·n2·range ≥ 1e38 under non-ANSI
+    # mode) arrives as NULL, matches neither branch, and the NULL
+    # propagates — the .otherwise(0) this replaced would have
+    # published emd_u=0 (no drift) for exactly that overflow case.
+    return F.when(F.col(den_col) > 0, F.expr(split)).when(
+        F.col(den_col) == 0, F.lit(0).cast("bigint")
     )
 
 
 # The DuckDB replay of _emd_u_expr (HUGEINT internals; overflow there
 # ERRORS loudly rather than nulling). {n}/{d} are the num/den columns.
+# Mirrors the Spark side exactly: den = 0 publishes 0, den NULL
+# propagates NULL (no COALESCE — that would turn an unknown into a
+# silent "no drift").
 _EMD_U_SQL = (
-    "CAST(COALESCE(CASE WHEN {d} > 0 THEN"
+    "CAST(CASE WHEN {d} > 0 THEN"
     " ({n} // {d}) * 1048576"
     " + ((({n} % {d}) * 1024) // {d}) * 1024"
     " + (((({n} % {d}) * 1024) % {d}) * 1024) // {d}"
-    " END, 0) AS BIGINT)"
+    " WHEN {d} = 0 THEN 0"
+    " END AS BIGINT)"
 )
 
 
@@ -2071,9 +2080,15 @@ def holt_smooth(
             columns=[key_col, "n_slots", "level_i", "trend_u", "forecast_i"],
         )
 
-    series = df.groupBy(key_col, slot_col).agg(
-        F.sum(value_col).cast("bigint").alias("_x")
-    )
+    # Null measurements are dropped BEFORE the per-slot aggregation: a
+    # (key, slot) group whose values were all NULL would otherwise
+    # deliver a NaN _x to pandas and math.floor(NaN) would kill the
+    # whole applyInPandas stage (ADVICE r11 #2). Dropping the rows
+    # matches SQL sum() semantics for mixed slots and degrades an
+    # all-null slot to "slot absent" instead of a job crash.
+    series = df.filter(F.col(value_col).isNotNull()).groupBy(
+        key_col, slot_col
+    ).agg(F.sum(value_col).cast("bigint").alias("_x"))
     return series.select(key_col, slot_col, "_x").groupBy(
         key_col
     ).applyInPandas(

@@ -255,8 +255,16 @@ def holt_stream(
     so a replayed micro-batch cannot double-apply.
 
     Emissions per trigger a key receives data: (key, n_slots, level_i,
-    trend_u, forecast_i) — floor-published like the batch. Keys still
-    at one slot emit nothing (the batch's n ≥ 2 rule)."""
+    trend_u, forecast_i, dropped_slots) — floor-published like the
+    batch. Keys still at one slot emit nothing (the batch's n ≥ 2
+    rule). ``dropped_slots`` is the cumulative count of skipped slots
+    STRICTLY below the last applied slot (ADVICE r11 #3): a re-deliver
+    of the most recent slot (the common at-least-once tail) stays
+    invisible, but a genuinely out-of-order slot — which the guard
+    silently drops, permanently diverging from the batch operator —
+    now leaves a monotone, monitorable trace. Alert on growth; the
+    series columns themselves are unchanged, so the stream==batch
+    bit-equality pins hold as before."""
     import math
 
     out_schema = T.StructType(
@@ -266,6 +274,7 @@ def holt_stream(
             T.StructField("level_i", T.LongType(), False),
             T.StructField("trend_u", T.LongType(), False),
             T.StructField("forecast_i", T.LongType(), False),
+            T.StructField("dropped_slots", T.LongType(), False),
         ]
     )
     state_schema = T.StructType(
@@ -275,18 +284,22 @@ def holt_stream(
             T.StructField("n", T.LongType(), True),
             T.StructField("last_slot", T.LongType(), True),
             T.StructField("x1", T.LongType(), True),
+            T.StructField("dropped", T.LongType(), True),
         ]
     )
 
     def _update(key, pdf_iter, state):
         kv = key[0]
         if state.exists:
-            level, trend, n, last_slot, x1 = state.get
+            level, trend, n, last_slot, x1, dropped = state.get
+            dropped = dropped or 0
         else:
-            level, trend, n, last_slot, x1 = None, None, 0, None, None
+            level, trend, n, last_slot, x1, dropped = (
+                None, None, 0, None, None, 0
+            )
         chunks = [p for p in pdf_iter if len(p)]
         if not chunks:
-            state.update((level, trend, n, last_slot, x1))
+            state.update((level, trend, n, last_slot, x1, dropped))
             return
         batch = pd.concat(chunks, ignore_index=True).sort_values(
             slot_col, kind="mergesort"
@@ -294,7 +307,13 @@ def holt_stream(
         for slot, x in zip(batch[slot_col], batch[value_col]):
             slot = int(slot)
             if last_slot is not None and slot <= last_slot:
-                continue  # at-least-once replay guard
+                # at-least-once replay guard; a slot STRICTLY below
+                # the frontier is a contract violation (out-of-order
+                # input) the fold cannot apply — count it so the drop
+                # is observable downstream (ADVICE r11 #3).
+                if slot < last_slot:
+                    dropped += 1
+                continue
             last_slot = slot
             x = float(int(x))
             n += 1
@@ -308,7 +327,7 @@ def holt_stream(
             new_level = 0.5 * x + 0.5 * (level + trend)
             trend = 0.25 * (new_level - level) + 0.75 * trend
             level = new_level
-        state.update((level, trend, n, last_slot, x1))
+        state.update((level, trend, n, last_slot, x1, dropped))
         if n < 2:
             return
         yield pd.DataFrame(
@@ -319,9 +338,13 @@ def holt_stream(
                     int(math.floor(level)),
                     int(math.floor(trend * 1048576.0)),
                     int(math.floor(level + trend)),
+                    dropped,
                 )
             ],
-            columns=[key_col, "n_slots", "level_i", "trend_u", "forecast_i"],
+            columns=[
+                key_col, "n_slots", "level_i", "trend_u", "forecast_i",
+                "dropped_slots",
+            ],
         )
 
     return df.select(key_col, slot_col, value_col).groupBy(

@@ -10,6 +10,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def finish(q, timeout: int = 600) -> None:
+    """Block until the streaming query ``q`` terminates, asserting it did.
+
+    ``StreamingQuery.awaitTermination(t)`` returns ``False`` (without raising)
+    when the query is still running after ``t`` seconds; ignoring that return
+    lets a loaded host produce torn mid-stream reads of the sink.  Every test
+    must use this helper instead of a bare ``awaitTermination`` call.
+    """
+    done = q.awaitTermination(timeout)
+    if not done:
+        try:
+            q.stop()
+        finally:
+            pass
+        raise AssertionError(
+            f"stream did not finish within {timeout}s (query {q.name or q.id})"
+        )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from real_time_data_anomaly_detection_spark.session import get_spark

@@ -6,6 +6,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from tests.conftest import finish
+
 from real_time_data_anomaly_detection_spark.operators.clustering import (
     _init_centroids,
     kmeans_assign,
@@ -201,7 +203,7 @@ def test_embedding_outlier_scoring_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finish(q)
     streamed = {
         r.vec_id: (r.anomaly, round(r.dist2, 9))
         for r in spark.table("emb_outliers").collect()

@@ -3,6 +3,8 @@ SimHash behavior on near-identical docs."""
 
 from __future__ import annotations
 
+from tests.conftest import finish
+
 from pyspark.sql import functions as F
 
 from real_time_data_anomaly_detection_spark.operators.dedup import (
@@ -223,7 +225,7 @@ def test_stream_dedup_against_index(spark, tmp_path):
         q = stream_dedup_against_index(
             stream, "mh_stream_idx", out, trigger={"availableNow": True}
         )
-        q.awaitTermination(120)
+        finish(q)
         kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
         assert kept == [6, 7], kept  # 1,2,5 match corpus; 8 in-batch dup
         # epoch replay is idempotent: re-writing batch dirs, not append

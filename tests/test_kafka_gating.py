@@ -6,6 +6,8 @@ it)."""
 from __future__ import annotations
 
 import pytest
+
+from tests.conftest import finish
 from pyspark.errors.exceptions.captured import AnalysisException
 
 from real_time_data_anomaly_detection_spark.streaming.source import kafka_energy_source
@@ -71,7 +73,7 @@ def test_kafka_parse_path_parity_via_file_replay(spark, tmp_path):
         stream.writeStream.format("memory").queryName("kafka_twin")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    finish(q)
     got = spark.table("kafka_twin").select(
         "timestamp", "plant_type", "region", "power_output"
     )

@@ -7,6 +7,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from tests.conftest import finish
+
 from pyspark.sql import functions as F
 
 from real_time_data_anomaly_detection_spark.functions.quality_classifier import (
@@ -101,7 +103,7 @@ def test_logreg_score_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finish(q)
     streamed = {
         r.doc_id: round(r.p, 9) for r in spark.table("clf_scores").collect()
     }

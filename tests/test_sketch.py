@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from tests.conftest import finish
+
 from pyspark.sql import functions as F
 
 from real_time_data_anomaly_detection_spark.operators.sketch import (
@@ -165,7 +167,7 @@ def test_cms_streaming_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finish(q)
     got = sorted(spark.table("cms_stream").collect())
     want = sorted(countmin_build(items, "item", depth=4, width=64).collect())
     assert got == want

@@ -7,6 +7,8 @@ import os
 
 import pandas as pd
 import pytest
+
+from tests.conftest import finish
 from pyspark.sql import functions as F
 
 from real_time_data_anomaly_detection_spark.streaming.generator import energy_batch
@@ -54,7 +56,7 @@ def test_stream_stream_join_equals_batch_twin(spark, tmp_path):
         joined.writeStream.format("memory").queryName("ssj")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    finish(q)
     got = {tuple(r) for r in spark.table("ssj").collect()}
 
     want = {
@@ -94,7 +96,7 @@ def test_stateful_checkpoint_recovery(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        finish(q)
 
     run_once()
     run1_files = set(os.listdir(out))
@@ -262,7 +264,7 @@ def test_streaming_scores_equal_batch_replay_at_load(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        finish(q)
         got = {
             (r.plant_type, r.timestamp, round(r.score, 9))
             for r in spark.table("scored_load").collect()

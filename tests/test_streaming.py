@@ -8,6 +8,8 @@ import collections
 import os
 
 import pytest
+
+from tests.conftest import finish
 from pyspark.sql import functions as F
 
 from real_time_data_anomaly_detection_spark.streaming.generator import energy_batch
@@ -48,7 +50,7 @@ def _run_to_memory(spark, stream_df, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finish(q)
     return spark.table(name)
 
 
@@ -199,7 +201,7 @@ def test_watermark_late_row_semantics(spark, tmp_path):
         agg.writeStream.format("memory").queryName("late_agg")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    finish(q)
     got = {
         (r.window_start.replace(tzinfo=datetime.timezone.utc), r.n)
         for r in spark.table("late_agg").collect()
@@ -243,7 +245,7 @@ def test_session_window_streaming(spark, tmp_path):
         .writeStream.format("memory").queryName("t_sess")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    finish(q)
     got = {
         (r.plant_type, r.window_start.replace(tzinfo=datetime.timezone.utc), r.n)
         for r in spark.table("t_sess").collect()
@@ -288,7 +290,7 @@ def test_detection_pipeline_end_to_end(spark, replay_dir):
     q = run_detection_pipeline(
         spark, stream_df, sink_table="pipe_outliers", trigger={"availableNow": True}
     )
-    q.awaitTermination(120)
+    finish(q)
     out = spark.table("pipe_outliers")
     assert out.count() > 0
     assert "score" in out.columns
@@ -319,7 +321,7 @@ def test_update_mode_aggregation(spark, replay_dir):
         agg.writeStream.format("memory").queryName("t_update")
         .outputMode("update").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    finish(q)
     got = spark.table("t_update")
     # every (window, key) of the batch twin appears at least once, with
     # the LAST revision equal to the batch value
@@ -346,7 +348,7 @@ def test_foreach_batch_sink(spark, replay_dir):
         seen.append((batch_id, bdf.count()))
 
     q = to_foreach_batch(stream_df, collect_counts, trigger={"availableNow": True})
-    q.awaitTermination(120)
+    finish(q)
     assert len(seen) == 4  # one per replay file
     assert sum(n for _, n in seen) == batch_df.count()
 
@@ -430,7 +432,7 @@ def test_cusum_stream_equals_batch_closed_form(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finish(q)
     got = {
         r["event_id"]: (r["sup"], r["sdn"], r["up_alarm"], r["dn_alarm"])
         for r in spark.table("t_cusum").collect()
@@ -499,7 +501,7 @@ def test_kmv_quantile_stream_equals_batch(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finish(q)
     rows = spark.table("t_kmv").collect()
     # one emission per (key, trigger-with-data, q)
     max_seen = {}
@@ -591,7 +593,7 @@ def test_kmv_quantile_stream_idempotent_under_redelivery(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finish(q)
     rows = spark.table("t_kmv_redeliver").collect()
     max_seen = {}
     for r in rows:
@@ -649,7 +651,7 @@ def test_ohlc_stream_equals_batch(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finish(q)
     rows = spark.table("t_ohlc").collect()
     # latest emission per (key, bar) = max n_ticks (monotone)
     latest = {}
@@ -730,7 +732,7 @@ def test_ohlc_stream_replay_idempotent(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finish(q)
     rows = spark.table("t_ohlc_replay").collect()
     latest = {}
     for r in rows:
@@ -790,7 +792,7 @@ def test_ingest_stream_equals_batch(spark, tmp_path_factory):
     q = ingest_stream(
         stream_df, index, out, trigger={"availableNow": True}
     )
-    q.awaitTermination(180)
+    finish(q)
 
     got = sorted(
         (r.doc_id, r.canon_url)
@@ -885,7 +887,7 @@ def test_ingest_compaction_preserves_replay(spark, tmp_path_factory):
             trigger={"availableNow": True},
             checkpoint_path=ckpt,
         )
-        q.awaitTermination(180)
+        finish(q)
 
     _write_slice(0)
     _write_slice(1)
@@ -982,7 +984,7 @@ def test_ingest_auto_compaction(spark, tmp_path_factory):
         trigger={"availableNow": True},
         compact_every=2,
     )
-    q.awaitTermination(240)
+    finish(q)
 
     assert _index_paths(index, 4) == [
         f"{index}/gen=2",
@@ -1078,7 +1080,7 @@ def test_image_ingest_stream_equals_batch(spark, tmp_path_factory):
             trigger={"availableNow": True},
             checkpoint_path=ckpt,
         )
-        q.awaitTermination(180)
+        finish(q)
 
     _write_slice(0)
     _write_slice(1)
@@ -1159,7 +1161,7 @@ def test_category_drift_stream_equals_batch(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finish(q)
     rows = spark.table("t_drift").collect()
     # final trigger = rows with the max total count per category
     latest = {}
@@ -1232,7 +1234,7 @@ def test_psi_drift_stream_equals_batch(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finish(q)
     rows = spark.table("t_psi").collect()
     latest = {}
     for r in rows:
@@ -1302,7 +1304,7 @@ def test_psi_drift_stream_restart_recovery(spark, tmp_path_factory):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        finish(q)
 
     _write(0)
     _write(1)
@@ -1383,7 +1385,7 @@ def test_ks_drift_stream_equals_batch(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finish(q)
     rows = spark.table("t_ks").collect()
     latest = {}
     for r in rows:
@@ -1430,7 +1432,7 @@ def test_ks_drift_stream_restart_recovery(spark, tmp_path_factory):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        finish(q)
 
     _write(0)
     _write(1)
@@ -1518,7 +1520,7 @@ def test_drift_report_stream_equals_batch(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finish(q)
     got = _drift_latest(spark.table("t_driftrep").collect())
     assert got == want and len(want) > 0
 
@@ -1558,7 +1560,7 @@ def test_drift_report_stream_restart_recovery(spark, tmp_path_factory):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        finish(q)
 
     _write(0)
     _write(1)
@@ -1643,7 +1645,7 @@ def test_video_ingest_stream_equals_batch(spark, tmp_path_factory):
             trigger={"availableNow": True},
             checkpoint_path=ckpt,
         )
-        q.awaitTermination(180)
+        finish(q)
 
     _write_slice(0)
     _write_slice(1)
@@ -1741,7 +1743,7 @@ def test_holt_stream_equals_batch_with_restart(spark, tmp_path_factory):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        finish(q)
 
     _write(0)
     _write(1)
@@ -1810,6 +1812,79 @@ def test_drift_report_stream_ref_key_without_stream_rows(spark, tmp_path_factory
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finish(q)
     got = _drift_latest(spark.table("t_drift_nokey").collect())
     assert got == want and dropped in got
+
+
+def test_holt_stream_counts_dropped_out_of_order_slots(
+    spark, tmp_path_factory
+):
+    """ADVICE r11 #3: the at-least-once guard silently skips any slot
+    <= last applied slot, so a genuinely out-of-order slot (late
+    across triggers) permanently diverges the stream from the batch
+    operator with no signal. The fold now counts skipped slots
+    STRICTLY below the frontier and publishes the cumulative
+    dropped_slots column — here: slots [1,2,3] then a late slot 2
+    (different value!) plus slot 4 -> final emission has n_slots 4
+    and dropped_slots 1, and the series columns still equal the
+    batch operator over the slots that were actually applied."""
+    import pandas as pd
+
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        holt_smooth,
+    )
+    from real_time_data_anomaly_detection_spark.streaming.timeseries import (
+        holt_stream,
+    )
+
+    root = tmp_path_factory.mktemp("holt_ooo")
+    feed = str(root / "feed")
+    ckpt = str(root / "ckpt")
+    out = str(root / "out")
+    os.makedirs(feed)
+
+    def _write(i, rows):
+        f = os.path.join(feed, f"part-{i:02d}.parquet")
+        pd.DataFrame(
+            rows, columns=["event_type", "slot", "xm"]
+        ).to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def _sink(bdf, bid):
+        bdf.write.mode("append").parquet(out)
+
+    def _run():
+        stream_df = file_replay_source(
+            spark, feed, spark.read.parquet(feed).schema
+        )
+        q = (
+            holt_stream(stream_df)
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finish(q)
+
+    _write(0, [("a", 1, 100), ("a", 2, 140), ("a", 3, 90)])
+    _run()
+    # slot 2 arrives again LATE with a different value (true
+    # out-of-order, not a replay) alongside the fresh slot 4.
+    _write(1, [("a", 2, 999), ("a", 4, 130)])
+    _run()
+
+    rows = sorted(
+        spark.read.parquet(out).collect(), key=lambda r: r.n_slots
+    )
+    assert [r.n_slots for r in rows] == [3, 4]
+    assert [r.dropped_slots for r in rows] == [0, 1]
+    applied = spark.createDataFrame(
+        [("a", 1, 100), ("a", 2, 140), ("a", 3, 90), ("a", 4, 130)],
+        "event_type string, slot long, xm long",
+    )
+    want = holt_smooth(applied, "event_type", "slot", "xm").collect()[0]
+    got = rows[-1]
+    assert (got.level_i, got.trend_u, got.forecast_i) == (
+        want.level_i, want.trend_u, want.forecast_i
+    )

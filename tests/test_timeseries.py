@@ -285,8 +285,17 @@ def test_emd_publish_long_division_identity(spark):
     want = [
         0 if d == 0 else (n * 1048576) // d for n, d in cases
     ]
+    # Overflow-range den: n1*n2*range >= 1e38 nulls the decimal(38,0)
+    # product under non-ANSI mode; the publication must propagate
+    # NULL (loud unknown), never the silent 0 the pre-round-12
+    # .otherwise(0) produced (ADVICE r11 #1).
+    cases.append((10**30, None))
+    want.append(None)
 
-    rows = [(i, str(n), str(d)) for i, (n, d) in enumerate(cases)]
+    rows = [
+        (i, str(n), None if d is None else str(d))
+        for i, (n, d) in enumerate(cases)
+    ]
     df = spark.createDataFrame(rows, "i long, n string, d string").select(
         "i",
         F.col("n").cast("decimal(38,0)").alias("_num"),
@@ -304,8 +313,40 @@ def test_emd_publish_long_division_identity(spark):
     duck = [
         con.execute(
             f"SELECT {frag} FROM (SELECT CAST(? AS HUGEINT) n,"
-            " CAST(? AS HUGEINT) d)", [str(n), str(d)]
+            " CAST(? AS HUGEINT) d)",
+            [str(n), None if d is None else str(d)],
         ).fetchone()[0]
         for n, d in cases
     ]
     assert duck == want
+
+
+def test_holt_smooth_survives_all_null_slot(spark):
+    """ADVICE r11 #2: a (key, slot) group whose values are all NULL
+    used to deliver NaN to the pandas fit and math.floor(NaN) killed
+    the whole applyInPandas stage. Null measurements are now dropped
+    before the per-slot aggregation: the all-null slot degrades to
+    "slot absent" and the remaining series still fits; a key left
+    with < 2 slots emits nothing instead of crashing."""
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        holt_smooth,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 100), ("a", 2, None), ("a", 3, 90), ("a", 4, 130),
+            ("b", 1, None), ("b", 2, None),
+        ],
+        "event_type string, slot long, xm long",
+    )
+    rows = holt_smooth(df, "event_type", "slot", "xm").collect()
+    assert [r.event_type for r in rows] == ["a"]
+    clean = spark.createDataFrame(
+        [("a", 1, 100), ("a", 3, 90), ("a", 4, 130)],
+        "event_type string, slot long, xm long",
+    )
+    want = holt_smooth(clean, "event_type", "slot", "xm").collect()[0]
+    got = rows[0]
+    assert (got.n_slots, got.level_i, got.trend_u, got.forecast_i) == (
+        want.n_slots, want.level_i, want.trend_u, want.forecast_i
+    )
