@@ -264,6 +264,10 @@ def main() -> None:
         # round-11 additions
         "q_emd_drift",
         "q_holt_forecast",
+        # round-12 additions
+        "q_video_dhash_md5",
+        "q_video_index_md5",
+        "q_video_ingest_admit_md5",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s
@@ -294,17 +298,24 @@ def main() -> None:
         )
         if calibration.get("jvm_sum_median")
         else None,
+        # Self-evidencing floor (round-12, VERDICT r11 #2/#4): the
+        # min-of-rounds total rides the FINAL metric line itself, so
+        # the recorded artifact carries an uncontaminated number even
+        # when the recording window is load-noisy and the driver's
+        # 2000-char tail cuts the BENCH_DETAIL dict. Stalls only
+        # inflate samples, so the min is immune to them.
+        "headline_min_total": round(sum(head_min.values()), 3),
+        "headline_min_normalized": round(
+            sum(head_min.values()) * (0.113 / calibration["jvm_sum_median"]),
+            3,
+        )
+        if calibration.get("jvm_sum_median")
+        else None,
     }
     detail = {
         "extended": extended,
         "spread": spread,
         "extended_spread": extended_spread,
-        # Steady-state floor per query (round-11 verdict #6): read the
-        # MIN when a phase's probes flag clustered stalls — the median
-        # falls back to keep-all under <3 survivors and can then carry
-        # contamination; the min cannot (stalls only inflate).
-        "headline_min": head_min,
-        "extended_min": extended_min,
         # Stall accounting (round-10): per-query count of samples
         # dropped because a bracketing probe stalled, plus the probe
         # envelope per phase — a recorded median is trustworthy iff
@@ -312,6 +323,13 @@ def main() -> None:
         # samples were dropped here.
         "stall_dropped": {**head_drop, **ext_drop},
         "probes": {"headline": head_probes, "extended": ext_probes},
+        # Steady-state floor per query (round-11 verdict #6), kept
+        # LAST in the dict: the recorder preserves only a ~2000-char
+        # TAIL of output, and round-11's artifact truncated these
+        # away when they sat mid-dict (VERDICT r11 #2) — last place
+        # is the one position a tail window always keeps.
+        "headline_min": head_min,
+        "extended_min": extended_min,
     }
     if stream_rps is not None:
         result["stream_rows_per_sec"] = stream_rps[0]

@@ -90,9 +90,16 @@ _GATE_WINDOW = [
     "q_holt_forecast",
     "q_drift_report",
     "q_image_ahash_md5",
-    "q_psi_drift",
-    "q_image_index_md5",
-    "q_image_ingest_admit_md5",
+    # r12 rotation: the video md5 trio (decoder + persisted index +
+    # admission — the image family's discipline at frame granularity)
+    # in; q_psi_drift out (the fused q_drift_report publishes the same
+    # PSI from the same edges) along with q_image_index_md5 /
+    # q_image_ingest_admit_md5 (their video analogs exercise the same
+    # index/admission algebra; the image family keeps ahash + neardup
+    # in-window, and every rotated row stays green in the full sweeps)
+    "q_video_dhash_md5",
+    "q_video_index_md5",
+    "q_video_ingest_admit_md5",
     "q_image_neardup_md5",
     "q_audio_fingerprint_md5",
     "q_category_drift",

@@ -80,16 +80,18 @@ def test_driver_gate_window_is_cross_family():
         "q_image_neardup_md5",  # perceptual dHash through real decode
         "q_audio_fingerprint_md5",  # WAV decode band fingerprint
         "q_category_drift",     # chi-square distribution drift
-        # round-10 rotation: numeric drift + persisted image index
-        "q_psi_drift",          # PSI numeric-feature drift
-        "q_image_index_md5",    # persisted image-hash index match
-        "q_image_ingest_admit_md5",  # image-crawl admission rule
         # round-11 rotation: the complete drift quartet + aHash twin
         "q_ks_drift",           # exact integer two-sample KS
         "q_emd_drift",          # exact integer earth-mover's drift
         "q_holt_forecast",      # oracle-gated grouped-map forecasting
         "q_drift_report",       # fused single-scan chi2/PSI/KS/EMD report
         "q_image_ahash_md5",    # identity-grid aHash twin
+        # round-12 rotation: the video md5 trio (q_psi_drift and the
+        # image index/admit twins rotated out — q_drift_report carries
+        # PSI, and the video analogs exercise the same index algebra)
+        "q_video_dhash_md5",    # container walk + JPEG decode + dHash
+        "q_video_index_md5",    # persisted seen-frame index match
+        "q_video_ingest_admit_md5",  # frame-coverage admission rule
     }
     assert flagship <= set(window), flagship - set(window)
 

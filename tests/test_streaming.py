@@ -1888,3 +1888,150 @@ def test_holt_stream_counts_dropped_out_of_order_slots(
     assert (got.level_i, got.trend_u, got.forecast_i) == (
         want.level_i, want.trend_u, want.forecast_i
     )
+
+
+def _bucketed_drift_inputs(spark):
+    """(bucketed ref_counts pdf via public helpers, bucketed cur pdf,
+    bucketed `both` Spark df for the batch twin, raw fixtures) — the
+    shared prep of the round-12 bucket_edges pins: edges from the
+    FROZEN reference's 4-bucket rank grid, both windows folded onto
+    the same representatives."""
+    import numpy as np
+    import pandas as pd
+
+    from real_time_data_anomaly_detection_spark.streaming.sketches import (
+        apply_bucket_edges,
+        reference_bucket_edges,
+    )
+
+    ref_counts, cur, _ = _drift_report_fixture(spark)
+    edges = reference_bucket_edges(ref_counts, 4)
+    bref = []
+    for k, g in ref_counts.groupby("event_type"):
+        bref.append(
+            pd.DataFrame(
+                {
+                    "event_type": str(k),
+                    "xm": apply_bucket_edges(g["xm"], edges[str(k)]),
+                    "d1": g["d1"].to_numpy(dtype="int64"),
+                }
+            )
+        )
+    bref = pd.concat(bref, ignore_index=True)
+    # sort FIRST so the concatenated group-ordered values align with
+    # the row order they are assigned back onto
+    bcur = (
+        cur.sort_values("event_type", kind="mergesort")
+        .reset_index(drop=True)
+        .copy()
+    )
+    bcur["xm"] = np.concatenate(
+        [
+            apply_bucket_edges(g["xm"], edges[str(k)])
+            for k, g in bcur.groupby("event_type", sort=True)
+        ]
+    )
+    ref_rows = bref.loc[bref.index.repeat(bref["d1"])][["event_type", "xm"]]
+    both = spark.createDataFrame(
+        ref_rows.assign(w1=True).to_dict("records")
+        + bcur.assign(w1=False).to_dict("records"),
+        "event_type string, xm long, w1 boolean",
+    )
+    # state-bound sanity: the grid leaves at most 4 representatives
+    assert all(len(np.unique(v)) <= 4 for v in edges.values())
+    return cur, both
+
+
+def test_drift_report_stream_bucketed_equals_bucketed_batch(
+    spark, tmp_path_factory
+):
+    """Round-12 bounded-state valve (VERDICT r11 #3): with
+    bucket_edges=4 the stream folds RAW values onto the frozen
+    reference's 4-bucket rank grid before they enter state — state is
+    O(keys·4), not O(distinct values) — and the published quartet is
+    BIT-equal to the fused batch drift_report run over the SAME
+    bucketed values (the documented exactness contract: the statistic
+    becomes the bucketed variant, engine math unchanged)."""
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        drift_report,
+    )
+    from real_time_data_anomaly_detection_spark.streaming.sketches import (
+        drift_report_stream,
+    )
+
+    ref_counts, cur, _ = _drift_report_fixture(spark)
+    _, both = _bucketed_drift_inputs(spark)
+    want = {
+        r.event_type: (
+            r.ref_n, r.cur_n, r.chi2_mil, r.psi_u, r.ks_num, r.emd_u
+        )
+        for r in drift_report(both, "event_type", "xm", "w1").collect()
+    }
+
+    path = str(tmp_path_factory.mktemp("drift_bucketed"))
+    for i in range(3):
+        f = os.path.join(path, f"part-{i:02d}.parquet")
+        cur.iloc[i::3].to_parquet(f, index=False)  # RAW values streamed
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream_df = file_replay_source(
+        spark, path, spark.read.parquet(path).schema
+    )
+    q = (
+        drift_report_stream(stream_df, ref_counts, bucket_edges=4)
+        .writeStream.format("memory")
+        .queryName("t_drift_bucketed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finish(q)
+    got = _drift_latest(spark.table("t_drift_bucketed").collect())
+    assert got == want and len(want) > 0
+
+
+def test_ks_drift_stream_bucketed_equals_bucketed_batch(
+    spark, tmp_path_factory
+):
+    """ks_drift_stream's bucket_edges mode: the streamed KS numerator
+    over raw values folded onto the reference's 4-bucket grid equals
+    the batch operator's ks_num over the same bucketed values (via
+    the fused drift_report, whose ks_num is pinned equal to
+    q_ks_drift) — per-key state is O(4)."""
+    from real_time_data_anomaly_detection_spark.operators.timeseries import (
+        drift_report,
+    )
+    from real_time_data_anomaly_detection_spark.streaming.sketches import (
+        ks_drift_stream,
+    )
+
+    ref_counts, cur, _ = _drift_report_fixture(spark)
+    _, both = _bucketed_drift_inputs(spark)
+    want = {
+        r.event_type: (r.ref_n, r.cur_n, r.ks_num)
+        for r in drift_report(both, "event_type", "xm", "w1").collect()
+    }
+
+    path = str(tmp_path_factory.mktemp("ks_bucketed"))
+    for i in range(3):
+        f = os.path.join(path, f"part-{i:02d}.parquet")
+        cur.iloc[i::3].to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream_df = file_replay_source(
+        spark, path, spark.read.parquet(path).schema
+    )
+    q = (
+        ks_drift_stream(stream_df, ref_counts, bucket_edges=4)
+        .writeStream.format("memory")
+        .queryName("t_ks_bucketed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finish(q)
+    rows = spark.table("t_ks_bucketed").collect()
+    latest = {}
+    for r in rows:
+        if r.event_type not in latest or r.seen > latest[r.event_type].seen:
+            latest[r.event_type] = r
+    got = {k: (r.ref_n, r.cur_n, r.ks_num) for k, r in latest.items()}
+    assert got == want and len(want) > 0
