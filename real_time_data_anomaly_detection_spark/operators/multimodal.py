@@ -3280,7 +3280,8 @@ def q_video_index_md5(spark, sf_dir: str) -> DataFrame:
         SELECT nf.doc_id, nf.n_frames,
                CAST(COALESCE(cv.covered, 0) AS BIGINT) AS covered
         FROM nf LEFT JOIN cv USING (doc_id)
-        WHERE 2 * COALESCE(cv.covered, 0) <= nf.n_frames
+        WHERE COALESCE(cv.covered, 0)
+              < CAST(ceil(nf.n_frames * 0.5) AS BIGINT)
         ORDER BY doc_id
     """,
 )
@@ -3297,8 +3298,11 @@ def q_video_ingest_admit_md5(spark, sf_dir: str) -> DataFrame:
     0 of far perturbations); odd quintuples are batch-only (coverage
     comes from the min-id member) — both paths live at every SF. The
     oracle replays decode → dHash → banding → coverage → the
-    2·covered ≤ n_frames admission inequality (≡ covered <
-    ceil(n_frames/2)) in DuckDB."""
+    covered < ceil(n_frames·0.5) admission inequality VERBATIM in
+    DuckDB (round-12 review #1: the superficially equivalent
+    2·covered ≤ n_frames admits the exactly-half-covered even-n case
+    the production rule rejects — replicate the rule, don't
+    re-derive it)."""
     path, batch = _vid_index_seed(spark, sf_dir)
     idx = spark.read.parquet(f"{path}/seed")
     admitted = video_neardup_admit(

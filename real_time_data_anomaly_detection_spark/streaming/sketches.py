@@ -403,7 +403,14 @@ def _bucket_ref_counts(
     the stream's baseline and current side live in the same domain."""
     out = []
     for k, g in ref_counts.groupby(key_col):
-        ed = edges_by_key[str(k)]
+        ed = edges_by_key.get(str(k))
+        if ed is None:
+            # a key whose reference counts sum to zero has no grid
+            # (reference_bucket_edges skips it); drop its rows — the
+            # batch operators filter ref_n > 0 and the raw stream
+            # would emit nothing for it either (round-12 review #5:
+            # the unconditional index crashed at plan-build time)
+            continue
         out.append(
             pd.DataFrame(
                 {
@@ -416,6 +423,14 @@ def _bucket_ref_counts(
             )
             .groupby([key_col, value_col], as_index=False)[count_col]
             .sum()
+        )
+    if not out:
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=object),
+                value_col: pd.Series(dtype="int64"),
+                count_col: pd.Series(dtype="int64"),
+            }
         )
     return pd.concat(out, ignore_index=True)
 

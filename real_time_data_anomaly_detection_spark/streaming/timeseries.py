@@ -264,7 +264,15 @@ def holt_stream(
     silently drops, permanently diverging from the batch operator —
     now leaves a monotone, monitorable trace. Alert on growth; the
     series columns themselves are unchanged, so the stream==batch
-    bit-equality pins hold as before."""
+    bit-equality pins hold as before.
+
+    Checkpoint compatibility: adding ``dropped`` widened the state
+    schema from 5 to 6 fields, and Spark validates stored state
+    schemas on restart — a checkpoint written by the pre-round-12
+    operator cannot resume under this one. Drain (or finish) the old
+    query and start the upgraded operator with a FRESH checkpoint;
+    the frozen-reference drift twins have no such issue because their
+    state is a schema-stable blob."""
     import math
 
     out_schema = T.StructType(

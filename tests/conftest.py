@@ -22,8 +22,8 @@ def finish(q, timeout: int = 600) -> None:
     if not done:
         try:
             q.stop()
-        finally:
-            pass
+        except Exception:
+            pass  # the timeout AssertionError is the diagnostic that matters
         raise AssertionError(
             f"stream did not finish within {timeout}s (query {q.name or q.id})"
         )

@@ -2298,3 +2298,64 @@ def test_avi_multistream_takes_only_mjpg_frames(spark):
     assert _avi_mjpeg_frames(
         b"RIFF" + len(body2).to_bytes(4, "little") + body2
     ) is None
+
+
+def test_video_admit_rejects_exactly_half_covered_even_n(spark):
+    """Round-12 review #1 regression: covered < ceil(n_frames·0.5) at
+    the even-n boundary — a 2-frame video with EXACTLY ONE frame
+    covered by the index must be REJECTED (1 < ceil(1.0) = 1 is
+    false); the superficially equivalent 2·covered ≤ n would admit
+    it. Built from the synthetic DC-only JPEG fixture so the frames
+    take the production decode path."""
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _band_fps,
+        _dc_only_jpeg,
+        _synth_avi,
+        video_frame_dhash,
+        video_neardup_admit,
+    )
+
+    shared = _dc_only_jpeg([(i % 16) * 8 - 64 for i in range(63)], 9, 7)
+    novel = _dc_only_jpeg([((i * 7 + 3) % 16) * 8 - 64 for i in range(63)], 9, 7)
+    corpus = spark.createDataFrame(
+        [(1, _synth_avi([shared]))], "media_id long, payload binary"
+    )
+    batch = spark.createDataFrame(
+        [(2, _synth_avi([shared, novel]))], "media_id long, payload binary"
+    )
+    idx = _band_fps(
+        video_frame_dhash(corpus, hash_w=8, hash_h=7),
+        "media_id", 56, 4, extra_cols=("frame_idx",),
+    )
+    admitted = video_neardup_admit(
+        idx, batch, max_hamming=3, min_frac=0.5, hash_w=8, hash_h=7,
+        n_bands=4,
+    ).collect()
+    assert admitted == []  # covered=1 of n=2: exactly-half -> rejected
+
+
+def test_bucket_ref_counts_drops_zero_count_key():
+    """Round-12 review #5 regression: a reference key whose counts sum
+    to zero has no bucket grid; _bucket_ref_counts must drop it (the
+    batch operators filter ref_n > 0) instead of KeyError-ing the
+    whole operator construction — including the all-keys-empty case."""
+    import pandas as pd
+
+    from real_time_data_anomaly_detection_spark.streaming.sketches import (
+        _bucket_ref_counts,
+        reference_bucket_edges,
+    )
+
+    ref = pd.DataFrame(
+        {
+            "event_type": ["a", "a", "z"],
+            "xm": [10, 20, 5],
+            "d1": [3, 1, 0],  # key z: zero total -> no grid
+        }
+    )
+    edges = reference_bucket_edges(ref, 4)
+    assert set(edges) == {"a"}
+    out = _bucket_ref_counts(ref, edges, "event_type", "xm")
+    assert set(out["event_type"]) == {"a"} and out["d1"].sum() == 4
+    empty = _bucket_ref_counts(ref[ref.event_type == "z"], {}, "event_type", "xm")
+    assert len(empty) == 0 and list(empty.columns) == ["event_type", "xm", "d1"]
