@@ -1472,6 +1472,132 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_ks_drift_bucketed",
+    oracle="""
+        WITH v AS (
+            SELECT event_type, event_id AS rid,
+                   CAST(round(value * 1000000) AS BIGINT) AS xm,
+                   (hour(ts) < 12) AS w1
+            FROM events),
+        r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY xm, rid) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM v WHERE w1),
+        e AS (
+            SELECT event_type,
+                   min(xm) AS em,
+                   max(CASE WHEN rn - 1 = (25 * (n - 1)) // 100
+                       THEN xm END) AS e0,
+                   max(CASE WHEN rn - 1 = (50 * (n - 1)) // 100
+                       THEN xm END) AS e1,
+                   max(CASE WHEN rn - 1 = (75 * (n - 1)) // 100
+                       THEN xm END) AS e2
+            FROM r GROUP BY 1),
+        vb AS (
+            SELECT v.event_type,
+                   CASE WHEN v.xm >= e2 THEN e2
+                        WHEN v.xm >= e1 THEN e1
+                        WHEN v.xm >= e0 THEN e0
+                        ELSE em END AS xr,
+                   v.w1
+            FROM v JOIN e USING (event_type)),
+        g AS (
+            SELECT event_type, xr,
+                   CAST(sum(CASE WHEN w1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(sum(CASE WHEN w1 THEN 0 ELSE 1 END) AS BIGINT) AS d2
+            FROM vb GROUP BY 1, 2),
+        c AS (
+            SELECT event_type,
+                   sum(d1) OVER (PARTITION BY event_type
+                                 ORDER BY xr) AS c1,
+                   sum(d2) OVER (PARTITION BY event_type
+                                 ORDER BY xr) AS c2
+            FROM g),
+        t AS (
+            SELECT event_type,
+                   CAST(sum(d1) AS BIGINT) AS n1,
+                   CAST(sum(d2) AS BIGINT) AS n2
+            FROM g GROUP BY 1)
+        SELECT c.event_type,
+               CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num,
+               n1 AS ref_n, n2 AS cur_n
+        FROM c JOIN t ON c.event_type = t.event_type
+        GROUP BY 1, n1, n2 ORDER BY 1
+    """,
+)
+def q_ks_drift_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed two-sample KS drift (round-12): the batch twin of
+    ks_drift_stream's ``bucket_edges`` mode, putting the BUCKET-GRID
+    ALGEBRA itself under the hash gate. Both windows fold onto the
+    reference window's 4-bucket rank grid — interior edges are the
+    EXACT reference values at multiset ranks (b·(n−1)) div 4
+    (exact_group_quantiles at 25/50/75, whose integer rank arithmetic
+    (q·(n−1)) div 100 coincides with the stream grid for these q),
+    the per-key reference minimum is the floor representative, and a
+    value maps to the LARGEST edge ≤ it (below-min clamps to min) —
+    then the standard cross-multiplied integer KS runs over the
+    ≤ 4-value domain. Statistic contract: this is the KS of the
+    BUCKETED distributions (conservative; the raw statistic is
+    q_ks_drift). Scale shape: counts-sized quantile selections + ONE
+    broadcast-edge bucketing pass + a ≤ 4-rows-per-key ECDF — the
+    state-bounded monitor shape the streaming valve keeps, here as a
+    batch query with a full DuckDB replay of edges → representative
+    mapping → ECDF → numerator."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").alias("rid"),
+        _micro_units(F.col("value")).alias("xm"),
+        (F.hour("ts") < 12).alias("w1"),
+    )
+    ref = ev.filter(F.col("w1"))
+    edges = psi_bucket_edges(ref, "event_type", "xm", "rid", (25, 50, 75))
+    em = ref.groupBy("event_type").agg(F.min("xm").alias("em"))
+    grid = edges.join(em, "event_type")
+    rep = (
+        F.when(F.col("xm") >= F.col("e2"), F.col("e2"))
+        .when(F.col("xm") >= F.col("e1"), F.col("e1"))
+        .when(F.col("xm") >= F.col("e0"), F.col("e0"))
+        .otherwise(F.col("em"))
+    )
+    vb = ev.join(F.broadcast(grid), "event_type").select(
+        "event_type", rep.alias("xr"), "w1"
+    )
+    g = vb.groupBy("event_type", "xr").agg(
+        F.sum(F.when(F.col("w1"), 1).otherwise(0)).cast("bigint").alias("d1"),
+        F.sum(F.when(F.col("w1"), 0).otherwise(1)).cast("bigint").alias("d2"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("xr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.select(
+        "event_type",
+        F.sum("d1").over(w).alias("c1"),
+        F.sum("d2").over(w).alias("c2"),
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("d1").cast("bigint").alias("ref_n"),
+        F.sum("d2").cast("bigint").alias("cur_n"),
+    )
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .groupBy("event_type", "ref_n", "cur_n")
+        .agg(
+            F.max(
+                F.abs(F.col("c1") * F.col("cur_n") - F.col("c2") * F.col("ref_n"))
+            )
+            .cast("bigint")
+            .alias("ks_num")
+        )
+        .select("event_type", "ks_num", "ref_n", "cur_n")
+        .orderBy("event_type")
+    )
+
+
 def _emd_u_expr(num_col: str, den_col: str):
     """floor(2²⁰·num/den) over DECIMAL(38,0) columns (num ≤ den), as
     base-2¹⁰ long division so the largest intermediate is den·2¹⁰,

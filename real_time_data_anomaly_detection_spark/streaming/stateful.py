@@ -67,6 +67,19 @@ def last_n_window(
     data (processing-time timeout). Essential when the group key is
     high-cardinality (device ids rather than 4 plant types) — without a
     TTL, state grows with every key ever seen.
+
+    TTL × trigger interaction (round-12 find): with a processing-time
+    timeout registered, ``trigger(availableNow=True)`` CANNOT
+    self-terminate — timers only fire inside micro-batches, so Spark
+    keeps scheduling empty ~1/s batches until every group's TTL
+    horizon passes (an hour-scale TTL means an hour-scale spin). The
+    TTL mode is built for CONTINUOUS triggers, where the extra empty
+    batches are the normal heartbeat; an availableNow backfill over
+    the TTL'd operator must be driven to completion and then
+    ``stop()``-ed explicitly (poll the sink for the expected row
+    count — tests/test_streaming.py::test_last_n_window_with_ttl_runs
+    shows the shape). Backfills that don't need mid-run eviction
+    should simply omit ``state_ttl_ms``.
     """
     fmap = features_map or PLANT_FEATURES
     in_fields = list(df.schema.fields)

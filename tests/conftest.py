@@ -10,13 +10,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def finish(q, timeout: int = 600) -> None:
+def finish(q, timeout: int = 1200) -> None:
     """Block until the streaming query ``q`` terminates, asserting it did.
 
     ``StreamingQuery.awaitTermination(t)`` returns ``False`` (without raising)
     when the query is still running after ``t`` seconds; ignoring that return
     lets a loaded host produce torn mid-stream reads of the sink.  Every test
     must use this helper instead of a bare ``awaitTermination`` call.
+
+    The generous default exists for loaded hosts: under three concurrent
+    full-registry sweeps a ~10 s availableNow replay was measured blowing
+    through 600 s; on a healthy run queries finish in seconds, so the only
+    cost of headroom is slower detection of a genuinely hung stream.
     """
     done = q.awaitTermination(timeout)
     if not done:

@@ -179,6 +179,7 @@ def test_no_accidental_cartesians_registry_wide(spark):
         # min/max broadcast crossed into the bucketing projection
         "q_peaks_over_threshold",
         "q_psi_drift",
+        "q_ks_drift_bucketed",  # same psi_bucket_edges quantile plan
     }
     # Queries whose CONSTRUCTION executes jobs (index builds / iterative
     # training) are excluded from this fast lazy-plan loop and instead

@@ -300,15 +300,53 @@ def test_last_n_window_with_ttl_runs(spark, replay_dir):
     """TTL-enabled variant executes with ProcessingTimeTimeout and
     produces the same final windows on an uninterrupted replay (no
     group ever idles long enough to expire here; expiry is a
-    state-size control for high-cardinality keys)."""
+    state-size control for high-cardinality keys).
+
+    Round-12 find (unmasked by the conftest.finish hardening): with
+    ProcessingTimeTimeout registered, availableNow CANNOT self-
+    terminate — timers only fire inside micro-batches, so Spark's
+    MultiBatchExecutor keeps running EMPTY ~1/s batches until the TTL
+    horizon (an hour here). The old bare awaitTermination(120) read
+    the sink mid-spin and LEAKED the spinning query into the rest of
+    the suite. The honest shape: run the no-TTL twin first for the
+    expected sink size, poll the TTL query's sink to that size, then
+    stop() it explicitly — which is also how a production availableNow
+    backfill over a TTL'd operator must be driven (see
+    last_n_window's docstring)."""
+    import time
+
     batch_df = spark.read.parquet(replay_dir)
-    stream_df = file_replay_source(spark, replay_dir, batch_df.schema)
-    out = _run_to_memory(
+    base = _run_to_memory(
         spark,
-        last_n_window(stream_df, n=100, emit="window", state_ttl_ms=3_600_000),
-        "t_lastn_ttl",
+        last_n_window(
+            file_replay_source(spark, replay_dir, batch_df.schema),
+            n=100, emit="window",
+        ),
+        "t_lastn_ttl_base",
     )
-    assert out.count() > 0
+    want = base.count()
+    assert want > 0
+
+    stream_df = file_replay_source(spark, replay_dir, batch_df.schema)
+    q = (
+        last_n_window(stream_df, n=100, emit="window", state_ttl_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("t_lastn_ttl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + 600
+        while (
+            spark.table("t_lastn_ttl").count() < want
+            and time.time() < deadline
+        ):
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(120)
+    assert spark.table("t_lastn_ttl").count() == want
 
 
 def test_update_mode_aggregation(spark, replay_dir):
@@ -2031,6 +2069,54 @@ def test_ks_drift_stream_bucketed_equals_bucketed_batch(
     rows = spark.table("t_ks_bucketed").collect()
     latest = {}
     for r in rows:
+        if r.event_type not in latest or r.seen > latest[r.event_type].seen:
+            latest[r.event_type] = r
+    got = {k: (r.ref_n, r.cur_n, r.ks_num) for k, r in latest.items()}
+    assert got == want and len(want) > 0
+
+
+def test_ks_bucketed_stream_equals_registry_batch_query(
+    spark, tmp_path_factory
+):
+    """Cross-pin (round-12): ks_drift_stream(bucket_edges=4) at each
+    key's final trigger equals the REGISTRY batch query
+    q_ks_drift_bucketed over the same events — the stream's rank grid
+    ((b·(n−1)) div 4 over the reference multiset, min as floor edge)
+    and the batch's exact_group_quantiles(25/50/75)+min grid are the
+    same integer arithmetic, so the oracle-green batch result doubles
+    as the streaming ground truth."""
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY
+    from real_time_data_anomaly_detection_spark.streaming.sketches import (
+        ks_drift_stream,
+    )
+
+    ref_counts, cur, _ = _ks_ref_fixture(spark)
+    want = {
+        r.event_type: (r.ref_n, r.cur_n, r.ks_num)
+        for r in REGISTRY["q_ks_drift_bucketed"]
+        .spark_fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+
+    path = str(tmp_path_factory.mktemp("ks_bucketed_reg"))
+    for i in range(3):
+        f = os.path.join(path, f"part-{i:02d}.parquet")
+        cur.iloc[i::3].to_parquet(f, index=False)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream_df = file_replay_source(
+        spark, path, spark.read.parquet(path).schema
+    )
+    q = (
+        ks_drift_stream(stream_df, ref_counts, bucket_edges=4)
+        .writeStream.format("memory")
+        .queryName("t_ks_bucketed_reg")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finish(q)
+    latest = {}
+    for r in spark.table("t_ks_bucketed_reg").collect():
         if r.event_type not in latest or r.seen > latest[r.event_type].seen:
             latest[r.event_type] = r
     got = {k: (r.ref_n, r.cur_n, r.ks_num) for k, r in latest.items()}
