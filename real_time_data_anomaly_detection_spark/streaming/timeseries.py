@@ -84,6 +84,12 @@ def ohlc_stream(
     pass a processing-time timeout to reap closed bars in
     high-cardinality deployments (a bar older than the reap horizon
     has stopped receiving ticks in any FIFO feed).
+
+    availableNow caveat: a ProcessingTimeTimeout value here keeps an
+    availableNow run alive until every group's horizon passes (timers
+    only fire inside micro-batches — see last_n_window's docstring for
+    the full interaction and the explicit-stop backfill shape); use a
+    timeout only under continuous triggers.
     """
     out_schema = T.StructType(
         [
