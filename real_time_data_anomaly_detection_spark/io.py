@@ -120,9 +120,23 @@ def corpus_cache_path(sf_dir: str, table: str, prefix: str) -> str:
     root = os.path.abspath(root)
     h = hashlib.md5(f"{prefix}:{root}".encode())
     if os.path.isdir(root):
-        for name in sorted(os.listdir(root)):
-            st = os.stat(os.path.join(root, name))
-            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+        # Recursive, leaf-files-only (round-12 review #5: a partitioned
+        # corpus's directory mtimes do NOT change on an in-place part
+        # rewrite), and TOCTOU-tolerant (review #3: a file unlinked
+        # between listing and stat — i.e. a concurrent rewrite, the
+        # exact staleness event the fingerprint defends against — must
+        # yield a DIFFERENT key, not a crash).
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames.sort()
+            for name in sorted(filenames):
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, root)
+                try:
+                    st = os.stat(full)
+                except OSError:
+                    h.update(f"{rel}:gone".encode())
+                    continue
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
     elif os.path.exists(root):
         st = os.stat(root)
         h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())

@@ -219,7 +219,7 @@ def cusum_stream(
     (sup, sdn) is bit-equal to the batch closed form over the full
     series. State never expires under the default NoTimeout; pass a
     processing-time timeout for high-cardinality key spaces.
-    
+
     availableNow caveat: a ProcessingTimeTimeout value here keeps an
     availableNow run alive until every group's horizon passes (timers
     only fire inside micro-batches — see last_n_window's docstring for

@@ -339,13 +339,26 @@ def _ref_base(ref_counts: pd.DataFrame, key_col: str, value_col: str,
               count_col: str = "d1") -> dict:
     """key → (sorted distinct values, cumulative counts, total) from a
     frozen-baseline per-(key, distinct value) count frame — the shared
-    reference ECDF of ks_drift_stream and drift_report_stream."""
+    reference ECDF of ks_drift_stream and drift_report_stream.
+
+    Keys whose counts sum to ZERO are dropped here, at the single
+    shared entry point (round-12 review #2): a baseline-less key has
+    no ECDF to compare against — the batch operators filter ref_n > 0
+    — and admitting it poisoned every consumer differently
+    (drift_report_stream's chi² divided by o1+o2 = 0 and crashed the
+    micro-batch AFTER state.update, so every replay re-crashed;
+    ks_drift_stream emitted ref_n=0 rows the batch never produces;
+    the bucketed path KeyError'd). Dropping at the source makes raw,
+    bucketed, and edge derivation agree by construction."""
     base: dict[str, tuple] = {}
     for k, g in ref_counts.groupby(key_col):
         g = g.sort_values(value_col, kind="mergesort")
         xs = g[value_col].to_numpy(dtype="int64")
         cs = g[count_col].to_numpy(dtype="int64").cumsum()
-        base[str(k)] = (xs, cs, int(cs[-1]) if len(cs) else 0)
+        tot = int(cs[-1]) if len(cs) else 0
+        if tot == 0:
+            continue
+        base[str(k)] = (xs, cs, tot)
     return base
 
 

@@ -2359,3 +2359,16 @@ def test_bucket_ref_counts_drops_zero_count_key():
     assert set(out["event_type"]) == {"a"} and out["d1"].sum() == 4
     empty = _bucket_ref_counts(ref[ref.event_type == "z"], {}, "event_type", "xm")
     assert len(empty) == 0 and list(empty.columns) == ["event_type", "xm", "d1"]
+
+    # round-12 review pass 2 #2: the RAW path must drop the zero-total
+    # key at the shared _ref_base entry point too — previously it was
+    # admitted with o1 = 0 and drift_report_stream's chi² divided by
+    # o1 + o2 = 0, crashing the micro-batch after state.update (every
+    # replay re-crashed), while ks_drift_stream emitted ref_n=0 rows
+    # the batch operators (ref_n > 0 filter) never produce.
+    from real_time_data_anomaly_detection_spark.streaming.sketches import (
+        _ref_base,
+    )
+
+    base = _ref_base(ref, "event_type", "xm")
+    assert set(base) == {"a"}

@@ -345,7 +345,10 @@ def test_last_n_window_with_ttl_runs(spark, replay_dir):
             time.sleep(0.5)
     finally:
         q.stop()
-        q.awaitTermination(120)
+        # assert the stop completed: discarding this return would leak
+        # the spinning query into the rest of the suite — the exact
+        # failure this test exists to prevent
+        assert q.awaitTermination(300), "TTL query did not stop"
     assert spark.table("t_lastn_ttl").count() == want
 
 
