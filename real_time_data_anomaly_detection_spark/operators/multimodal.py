@@ -1448,9 +1448,44 @@ def video_frame_dhash(
     return df.select(id_col, payload_col).mapInPandas(_hash, schema)
 
 
+def video_frame_dhash_cached(
+    videos: DataFrame,
+    cache_path: str,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """Decode-once frame hashes (round-13, verdict #1): run
+    :func:`video_frame_dhash` ONCE, persist the (id, frame_idx, dhash)
+    relation — null rows included, so downstream admission keeps its
+    undecodable-container policy — as parquet at ``cache_path``, and
+    return the read-back scan. Every video operator takes the result
+    via its ``fps=`` parameter, so a pipeline running dhash + index
+    match + admission + scene cuts + near-dup over the same corpus
+    pays the container walk + JPEG entropy decode exactly once
+    instead of once per operator (decode dominates the video family's
+    cost at any scale — SCALING §7.3).
+
+    Staleness is the caller's contract: key ``cache_path`` by a
+    corpus fingerprint (io.corpus_cache_path) so a rewritten corpus
+    gets a fresh decode; the ``_SUCCESS`` marker gates torn writes
+    only. The hash relation is ~24 bytes/frame — at 100 TB of video
+    it is the by-far-smaller artifact and reads back partition-
+    parallel wherever the next operator runs."""
+    from real_time_data_anomaly_detection_spark import fs as _fs
+
+    spark = videos.sparkSession
+    if not _fs.exists(cache_path + "/_SUCCESS", spark):
+        video_frame_dhash(
+            videos, payload_col, id_col, hash_w, hash_h
+        ).write.mode("overwrite").parquet(cache_path)
+    return spark.read.parquet(cache_path)
+
+
 def video_index_match(
     index_bands: DataFrame,
-    batch_videos: DataFrame,
+    batch_videos: DataFrame | None,
     payload_col: str = "payload",
     id_col: str = "media_id",
     max_hamming: int = 3,
@@ -1460,6 +1495,7 @@ def video_index_match(
     broadcast_batch: bool | None = None,
     max_broadcast_bytes: int = 64 << 20,
     prune_keys_max: int = 100_000,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-media near-dup (round-11): match every FRAME of a new
     Motion-JPEG video batch against a persisted IMAGE-hash index
@@ -1479,7 +1515,12 @@ def video_index_match(
     they are pushed as a bk IN-list into the index scan — the
     two-hop-keys trick over build_image_index's bk-sorted layout, so
     per-trigger cost scales with the BATCH's frames, not the corpus
-    (the image ladder's flat 1.27→1.48 s row transfers verbatim)."""
+    (the image ladder's flat 1.27→1.48 s row transfers verbatim).
+
+    ``fps``: pass the already-materialized (id, frame_idx, dhash)
+    relation (e.g. video_frame_dhash_cached) and the decode +
+    localCheckpoint are skipped entirely; ``batch_videos`` may then
+    be None and the broadcast valve sizes on the hash relation."""
     from real_time_data_anomaly_detection_spark.plans.inspect import plan_size_bytes
 
     nbits = hash_w * hash_h
@@ -1489,11 +1530,18 @@ def video_index_match(
         # the image twins' valve: micro-batches broadcast, a
         # backfill-sized batch degrades to a shuffle join instead of
         # an executor-OOM broadcast
-        broadcast_batch = plan_size_bytes(batch_videos) <= max_broadcast_bytes
-    fps = video_frame_dhash(
-        batch_videos, payload_col, id_col, hash_w, hash_h
-    ).filter(F.col("dhash").isNotNull())
-    fps = fps.localCheckpoint(eager=True)  # decode once: probe + join
+        broadcast_batch = plan_size_bytes(
+            batch_videos if batch_videos is not None else fps
+        ) <= max_broadcast_bytes
+    if fps is None:
+        fps = video_frame_dhash(
+            batch_videos, payload_col, id_col, hash_w, hash_h
+        ).filter(F.col("dhash").isNotNull())
+        fps = fps.localCheckpoint(eager=True)  # decode once: probe + join
+    else:
+        # caller materialized the hashes (parquet cache / checkpoint);
+        # a re-scan per use is cheap, no second materialization needed
+        fps = fps.filter(F.col("dhash").isNotNull())
     b = _band_fps(fps, id_col, nbits, n_bands, extra_cols=("frame_idx",)).select(
         F.col(id_col).alias("video_id"),
         "frame_idx",
@@ -1522,12 +1570,13 @@ def video_index_match(
 
 
 def video_scene_cuts(
-    videos: DataFrame,
+    videos: DataFrame | None,
     payload_col: str = "payload",
     id_col: str = "media_id",
     threshold: int = 10,
     hash_w: int = 8,
     hash_h: int = 8,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Scene-change detection over Motion-JPEG frame hashes
     (round-11): a cut is a frame whose dHash Hamming distance to the
@@ -1538,10 +1587,13 @@ def video_scene_cuts(
     every frame with a predecessor; frame-sampling pipelines keep
     one frame per cut segment instead of a fixed stride, which is
     what makes per-frame near-dup indexes affordable on long
-    videos (cuts, not frames, carry the information)."""
-    fps = video_frame_dhash(
-        videos, payload_col, id_col, hash_w, hash_h
-    ).filter(F.col("dhash").isNotNull())
+    videos (cuts, not frames, carry the information).
+
+    ``fps``: pass the already-materialized (id, frame_idx, dhash)
+    relation (e.g. video_frame_dhash_cached) to skip the decode."""
+    if fps is None:
+        fps = video_frame_dhash(videos, payload_col, id_col, hash_w, hash_h)
+    fps = fps.filter(F.col("dhash").isNotNull())
     w = Window.partitionBy(id_col).orderBy("frame_idx")
     prev_h = F.lag("dhash").over(w)
     prev_i = F.lag("frame_idx").over(w)
@@ -1559,7 +1611,7 @@ def video_scene_cuts(
 
 
 def video_neardup_pairs(
-    videos: DataFrame,
+    videos: DataFrame | None,
     payload_col: str = "payload",
     id_col: str = "media_id",
     max_hamming: int = 3,
@@ -1567,6 +1619,7 @@ def video_neardup_pairs(
     hash_w: int = 8,
     hash_h: int = 8,
     n_bands: int | None = None,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Video-vs-video near-dup over frame perceptual hashes
     (round-11): a pair qualifies when at least ``min_frac`` of the
@@ -1585,14 +1638,21 @@ def video_neardup_pairs(
     The quadratic hazard is band-bucket saturation, same as
     image_neardup_pairs; the SCALING §7.2 sizing rule (band width
     grows with corpus) applies unchanged because the algebra is the
-    identical relation."""
+    identical relation.
+
+    ``fps``: pass the already-materialized (id, frame_idx, dhash)
+    relation (e.g. video_frame_dhash_cached) to skip the decode and
+    the localCheckpoint (the cache parquet re-scans cheaply)."""
     nbits = hash_w * hash_h
     if n_bands is None:
         n_bands = _default_bands(nbits, max_hamming)
-    fps = video_frame_dhash(
-        videos, payload_col, id_col, hash_w, hash_h
-    ).filter(F.col("dhash").isNotNull())
-    fps = fps.localCheckpoint(eager=True)  # decode once: counts + join
+    if fps is None:
+        fps = video_frame_dhash(
+            videos, payload_col, id_col, hash_w, hash_h
+        ).filter(F.col("dhash").isNotNull())
+        fps = fps.localCheckpoint(eager=True)  # decode once: counts + join
+    else:
+        fps = fps.filter(F.col("dhash").isNotNull())
     n_frames = fps.groupBy(id_col).agg(
         F.countDistinct("frame_idx").alias("n_frames")
     )
@@ -1645,7 +1705,7 @@ def video_neardup_pairs(
 
 def video_neardup_admit(
     index_bands: DataFrame,
-    batch_videos: DataFrame,
+    batch_videos: DataFrame | None,
     payload_col: str = "payload",
     id_col: str = "media_id",
     max_hamming: int = 3,
@@ -1681,7 +1741,8 @@ def video_neardup_admit(
 
     ``fps``: pass the already-materialized (id, frame_idx, dhash)
     relation (null rows included) so video_ingest_stream pays the
-    container+JPEG decode ONCE per trigger."""
+    container+JPEG decode ONCE per trigger; ``batch_videos`` may then
+    be None and the broadcast valve sizes on the hash relation."""
     from real_time_data_anomaly_detection_spark.plans.inspect import (
         plan_size_bytes,
     )
@@ -1693,7 +1754,9 @@ def video_neardup_admit(
         # the image twins' valve: micro-batches broadcast (the index
         # side never shuffles); a backfill-sized batch degrades to a
         # shuffle join instead of an executor-OOM broadcast
-        broadcast_batch = plan_size_bytes(batch_videos) <= max_broadcast_bytes
+        broadcast_batch = plan_size_bytes(
+            batch_videos if batch_videos is not None else fps
+        ) <= max_broadcast_bytes
     if fps is None:
         fps = video_frame_dhash(
             batch_videos, payload_col, id_col, hash_w, hash_h
@@ -2212,7 +2275,7 @@ def build_image_index(
 
 
 def build_video_index(
-    videos: DataFrame,
+    videos: DataFrame | None,
     index_path: str,
     payload_col: str = "payload",
     id_col: str = "media_id",
@@ -2221,6 +2284,7 @@ def build_video_index(
     n_bands: int | None = None,
     max_hamming: int = 3,
     num_files: int = 8,
+    fps: DataFrame | None = None,
 ) -> None:
     """Seed the persisted SEEN-FRAME index for the video gate
     (round-11): one decode pass over the video corpus writes the
@@ -2231,16 +2295,20 @@ def build_video_index(
     domain is only comparable under one geometry). The layout is the
     shared streaming/ingest.py one, so _index_paths resolution and
     compact_ingest_index folds apply unchanged. Pixels never enter
-    the index: ~40 bytes × n_bands per FRAME."""
+    the index: ~40 bytes × n_bands per FRAME.
+
+    ``fps``: pass the already-materialized (id, frame_idx, dhash)
+    relation (e.g. video_frame_dhash_cached) to seed without a
+    second decode pass; ``videos`` may then be None."""
     import json as _json
 
     nbits = hash_w * hash_h
     resolved = n_bands if n_bands is not None else _default_bands(
         nbits, max_hamming
     )
-    fps = video_frame_dhash(videos, payload_col, id_col, hash_w, hash_h).filter(
-        F.col("dhash").isNotNull()
-    )
+    if fps is None:
+        fps = video_frame_dhash(videos, payload_col, id_col, hash_w, hash_h)
+    fps = fps.filter(F.col("dhash").isNotNull())
     rows = _band_fps(fps, id_col, nbits, resolved, extra_cols=("frame_idx",))
     rows.repartitionByRange(num_files, "bk").sortWithinPartitions(
         "bk"
@@ -2252,7 +2320,7 @@ def build_video_index(
         _json.dumps(
             {"hash_w": hash_w, "hash_h": hash_h, "n_bands": resolved}
         ),
-        videos.sparkSession,
+        fps.sparkSession,
     )
 
 
@@ -3102,7 +3170,15 @@ def _synth_doc_videos(d: DataFrame) -> DataFrame:
     """(doc_id, payload): the per-document synthetic video relation —
     built in the Arrow worker (the bitstream assembly is Python, like
     a real crawl's payloads would arrive opaque); everything AFTER
-    this point is the production pipeline under test."""
+    this point is the production pipeline under test.
+
+    The id relation is repartitioned to defaultParallelism BEFORE the
+    mapInPandas: documents.parquet is one small file, so the scan
+    yields one partition and the Python bitstream assembly + the
+    downstream JPEG decode would otherwise run on a single core (the
+    round-12 bench's 39 s q_video_dhash_md5 row was exactly this).
+    Only 8-byte ids shuffle; a REAL crawl corpus arrives as many
+    splits and needs no such spread — this is fixture plumbing."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -3120,7 +3196,8 @@ def _synth_doc_videos(d: DataFrame) -> DataFrame:
                 }
             )
 
-    return d.select("doc_id").mapInPandas(_gen, schema)
+    n = d.sparkSession.sparkContext.defaultParallelism
+    return d.select("doc_id").repartition(n, "doc_id").mapInPandas(_gen, schema)
 
 
 # Shared DuckDB replay of the synthetic-video decode + per-frame dHash +
@@ -3182,12 +3259,11 @@ def q_video_dhash_md5(spark, sf_dir: str) -> DataFrame:
     in DuckDB. A hash match proves BOTH container walkers and the
     Huffman/DPCM/IDCT decode chain bit-exact cross-engine, the
     q_image_neardup_md5 discipline extended to video
-    (multimodal.py:_mjpeg_frames, video_frame_dhash)."""
-    d = load_table(spark, sf_dir, "documents")
-    vids = _synth_doc_videos(d)
-    fps = video_frame_dhash(
-        vids, "payload", "doc_id", hash_w=8, hash_h=7
-    )
+    (multimodal.py:_mjpeg_frames, video_frame_dhash). Round-13: the
+    decode runs ONCE per (corpus, session) via _vid_frame_hashes —
+    the cache is populated BY the production decode path, so the
+    oracle still gates the full chain on first touch."""
+    fps = _vid_frame_hashes(spark, sf_dir)
     return fps.select(
         "doc_id",
         F.col("frame_idx").cast("bigint").alias("frame_idx"),
@@ -3203,24 +3279,46 @@ def _video_index_path(sf_dir: str) -> str:
     return corpus_cache_path(sf_dir, "documents", "vididx")
 
 
+def _vid_frame_hashes(spark, sf_dir: str) -> DataFrame:
+    """Decode-once frame hashes for the whole synthetic video corpus
+    (round-13, verdict #1): the five q_video_*_md5 twins all consume
+    this ONE persisted (doc_id, frame_idx, dhash) relation — built by
+    the PRODUCTION decode path (_synth_doc_videos → video_frame_dhash:
+    container walk + full JPEG entropy decode) on first touch, keyed
+    by the documents corpus fingerprint exactly like _vid_index_seed,
+    then read back as parquet. The hash gate still proves the decode
+    chain cross-engine (the cache is POPULATED by it); what the cache
+    removes is the 3× re-decode of identical frames across the family
+    that round-12's What's-wrong #2 measured at ~80 s of the extended
+    bench."""
+    from real_time_data_anomaly_detection_spark.io import corpus_cache_path
+
+    path = corpus_cache_path(sf_dir, "documents", "vidhash")
+    d = load_table(spark, sf_dir, "documents")
+    vids = _synth_doc_videos(d)
+    return video_frame_dhash_cached(
+        vids, path, "payload", "doc_id", hash_w=8, hash_h=7
+    )
+
+
 def _vid_index_seed(spark, sf_dir: str) -> tuple[str, DataFrame]:
     """Build-once-per-(corpus, session) persisted seen-frame index over
     the CORPUS half of the synthetic videos (doc_id % 10 ∈ {0, 1} —
     every even base quintuple has 2 corpus + 3 batch members, every odd
     quintuple is batch-only: both the index-hit and intra-batch paths
-    exercised at every SF), and the BATCH half as a DataFrame."""
+    exercised at every SF), and the BATCH half's frame-hash relation
+    (from the shared _vid_frame_hashes cache — no second decode)."""
     from real_time_data_anomaly_detection_spark import fs as _fs
 
-    d = load_table(spark, sf_dir, "documents")
-    vids = _synth_doc_videos(d)
-    corpus = vids.filter(F.col("doc_id") % 10 <= 1)
-    batch = vids.filter(F.col("doc_id") % 10 >= 2)
+    fps = _vid_frame_hashes(spark, sf_dir)
+    batch_fps = fps.filter(F.col("doc_id") % 10 >= 2)
     path = _video_index_path(sf_dir)
     if not _fs.exists(path + "/seed/_SUCCESS", spark):
         build_video_index(
-            corpus, path, "payload", "doc_id", hash_w=8, hash_h=7, n_bands=4
+            None, path, "payload", "doc_id", hash_w=8, hash_h=7, n_bands=4,
+            fps=fps.filter(F.col("doc_id") % 10 <= 1),
         )
-    return path, batch
+    return path, batch_fps
 
 
 @query(
@@ -3246,12 +3344,14 @@ def q_video_index_md5(spark, sf_dir: str) -> DataFrame:
     decode + dHash + banding for both halves and joins them directly —
     a hash match proves the PERSISTED path returns exactly what an
     inline frame join would, q_image_index_md5's index == inline
-    discipline at frame granularity."""
-    path, batch = _vid_index_seed(spark, sf_dir)
+    discipline at frame granularity. Round-13: the batch side comes
+    from the shared _vid_frame_hashes cache via fps= — zero decode
+    in the steady state."""
+    path, batch_fps = _vid_index_seed(spark, sf_dir)
     idx = spark.read.parquet(f"{path}/seed")
     pairs = video_index_match(
-        idx, batch, "payload", "doc_id", max_hamming=3, hash_w=8, hash_h=7,
-        n_bands=4,
+        idx, None, "payload", "doc_id", max_hamming=3, hash_w=8, hash_h=7,
+        n_bands=4, fps=batch_fps,
     )
     return pairs.select(
         F.col("idx_id").alias("corpus_doc"),
@@ -3302,12 +3402,14 @@ def q_video_ingest_admit_md5(spark, sf_dir: str) -> DataFrame:
     DuckDB (round-12 review #1: the superficially equivalent
     2·covered ≤ n_frames admits the exactly-half-covered even-n case
     the production rule rejects — replicate the rule, don't
-    re-derive it)."""
-    path, batch = _vid_index_seed(spark, sf_dir)
+    re-derive it). Round-13: batch hashes from the shared
+    _vid_frame_hashes cache via fps= — zero decode in the steady
+    state."""
+    path, batch_fps = _vid_index_seed(spark, sf_dir)
     idx = spark.read.parquet(f"{path}/seed")
     admitted = video_neardup_admit(
-        idx, batch, "payload", "doc_id", max_hamming=3, min_frac=0.5,
-        hash_w=8, hash_h=7, n_bands=4,
+        idx, None, "payload", "doc_id", max_hamming=3, min_frac=0.5,
+        hash_w=8, hash_h=7, n_bands=4, fps=batch_fps,
     )
     return admitted.select(
         "doc_id",
@@ -3338,11 +3440,11 @@ def q_video_scene_cuts_md5(spark, sf_dir: str) -> DataFrame:
     independent md5-derived hashes (expected distance ~28 bits), so
     both cut and non-cut rows appear whenever a quintuple's perturbed
     frame 0 sits near its base (the one-bit perturbation makes
-    frame 0→1 distances vary across same-base docs)."""
-    d = load_table(spark, sf_dir, "documents")
-    vids = _synth_doc_videos(d)
+    frame 0→1 distances vary across same-base docs). Round-13: frame
+    hashes from the shared _vid_frame_hashes cache via fps=."""
     cuts = video_scene_cuts(
-        vids, "payload", "doc_id", threshold=10, hash_w=8, hash_h=7
+        None, "payload", "doc_id", threshold=10, hash_w=8, hash_h=7,
+        fps=_vid_frame_hashes(spark, sf_dir),
     )
     return cuts.select(
         "doc_id",
@@ -3390,12 +3492,12 @@ def q_video_neardup_md5(spark, sf_dir: str) -> DataFrame:
     perturbation, lengths 2-4 varying by doc_id % 3) exercise both
     the clip-containment branch (shorter video fully matched) and the
     matched-count algebra; the oracle runs the identical band join →
-    DISTINCT → roll-up → ceil(min_frac·n) inequality."""
-    d = load_table(spark, sf_dir, "documents")
-    vids = _synth_doc_videos(d)
+    DISTINCT → roll-up → ceil(min_frac·n) inequality. Round-13: frame
+    hashes from the shared _vid_frame_hashes cache via fps=."""
     pairs = video_neardup_pairs(
-        vids, "payload", "doc_id", max_hamming=3, min_frac=0.5,
+        None, "payload", "doc_id", max_hamming=3, min_frac=0.5,
         hash_w=8, hash_h=7, n_bands=4,
+        fps=_vid_frame_hashes(spark, sf_dir),
     )
     return pairs.select(
         "vid_a", "vid_b",

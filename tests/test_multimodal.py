@@ -2256,6 +2256,70 @@ def test_video_scene_cuts(spark):
     assert rows[2].prev_idx == 1 and rows[4].prev_idx == 3
 
 
+def test_video_frame_dhash_cached_and_fps_reuse(spark, tmp_path):
+    """Round-13 decode-once contract: (a) video_frame_dhash_cached
+    persists the production decode's exact rows (null contract rows
+    included) and a later call with _SUCCESS present SKIPS the decode
+    — proven by pre-seeding a cache with sentinel rows and watching
+    them come back verbatim; (b) every video operator fed the cached
+    relation via fps= returns exactly what its own decode would."""
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        build_video_index,
+        video_frame_dhash,
+        video_frame_dhash_cached,
+        video_index_match,
+        video_neardup_pairs,
+        video_scene_cuts,
+    )
+
+    fr, _ = _mjpeg_test_frames(n=4)
+    a, b, c, d = fr
+    vids = spark.createDataFrame(
+        [(1, _avi_bytes([a, b, c])), (2, _mov_bytes([b, c, d])),
+         (3, b"not a video")],
+        "media_id long, payload binary",
+    )
+    cache = str(tmp_path / "vidhash")
+    cached = video_frame_dhash_cached(vids, cache)
+    direct = video_frame_dhash(vids)
+    key = lambda df: sorted(  # noqa: E731 — local comparator
+        (r.media_id, r.frame_idx, r.dhash) for r in df.collect()
+    )
+    assert key(cached) == key(direct)  # null row for id 3 included
+    import os
+
+    assert os.path.exists(cache + "/_SUCCESS")
+
+    # _SUCCESS present -> NO re-decode: a sentinel relation written in
+    # place comes back even though the videos arg would decode different
+    sentinel = spark.createDataFrame(
+        [(99, 0, 12345)], "media_id long, frame_idx long, dhash long"
+    )
+    cache2 = str(tmp_path / "pre_seeded")
+    sentinel.write.parquet(cache2)
+    again = video_frame_dhash_cached(vids, cache2)
+    assert key(again) == [(99, 0, 12345)]
+
+    # fps= equivalence across the family (videos=None on the fps path)
+    pk = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert pk(video_scene_cuts(None, fps=cached)) == pk(
+        video_scene_cuts(vids)
+    )
+    assert pk(video_neardup_pairs(None, fps=cached, min_frac=0.5)) == pk(
+        video_neardup_pairs(vids, min_frac=0.5)
+    )
+    idx_path = str(tmp_path / "vididx")
+    build_video_index(
+        None, idx_path, fps=cached.filter(F.col("media_id") == 1)
+    )
+    idx = spark.read.parquet(f"{idx_path}/seed")
+    batch_fps = cached.filter(F.col("media_id") == 2)
+    batch = vids.filter(F.col("media_id") == 2)
+    assert pk(video_index_match(idx, None, fps=batch_fps)) == pk(
+        video_index_match(idx, batch)
+    )
+
+
 def test_avi_multistream_takes_only_mjpg_frames(spark):
     """Round-11 review #4: an AVI whose stream 00 is a foreign codec
     and stream 01 is MJPG must yield ONLY the 01dc frames — the
