@@ -268,6 +268,10 @@ def main() -> None:
         "q_video_dhash_md5",
         "q_video_index_md5",
         "q_video_ingest_admit_md5",
+        # round-13 additions
+        "q_video_scene_cuts_md5",
+        "q_video_neardup_md5",
+        "q_ks_drift_bucketed",
     ]
     # Median + spread here too: round 4's single-shot extended numbers
     # manufactured two phantom regressions (q_corpus_clean 2.48 s
@@ -311,6 +315,10 @@ def main() -> None:
         )
         if calibration.get("jvm_sum_median")
         else None,
+        # Round-13 (VERDICT r12 What's-wrong #1): the extended list's
+        # min-of-rounds total on the metric line too, so the rows the
+        # tail window cannot hold still have a recorded aggregate floor.
+        "extended_min_total": round(sum(extended_min.values()), 3),
     }
     detail = {
         "extended": extended,
@@ -339,6 +347,22 @@ def main() -> None:
     detail["extended_min"] = extended_min
     detail["headline_min"] = head_min
 
+    # Durable full record (round-13, VERDICT r12 What's-wrong #1): the
+    # recorder keeps only a ~2000-char stdout tail, which can never hold
+    # every extended row's min — so the complete result+detail is also
+    # WRITTEN to the repo root and committed per round. BENCH_SELF.json
+    # is the authoritative per-query record; the stdout lines remain the
+    # driver's contract surface.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_SELF.json"),
+            "w",
+        ) as fh:
+            json.dump({"result": result, "detail": detail}, fh, indent=1)
+    except OSError as exc:  # read-only checkout must not kill the metric
+        print(f"BENCH_SELF.json not written: {exc!r}", file=sys.stderr)
+
     # The metric line is the LAST stdout write, after all Spark jobs
     # (batch and stream) have finished — nothing can interleave with it.
     # The harness that records BENCH_r*.json keeps only the final ~2000
@@ -348,6 +372,22 @@ def main() -> None:
     # the full diagnostics go on their own line just before it.
     sys.stdout.flush()
     print("BENCH_DETAIL " + json.dumps(detail), flush=True)
+    # Second compact metric line (round-13, VERDICT r12 #1): the
+    # extended mins, VALUE-ASCENDING so when the tail window truncates
+    # this line's head, the rows that survive are exactly the heavy
+    # ones that need a load-arbitrated floor (video trio & friends).
+    # calibration rides first (most expendable under truncation — the
+    # headline line carries its own copy).
+    ext_line = json.dumps(
+        {
+            "metric": "extended_queries_min",
+            "unit": "sec",
+            "calibration": calibration,
+            "value": round(sum(extended_min.values()), 3),
+            "queries": dict(sorted(extended_min.items(), key=lambda kv: kv[1])),
+        }
+    )
+    print(ext_line, flush=True)
     line = json.dumps(result)
     assert len(line) < 1800, f"metric line too long ({len(line)} chars)"
     print(line, flush=True)

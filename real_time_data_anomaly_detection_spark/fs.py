@@ -92,13 +92,24 @@ def file_statuses(
         return [(jpath.getName(), int(st.getLen()), int(st.getModificationTime()))]
     root = jpath.toUri().getPath()
     out = []
-    it = fs.listFiles(jpath, True)
-    while it.hasNext():
-        s = it.next()
-        rel = s.getPath().toUri().getPath()
-        if rel.startswith(root):
-            rel = rel[len(root):].lstrip("/")
-        out.append((rel, int(s.getLen()), int(s.getModificationTime())))
+    # TOCTOU tolerance (round-13, ADVICE r12 #1): a file deleted
+    # between listing batches — i.e. a concurrent rewrite, the exact
+    # staleness event the fingerprint defends against — must yield a
+    # DIFFERENT fingerprint, not a py4j FileNotFoundException that
+    # crashes corpus_cache_path. Mirrors the ':gone' fold of the posix
+    # walk in io.corpus_cache_path.
+    try:
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            s = it.next()
+            rel = s.getPath().toUri().getPath()
+            if rel.startswith(root):
+                rel = rel[len(root):].lstrip("/")
+            out.append(
+                (rel, int(s.getLen()), int(s.getModificationTime()))
+            )
+    except Exception:
+        out.append((":gone", -1, -1))
     return sorted(out)
 
 

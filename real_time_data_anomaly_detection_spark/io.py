@@ -106,7 +106,14 @@ def corpus_cache_path(sf_dir: str, table: str, prefix: str) -> str:
     needs no SparkSession (callers may compute cache paths before one
     exists) and keeps NANOSECOND mtime granularity; the shim path's
     Hadoop mtime is milliseconds, where name+size still disambiguate
-    a same-ms rewrite of different content length."""
+    a same-ms rewrite of different content length. Residual gap,
+    accepted explicitly (round-13, ADVICE r12 #2): a remote rewrite
+    within the SAME millisecond producing the SAME byte length keeps
+    the fingerprint and silently reuses a stale index. Closing it
+    would need a content discriminator (FileSystem.getFileChecksum —
+    null on most object stores, a full-data round on others), which
+    costs more than the rebuild it saves; real ingest commits are
+    not same-ms same-length in-place rewrites."""
     import hashlib
 
     root = os.path.join(sf_dir, f"{table}.parquet")

@@ -69,9 +69,7 @@ _GATE_WINDOW = [
     "q_agg_group",
     "q_agg_global",
     "q_window_rank",
-    "q_window_lastk",
     "q_topk",
-    "q_union_all",
     "q_window_tumbling_batch",
     # cross-family flagship sample (33 rows; judge-named set + the
     # r7/r8/r9/r10 rotations — r9 swapped out q_join_anti /
@@ -100,8 +98,19 @@ _GATE_WINDOW = [
     "q_video_dhash_md5",
     "q_video_index_md5",
     "q_video_ingest_admit_md5",
+    # r13 rotation (VERDICT r12 #3): the remaining oracle-backed video
+    # twins (scene cuts + pairwise containment) and the bounded-state
+    # drift grid (q_ks_drift_bucketed — the bucket_edges valve's
+    # algebra) promoted; q_union_all / q_window_lastk /
+    # q_audio_fingerprint_md5 rotated out (set keeps intersect/except
+    # via full sweeps and union stays trivially plan-pinned; window
+    # keeps rank + tumbling; media keeps image ahash/neardup + the
+    # five video rows — every rotated row stays green in the full
+    # sweeps)
+    "q_video_scene_cuts_md5",
+    "q_video_neardup_md5",
+    "q_ks_drift_bucketed",
     "q_image_neardup_md5",
-    "q_audio_fingerprint_md5",
     "q_category_drift",
     "q_prefix_jaccard",
     "q_split_leakage_safe",

@@ -384,6 +384,10 @@ def reference_bucket_edges(
         ref_counts, key_col, value_col, count_col
     ).items():
         if not o1:
+            # unreachable today — _ref_base drops zero-total keys at
+            # the shared entry point (round-12 review #2); kept as
+            # defense-in-depth: a future _ref_base change must not
+            # turn this into an empty-array index crash (ADVICE r12 #4)
             continue
         interior = [
             xs1[int(np.searchsorted(c1s, (b * (o1 - 1)) // n_buckets,
@@ -611,6 +615,7 @@ def drift_report_stream(
     value_col: str = "xm",
     quantiles: tuple[int, ...] = (20, 40, 60, 80),
     bucket_edges: int | None = None,
+    max_state_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """The unified online drift monitor (round-11): one stateful fold
     publishing ALL FOUR drift statistics per key each trigger —
@@ -636,6 +641,21 @@ def drift_report_stream(
     (reference_bucket_edges) BEFORE entering state, bounding the
     whole fold at O(keys·n) — which also resolves the single-task
     concern, since keys·n rows is sketch-sized no matter the stream.
+
+    RAW mode is explicitly CAPPED (round-13, VERDICT r12 #6): without
+    ``bucket_edges`` the one-group fold's state is Σ distinct
+    (key, value) pairs, and a per-key sharding of it cannot be pinned
+    bit-equal per trigger because chi² needs cross-key CURRENT totals
+    (a second stateful stage would see other keys' updates at skewed
+    trigger boundaries). So raw mode guards itself: when the merged
+    count table would exceed ``max_state_rows`` the fold raises
+    RuntimeError BEFORE ``state.update`` — the failure is replay-
+    idempotent (state untouched, every retry re-raises loudly) instead
+    of an executor OOM minutes later. The scale path past the valve is
+    ``bucket_edges`` with a FRESH checkpoint (raw and bucketed state
+    live in different value domains; resuming one from the other's
+    checkpoint would silently mix them). ``max_state_rows=None``
+    disables the guard.
     Tradeoff: KS/EMD become the statistics of the BUCKETED
     distributions (valid, conservative — bucketing can only shrink
     both), bit-equal to the fused batch drift_report over the same
@@ -731,6 +751,19 @@ def drift_report_stream(
                 .sum()
                 .sort_values([key_col, value_col], kind="mergesort")
             )
+            if (
+                bucket_edges is None
+                and max_state_rows is not None
+                and len(cur) > max_state_rows
+            ):
+                # BEFORE state.update: replay-idempotent loud valve
+                raise RuntimeError(
+                    f"drift_report_stream raw-mode state would reach "
+                    f"{len(cur)} distinct (key, value) rows "
+                    f"(max_state_rows={max_state_rows}); re-deploy with "
+                    "bucket_edges=n on a FRESH checkpoint for bounded "
+                    "state, or raise/disable max_state_rows"
+                )
         state.update((_encode(cur), seen))
         if not chunks:
             return

@@ -278,7 +278,15 @@ def holt_stream(
     operator cannot resume under this one. Drain (or finish) the old
     query and start the upgraded operator with a FRESH checkpoint;
     the frozen-reference drift twins have no such issue because their
-    state is a schema-stable blob."""
+    state is a schema-stable blob. This is a DELIBERATE policy, not
+    an oversight (round-13, ADVICE r12 #3): the typed row is
+    self-describing and Spark's validation fails the restart LOUDLY
+    at upgrade time, whereas a schema-stable blob would accept the
+    old bytes and needs its own in-band versioning to avoid silently
+    misreading them. In-place upgrades here are a versioned redeploy
+    (new checkpoint dir per state version); deployments that cannot
+    drain should wrap state in a blob WITH an embedded version tag
+    before first deploy, not after."""
     import math
 
     out_schema = T.StructType(

@@ -77,8 +77,9 @@ def test_driver_gate_window_is_cross_family():
         "q_ohlc_bars",          # time-series rollup
         "q_url_host_cap",       # URL canonicalization + host quota
         # round-9 rotation: decoder-oracle-checked media + drift
+        # (r13 rotated q_audio_fingerprint_md5 out; audio stays green
+        # in the full sweeps and media keeps 7 rows in-window)
         "q_image_neardup_md5",  # perceptual dHash through real decode
-        "q_audio_fingerprint_md5",  # WAV decode band fingerprint
         "q_category_drift",     # chi-square distribution drift
         # round-11 rotation: the complete drift quartet + aHash twin
         "q_ks_drift",           # exact integer two-sample KS
@@ -92,6 +93,12 @@ def test_driver_gate_window_is_cross_family():
         "q_video_dhash_md5",    # container walk + JPEG decode + dHash
         "q_video_index_md5",    # persisted seen-frame index match
         "q_video_ingest_admit_md5",  # frame-coverage admission rule
+        # round-13 rotation (VERDICT r12 #3): the remaining video
+        # oracle twins + the bounded-state drift grid promoted
+        # (q_union_all / q_window_lastk / q_audio_fingerprint_md5 out)
+        "q_video_scene_cuts_md5",  # hash-delta scene detection
+        "q_video_neardup_md5",  # frame-containment video pairs
+        "q_ks_drift_bucketed",  # bucket_edges valve grid algebra
     }
     assert flagship <= set(window), flagship - set(window)
 
