@@ -2320,6 +2320,29 @@ def test_video_frame_dhash_cached_and_fps_reuse(spark, tmp_path):
     )
 
 
+def test_video_index_match_all_undecodable_batch(spark, tmp_path):
+    """Round-13 _bk_prune_inlist edge: a batch with ZERO decodable
+    frames yields zero candidate band keys — the single-string IN
+    construction must keep the old isin([])-is-false semantics (empty
+    match result), not emit an unparseable `bk IN ()`."""
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        build_video_index,
+        video_index_match,
+    )
+
+    fr, _ = _mjpeg_test_frames(n=2)
+    idx_path = str(tmp_path / "vididx")
+    good = spark.createDataFrame(
+        [(1, _avi_bytes(fr))], "media_id long, payload binary"
+    )
+    build_video_index(good, idx_path)
+    idx = spark.read.parquet(f"{idx_path}/seed")
+    torn = spark.createDataFrame(
+        [(7, b"not a video"), (8, None)], "media_id long, payload binary"
+    )
+    assert video_index_match(idx, torn).count() == 0
+
+
 def test_avi_multistream_takes_only_mjpg_frames(spark):
     """Round-11 review #4: an AVI whose stream 00 is a foreign codec
     and stream 01 is MJPG must yield ONLY the 01dc frames — the
