@@ -2320,6 +2320,30 @@ def test_video_frame_dhash_cached_and_fps_reuse(spark, tmp_path):
     )
 
 
+def test_bk_prune_inlist_paths(spark):
+    """_bk_prune_inlist's three paths: (a) a small key set filters the
+    index to exactly the isin-equivalent rows; (b) a key set larger
+    than prune_keys_max skips the filter (full index back — at that
+    size the batch touches most of the bk domain and the full scan is
+    the cheaper plan); (c) empty keys → empty result, not a parse
+    error (covered end-to-end by the all-undecodable test too)."""
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _bk_prune_inlist,
+    )
+
+    idx = spark.range(100).selectExpr("id AS media_id", "id % 10 AS bk")
+    some = spark.range(3).selectExpr("id AS bk")          # keys 0,1,2
+    got = _bk_prune_inlist(idx, some, prune_keys_max=50)
+    assert got.count() == 30
+    assert {r.bk for r in got.select("bk").distinct().collect()} == {0, 1, 2}
+    # over the cap: unfiltered index back
+    many = spark.range(8).selectExpr("id AS bk")
+    assert _bk_prune_inlist(idx, many, prune_keys_max=5).count() == 100
+    # empty: nothing matches
+    none = spark.range(0).selectExpr("id AS bk")
+    assert _bk_prune_inlist(idx, none, prune_keys_max=5).count() == 0
+
+
 def test_video_index_match_all_undecodable_batch(spark, tmp_path):
     """Round-13 _bk_prune_inlist edge: a batch with ZERO decodable
     frames yields zero candidate band keys — the single-string IN
