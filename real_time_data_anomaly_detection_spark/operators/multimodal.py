@@ -484,50 +484,96 @@ _DCT_C = np.array(
 )
 
 
-def _jpeg_build_huff(counts: list[int], values: bytes) -> dict[tuple[int, int], int]:
-    """Canonical JPEG Huffman table: {(bit_length, code) -> symbol}."""
-    table: dict[tuple[int, int], int] = {}
+# LUT cache keyed by the DHT payload (counts, values) — MJPEG streams
+# repeat the identical table definitions on every frame, so across a
+# corpus the 64Ki-entry build is paid once per DISTINCT table, not per
+# frame. Bounded: cleared wholesale at 64 entries (a stream defines at
+# most 8 table slots; 64 distinct definitions means a pathological mix
+# and a rebuild is cheaper than an unbounded cache).
+_HUFF_LUT_CACHE: dict[tuple[bytes, bytes], list[int]] = {}
+
+
+def _jpeg_build_huff(counts: list[int], values: bytes) -> list[int]:
+    """Canonical JPEG Huffman table as a 16-bit-window LUT (round-13
+    decode-throughput work): entry ``lut[w]`` for every 16-bit window
+    ``w`` is ``(symbol << 5) | code_length`` of the unique code that
+    prefixes ``w`` (prefix-freedom makes the fill ranges disjoint), 0
+    where no code ≤16 bits matches. One list index replaces the
+    per-bit walk + dict probe of the previous decoder — same canonical
+    assignment (T.81 C.2), same symbols, integer domain only, so the
+    decoded stream is bit-identical."""
+    key = (bytes(counts), bytes(values))
+    lut = _HUFF_LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    arr = np.zeros(1 << 16, dtype=np.int32)
     code, k = 0, 0
     for length in range(1, 17):
+        span = 1 << (16 - length)
         for _ in range(counts[length - 1]):
-            table[(length, code)] = values[k]
+            base = code << (16 - length)
+            if base + span <= (1 << 16):  # malformed over-long tables
+                arr[base : base + span] = (values[k] << 5) | length
             code += 1
             k += 1
         code <<= 1
-    return table
+    lut = arr.tolist()  # plain-list indexing beats ndarray scalar get
+    if len(_HUFF_LUT_CACHE) >= 64:
+        _HUFF_LUT_CACHE.clear()
+    _HUFF_LUT_CACHE[key] = lut
+    return lut
 
 
 class _JpegBits:
     """MSB-first bit reader over an entropy-coded segment (0xFF00
-    byte-stuffing removed by the caller)."""
+    byte-stuffing removed by the caller). read_huff/read_bits extract
+    whole windows via int.from_bytes instead of per-bit loops — the
+    round-13 decode ladder measured the per-bit walk at ~48% of frame
+    cost. Semantics are unchanged: EOFError exactly when a consumed
+    bit would pass the end of data, ValueError when no code matches."""
 
     def __init__(self, data: bytes):
         self.data = data
+        # zero-padded so window extraction never handles a short slice;
+        # padding past end-of-data is safe: the prefix property means
+        # any code fully inside the real bits matches identically, and
+        # a match that needed padded bits fails the nbits check with
+        # the same EOFError the per-bit walk raised.
+        self.buf = data + b"\x00\x00\x00\x00"
+        self.nbits = len(data) << 3
         self.pos = 0  # bit position
 
     def read_bit(self) -> int:
-        byte = self.pos >> 3
-        if byte >= len(self.data):
+        pos = self.pos
+        if pos >= self.nbits:
             raise EOFError
-        bit = (self.data[byte] >> (7 - (self.pos & 7))) & 1
-        self.pos += 1
-        return bit
+        self.pos = pos + 1
+        return (self.data[pos >> 3] >> (7 - (pos & 7))) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        pos = self.pos
+        end = pos + n
+        if end > self.nbits:
+            raise EOFError
+        self.pos = end
+        window = int.from_bytes(self.buf[pos >> 3 : (pos >> 3) + 4], "big")
+        return (window >> (32 - (pos & 7) - n)) & ((1 << n) - 1)
 
-    def read_huff(self, table: dict[tuple[int, int], int]) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
+    def read_huff(self, table: list[int]) -> int:
+        pos = self.pos
+        b = pos >> 3
+        window = int.from_bytes(self.buf[b : b + 3], "big")
+        ent = table[(window >> (8 - (pos & 7))) & 0xFFFF]
+        length = ent & 31
+        if length == 0:
+            raise ValueError("invalid Huffman code")
+        pos += length
+        if pos > self.nbits:
+            raise EOFError
+        self.pos = pos
+        return ent >> 5
 
 
 def _jpeg_extend(v: int, t: int) -> int:
@@ -538,26 +584,40 @@ def _jpeg_extend(v: int, t: int) -> int:
 def _entropy_segments(payload: bytes, start: int) -> tuple[list[bytes], int]:
     """Split one scan's entropy-coded data into restart segments
     (0xFF00 unstuffed, split at RSTn); returns (segments, index of the
-    0xFF byte of the marker that terminated the scan, or len(payload))."""
+    0xFF byte of the marker that terminated the scan, or len(payload)).
+
+    Jumps between 0xFF occurrences with bulk slice copies (round-13):
+    entropy bytes are overwhelmingly non-FF (stuffing exists precisely
+    because FF is rare), so bytes.find + extend replaces the per-byte
+    Python walk at identical semantics — including the lone trailing
+    0xFF, which is data (no room for a marker id), exactly as the
+    byte-walk's ``i + 1 < n`` guard treated it."""
     segments: list[bytes] = []
     cur = bytearray()
     i, n = start, len(payload)
     while i < n:
-        b = payload[i]
-        if b == 0xFF and i + 1 < n:
-            nxt = payload[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # any other marker ends the scan
-        cur.append(b)
-        i += 1
+        j = payload.find(b"\xff", i)
+        if j == -1:
+            cur.extend(payload[i:])
+            i = n
+            break
+        cur.extend(payload[i:j])
+        if j + 1 >= n:  # trailing lone 0xFF is data, ends the walk
+            cur.append(0xFF)
+            i = n
+            break
+        nxt = payload[j + 1]
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i = j + 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+            continue
+        i = j
+        break  # any other marker ends the scan
     segments.append(bytes(cur))
     return segments, i
 
@@ -696,6 +756,22 @@ def _jpeg_decode_scan(
     bits = _JpegBits(segments[0])
     preds = {c["id"]: 0 for c in scan}
     mcu = 0
+    # Entropy-decode collects the luma blocks' NONZERO coefficients as
+    # flat (block, slot, value) triples — RLE sparsity means a handful
+    # per block — then dequant + inverse zigzag + IDCT run ONCE batched
+    # after the loop (round-13: the per-block np.zeros/scatter/8×8-
+    # matmul calls were ~43% of frame cost; broadcast (n,8,8) @ (8,8)
+    # matmul is verified bit-identical to the per-block product on
+    # this BLAS, and everything upstream of the matmul is
+    # integer-exact).
+    comp_tabs = [
+        (ci, comp, huff[(0, comp["td"])], huff[(1, comp["ta"])])
+        for ci, comp in enumerate(scan)
+    ]
+    nzb: list[int] = []  # luma block ordinal
+    nzk: list[int] = []  # zigzag slot
+    nzv: list[int] = []  # coefficient
+    lumapos: list[tuple[int, int]] = []
     try:
         for my in range(mcus_y):
             for mx in range(mcus_x):
@@ -703,17 +779,25 @@ def _jpeg_decode_scan(
                     seg_idx += 1
                     bits = _JpegBits(segments[seg_idx])
                     preds = {c["id"]: 0 for c in scan}
-                for ci, comp in enumerate(scan):
-                    dc_tab = huff[(0, comp["td"])]
-                    ac_tab = huff[(1, comp["ta"])]
-                    q = qt[comp["tq"]]
+                for ci, comp, dc_tab, ac_tab in comp_tabs:
                     for by in range(comp["v"]):
                         for bx in range(comp["h"]):
-                            zz = np.zeros(64, dtype=np.int32)
+                            luma_blk = ci == 0  # chroma advances bits only
+                            if luma_blk:
+                                bi = len(lumapos)
+                                lumapos.append(
+                                    (
+                                        (my * comp["v"] + by) * 8,
+                                        (mx * comp["h"] + bx) * 8,
+                                    )
+                                )
                             t = bits.read_huff(dc_tab)
                             diff = _jpeg_extend(bits.read_bits(t), t) if t else 0
                             preds[comp["id"]] += diff
-                            zz[0] = preds[comp["id"]]
+                            if luma_blk and preds[comp["id"]]:
+                                nzb.append(bi)
+                                nzk.append(0)
+                                nzv.append(preds[comp["id"]])
                             k = 1
                             while k < 64:
                                 rs = bits.read_huff(ac_tab)
@@ -726,19 +810,25 @@ def _jpeg_decode_scan(
                                 k += r
                                 if k > 63:
                                     return None
-                                zz[k] = _jpeg_extend(bits.read_bits(s), s)
+                                v = _jpeg_extend(bits.read_bits(s), s)
+                                if luma_blk:
+                                    nzb.append(bi)
+                                    nzk.append(k)
+                                    nzv.append(v)
                                 k += 1
-                            if ci == 0:  # luma only — chroma advances bits
-                                blk = np.zeros(64, dtype=np.float64)
-                                blk[_JPEG_ZIGZAG] = zz * q
-                                coef = blk.reshape(8, 8)
-                                px = _DCT_C.T @ coef @ _DCT_C + 128.0
-                                y0 = (my * comp["v"] + by) * 8
-                                x0 = (mx * comp["h"] + bx) * 8
-                                plane[y0 : y0 + 8, x0 : x0 + 8] = px
                 mcu += 1
     except (EOFError, IndexError, KeyError, StopIteration, ValueError):
         return None
+    if lumapos:
+        deq = np.zeros((len(lumapos), 64), dtype=np.int32)
+        if nzv:
+            deq[nzb, nzk] = np.array(nzv, dtype=np.int32)
+        deq *= qt[luma["tq"]]
+        blks = np.zeros((len(lumapos), 64), dtype=np.float64)
+        blks[:, _JPEG_ZIGZAG] = deq
+        px = _DCT_C.T @ blks.reshape(-1, 8, 8) @ _DCT_C + 128.0
+        for bi, (y0, x0) in enumerate(lumapos):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = px[bi]
     # luma plane is stored at luma resolution; crop to image size scaled
     # by the luma sampling factor (luma h==hmax, v==vmax in practice)
     crop_w = -(-width * luma["h"] // hmax)
@@ -925,13 +1015,17 @@ def _jpeg_decode_progressive(
     arr = coefs[luma["id"]]
     q = qt[luma["tq"]]
     bh_full, bw_full = arr.shape[0], arr.shape[1]
-    plane = np.zeros((bh_full * 8, bw_full * 8), dtype=np.float64)
-    for by in range(bh_full):
-        for bx in range(bw_full):
-            blk = np.zeros(64, dtype=np.float64)
-            blk[_JPEG_ZIGZAG] = arr[by, bx] * q
-            px = _DCT_C.T @ blk.reshape(8, 8) @ _DCT_C + 128.0
-            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    # Batched dequant + inverse zigzag + IDCT (round-13): broadcast
+    # (n,8,8) @ (8,8) is verified bit-identical to the per-block
+    # product; the block→plane scatter is a pure axis reorder.
+    blks = np.zeros((bh_full * bw_full, 64), dtype=np.float64)
+    blks[:, _JPEG_ZIGZAG] = arr.reshape(-1, 64) * q
+    px = _DCT_C.T @ blks.reshape(-1, 8, 8) @ _DCT_C + 128.0
+    plane = (
+        px.reshape(bh_full, bw_full, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh_full * 8, bw_full * 8)
+    )
     crop_w = -(-width * luma["h"] // hmax)
     crop_h = -(-height * luma["v"] // vmax)
     return np.clip(np.round(plane[:crop_h, :crop_w]), 0, 255)
