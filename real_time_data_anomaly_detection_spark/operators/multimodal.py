@@ -338,10 +338,14 @@ def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int] | None:
     bitpos = 0
     total_bits = len(data) * 8
     while bitpos + code_size <= total_bits:
-        code = 0
-        for i in range(code_size):
-            b = data[(bitpos + i) >> 3]
-            code |= ((b >> ((bitpos + i) & 7)) & 1) << i
+        # one ≤12-bit LSB-first code per 3-byte window (round-13, the
+        # JPEG LUT discipline): the loop guard guarantees the code's
+        # bits are in range, and little-endian from_bytes of a short
+        # tail slice zero-fills only bytes PAST them
+        b = bitpos >> 3
+        code = (
+            int.from_bytes(data[b : b + 3], "little") >> (bitpos & 7)
+        ) & ((1 << code_size) - 1)
         bitpos += code_size
         if code == clear:
             table = [[i] for i in range(clear)] + [[], []]
