@@ -557,6 +557,16 @@ class _JpegBits:
     def read_bits(self, n: int) -> int:
         if n == 0:
             return 0
+        if n > 16:
+            # only reachable through a malformed DHT whose symbol (a
+            # raw byte) exceeds JPEG's real category range; keep the
+            # per-bit walk so behavior on hostile input is IDENTICAL
+            # to the pre-LUT decoder (the 4-byte window below covers
+            # (pos&7)+n ≤ 23 bits only)
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.read_bit()
+            return v
         pos = self.pos
         end = pos + n
         if end > self.nbits:

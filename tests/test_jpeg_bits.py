@@ -154,3 +154,22 @@ def test_gif_lzw_window_read_roundtrip():
         int(bitstr[i : i + 8][::-1], 2) for i in range(0, len(bitstr), 8)
     )
     assert _gif_lzw_decode(min_code, data) == [0, 1, 2, 3]
+
+
+def test_read_bits_wide_reads_match_per_bit_walk():
+    # a malformed DHT can emit a raw-byte "category" symbol > 16; the
+    # windowed fast path must defer to the per-bit walk there so
+    # hostile input decodes (or EOFs) exactly as before the rework
+    import hashlib
+
+    data = hashlib.sha256(b"wide read parity").digest()
+    a, b = _JpegBits(data), _JpegBits(data)
+    for n in (17, 33, 64, 100):
+        want = 0
+        for _ in range(n):
+            want = (want << 1) | b.read_bit()
+        assert a.read_bits(n) == want
+    assert a.pos == b.pos
+    a.pos = len(data) * 8 - 10
+    with pytest.raises(EOFError):
+        a.read_bits(40)
