@@ -65,6 +65,34 @@ def _frames(n: int, blocks_w: int, blocks_h: int) -> list[bytes]:
     return out
 
 
+def _ac_frames(n: int) -> list[bytes]:
+    """n textured 720×560 baseline JPEGs (gradient + white noise, fixed
+    RNG seed) encoded with the test suite's fixture encoder
+    (tests/test_multimodal._jpeg_bytes, loaded by path — a dev-tool
+    reuse, not an engine dependency). The DC-only tiers understate
+    per-BYTE Huffman work: real MJPEG spends most of its bits on AC
+    coefficients, so this tier is the honest MB/s anchor for sizing
+    against real camera footage."""
+    import importlib.util
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "_mmfix", "/root/repo/tests/test_multimodal.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rng = np.random.default_rng(13)
+    grad = np.add.outer(np.linspace(0, 160, 560), np.linspace(0, 60, 720))
+    out = []
+    for _ in range(n):
+        img = np.clip(
+            grad + rng.normal(0.0, 18.0, (560, 720)), 0, 255
+        ).astype(np.uint8)
+        out.append(mod._jpeg_bytes(img))
+    return out
+
+
 def _bare_tier(name: str, frames: list[bytes], rounds: int = 3):
     from real_time_data_anomaly_detection_spark.operators.multimodal import (
         _jpeg_gray_pixels,
@@ -125,6 +153,7 @@ def main() -> None:
     tiers = [
         _bare_tier("72x56 (9x7 blocks)", small_frames),
         _bare_tier("720x560 (90x70)", big_frames_bare),
+        _bare_tier("720x560 AC-rich", _ac_frames(8)),
     ]
     print(f"{'bare-loop tier':>20} {'frames':>7} {'bytes':>9} "
           f"{'frames/s/core':>14} {'MB/s/core':>10} {'s/frame':>9}")
