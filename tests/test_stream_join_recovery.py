@@ -195,9 +195,13 @@ def test_stop_under_load_sink_consistent(spark):
             if committed and committed[-1]["batchId"] >= 3:
                 break
             # this offer outruns the current host window — drain it
-            # and step down (the memory sink is re-created per start)
+            # and step down (the memory sink is re-created per start).
+            # The drain MUST be asserted (the conftest.finish
+            # discipline): an unchecked timeout would leave this query
+            # alive and the step-down start would collide on the
+            # memory sink name with a confusing unrelated error.
             q.stop()
-            q.awaitTermination(60)
+            assert q.awaitTermination(60), "drain of outrun offer timed out"
         else:
             raise AssertionError(
                 "load never ramped at any offer >= 150k rows/s"
