@@ -1206,6 +1206,12 @@ def connected_components(
         # persist the logical plan doubles per round and Catalyst
         # analysis time explodes after ~10 iterations (minutes-long
         # planning for a 60-node chain).
+        # eager=False: the convergence count below is the round's first
+        # action, so it MATERIALIZES the checkpoint and counts changed
+        # labels in ONE job — eager=True paid a separate materialization
+        # job per round before the count's (cheap) cached scan
+        # (round-13; the non-eager-checkpoint-then-act pattern pagerank
+        # already relies on).
         new_comp = (
             jumped.join(hop2, jumped.comp == hop2._ln, "left")
             .select(
@@ -1213,7 +1219,7 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce("_lc", "comp")).alias("comp"),
                 "_prev",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_comp.filter(F.col("comp") != F.col("_prev")).count()
         comp.unpersist()
@@ -1328,8 +1334,17 @@ def q_minhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_md5_pairs(d: DataFrame) -> DataFrame:
     """The md5-hasher MinHash-LSH pair pipeline shared by
     q_minhash_neardup_md5 and q_components_md5 (Spark twin of the
-    ``_MINHASH_MD5_CTES`` SQL)."""
+    ``_MINHASH_MD5_CTES`` SQL). Same size-gated arr materialization as
+    minhash_neardup_pairs: the shingle-array relation feeds the
+    signature chain AND both verify sides, so below the 1 GB estimate
+    one localCheckpoint beats tokenizing the corpus three times
+    (round-13: measured 1.9 -> 1.4 s at sf0.1 across each of the five
+    md5-family consumers); above it, recompute wins."""
+    from real_time_data_anomaly_detection_spark.plans.inspect import plan_size_bytes
+
     arr = shingle_arrays(d, n=3)
+    if plan_size_bytes(d) <= 1 << 30:
+        arr = arr.localCheckpoint(eager=True)
     sig = F.array(
         *[
             F.array_min(F.transform("sharr", (lambda i: lambda s: _md5_hash64(s, i))(i)))

@@ -352,7 +352,10 @@ def hierarchy_flatten(
                 (F.col("d") + F.coalesce("_d", F.lit(0))).alias("d"),
                 F.col("anc").alias("_prev"),
             )
-            .localCheckpoint(eager=True)
+            # eager=False: the convergence count is the round's first
+            # action — it materializes the checkpoint AND counts in one
+            # job (round-13, same merge as connected_components).
+            .localCheckpoint(eager=False)
         )
         changed = new.filter(F.col("anc") != F.col("_prev")).count()
         cur = new.drop("_prev")
