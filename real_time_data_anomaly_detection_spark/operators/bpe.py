@@ -97,10 +97,15 @@ def bpe_train(
     """
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    # eager=False throughout: each round's pair-count collect is the
+    # first action on the previous round's checkpoint, so it
+    # materializes the fused dict and counts pairs in ONE job — the
+    # default eager=True paid a separate materialization job per merge
+    # round (round-13; same job merge as connected_components).
     sym = words.select(
         F.split(F.col(word_col), "").alias("syms"),
         F.col(count_col).alias("cnt"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     while len(merges) < n_merges:
         want = min(batch_size, n_merges - len(merges))
@@ -151,7 +156,7 @@ def bpe_train(
         for left, right, n in batch:
             merges.append((len(merges), left, right, n))
             col = _fuse(col, left, right)
-        sym = sym.withColumn("syms", col).localCheckpoint()
+        sym = sym.withColumn("syms", col).localCheckpoint(eager=False)
     return merges
 
 
