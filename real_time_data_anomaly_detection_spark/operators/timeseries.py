@@ -1564,9 +1564,19 @@ def q_ks_drift_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.hour("ts") < 12).alias("w1"),
     )
     ref = ev.filter(F.col("w1"))
-    edges = psi_bucket_edges(ref, "event_type", "xm", "rid", (25, 50, 75))
-    em = ref.groupBy("event_type").agg(F.min("xm").alias("em"))
-    grid = edges.join(em, "event_type")
+    # Round-13: the floor representative (per-key reference MIN) is the
+    # rank-0 order statistic — (0·(n−1)) div 100 = 0 — so it rides the
+    # SAME one-scan multi-quantile selection as the interior edges
+    # instead of a separate ref scan + groupBy(min) + edges⋈em join
+    # (plan: 3 scans of the reference → 2, one join gone; identical
+    # values by definition of the (value, rid) total order).
+    qs = exact_group_quantiles(ref, "event_type", "xm", "rid", (0, 25, 50, 75))
+    grid = qs.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("q_pct") == q, F.col("q_value"))).alias(name)
+            for q, name in ((0, "em"), (25, "e0"), (50, "e1"), (75, "e2"))
+        ]
+    )
     rep = (
         F.when(F.col("xm") >= F.col("e2"), F.col("e2"))
         .when(F.col("xm") >= F.col("e1"), F.col("e1"))
