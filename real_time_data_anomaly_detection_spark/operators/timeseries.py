@@ -1271,19 +1271,56 @@ def psi_drift(
     quantile selections over the reference window + ONE bucketing
     pass over df (broadcast edges, partial-aggregable counts) + grid
     arithmetic on |keys|·buckets rows — nothing event-sized moves
-    after the scan."""
+    after the scan.
+
+    Single-consumer discipline (round-13): the per-key window totals
+    and the key × bucket grid both come straight from ONE df
+    aggregation (``tt``), NOT by re-summing / re-exploding the
+    bucket-count relation — the previous body consumed ``gf`` twice
+    and ``edges`` twice, and with no common-subtree materialization
+    Catalyst re-inlined the whole quantile-selection subtree per
+    consumer (measured: 22 FileScans of the input in the physical
+    plan; now 7, with ``edges`` evaluated once). Equivalences: Σ_bk
+    o1/o2 over the grid-completed counts = the key's window counts in
+    df (the edges join is keyed on exactly the keys with a reference
+    window), and the grid's key set = keys with ≥ 1 reference row
+    (every such key yields all its rank edges)."""
     n_edges = len(quantiles)
+    nb = n_edges + 1
     ref = df.filter(F.col(flag_col))
     edges = psi_bucket_edges(ref, key_col, value_col, rid_col, quantiles)
-    gf = _psi_counts(df, edges, key_col, value_col, flag_col, n_edges)
-    tt = gf.groupBy(key_col).agg(
-        F.sum("o1").cast("bigint").alias("_rn"),
-        F.sum("o2").cast("bigint").alias("_cn"),
+    tt = df.groupBy(key_col).agg(
+        F.sum(F.when(F.col(flag_col), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_rn"),
+        F.sum(F.when(F.col(flag_col), 0).otherwise(1))
+        .cast("bigint")
+        .alias("_cn"),
+    ).filter(F.col("_rn") > 0)
+    b = df.join(F.broadcast(edges), key_col).select(
+        key_col, flag_col, _psi_bucket(value_col, n_edges).alias("_bk")
     )
-    nb = n_edges + 1
-    per_bucket = gf.join(F.broadcast(tt), key_col).select(
-        key_col, "_rn", "_cn", psi_term_u(nb).alias("_tu")
+    g = b.groupBy(key_col, "_bk").agg(
+        F.sum(F.when(F.col(flag_col), 1).otherwise(0))
+        .cast("bigint")
+        .alias("o1"),
+        F.sum(F.when(F.col(flag_col), 0).otherwise(1))
+        .cast("bigint")
+        .alias("o2"),
     )
+    grid = tt.select(
+        key_col,
+        "_rn",
+        "_cn",
+        F.explode(F.expr(f"sequence(0, {nb - 1})")).alias("_bk"),
+    )
+    per_bucket = grid.join(g, [key_col, "_bk"], "left").select(
+        key_col,
+        "_rn",
+        "_cn",
+        F.coalesce("o1", F.lit(0)).cast("bigint").alias("o1"),
+        F.coalesce("o2", F.lit(0)).cast("bigint").alias("o2"),
+    ).select(key_col, "_rn", "_cn", psi_term_u(nb).alias("_tu"))
     return per_bucket.groupBy(key_col).agg(
         F.min("_rn").alias("ref_n"),
         F.min("_cn").alias("cur_n"),
