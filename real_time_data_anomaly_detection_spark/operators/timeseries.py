@@ -1421,28 +1421,35 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ks_tail(g, key_col: str, value_col: str) -> DataFrame:
     """Shared KS reduction over a per-(key, distinct value) d1/d2
     count relation: running ECDFs (ties pre-merged, so the rowsBetween
-    frame and DuckDB's default RANGE frame agree), broadcast per-key
-    totals, and the cross-multiplied integer numerator max. The one
-    tail of q_ks_drift AND q_ks_drift_bucketed (round-12 review #4:
-    previously two verbatim copies — the documented ref_n·cur_n ≥ 2^63
-    pre-scaling valve, when it lands, now lands once)."""
+    frame and DuckDB's default RANGE frame agree), per-key totals as
+    an unbounded-frame window over the SAME partition/order (ONE
+    Window exec — the drift_report single-consumer trick; the previous
+    groupBy-totals + broadcast join consumed ``g`` twice, and for
+    q_ks_drift_bucketed that re-inlined the whole edge-selection
+    subtree per consumer), and the cross-multiplied integer numerator
+    max. The one tail of q_ks_drift AND q_ks_drift_bucketed (round-12
+    review #4: previously two verbatim copies — the documented
+    ref_n·cur_n ≥ 2^63 pre-scaling valve, when it lands, now lands
+    once)."""
     w = (
         Window.partitionBy(key_col)
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    w_key = (
+        Window.partitionBy(key_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     c = g.select(
         key_col,
         F.sum("d1").over(w).alias("c1"),
         F.sum("d2").over(w).alias("c2"),
-    )
-    t = g.groupBy(key_col).agg(
-        F.sum("d1").cast("bigint").alias("ref_n"),
-        F.sum("d2").cast("bigint").alias("cur_n"),
+        F.sum("d1").over(w_key).cast("bigint").alias("ref_n"),
+        F.sum("d2").over(w_key).cast("bigint").alias("cur_n"),
     )
     return (
-        c.join(F.broadcast(t), key_col)
-        .groupBy(key_col, "ref_n", "cur_n")
+        c.groupBy(key_col, "ref_n", "cur_n")
         .agg(
             F.max(
                 F.abs(F.col("c1") * F.col("cur_n") - F.col("c2") * F.col("ref_n"))
