@@ -490,14 +490,26 @@ def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(skb, "dg", "left_semi")
         .agg(F.count(F.lit(1)).alias("matches"))
     )
-    ex = (
-        a.join(b, "id", "left_semi")
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .crossJoin(
-            a.union(b).distinct().agg(F.count(F.lit(1)).alias("un"))
-        )
-        .crossJoin(a.agg(F.count(F.lit(1)).alias("n_a")))
-        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
+    # All four exact scalars from ONE scan + ONE per-key flag
+    # aggregation (round-13): per order key, anyA/anyB membership
+    # flags, then inter = Σ(anyA∧anyB), un = Σ(anyA∨anyB),
+    # n_a = Σ anyA, n_b = Σ anyB — set-identical to the
+    # distinct/semi-join/union formulation it replaces, which consumed
+    # the a/b subtrees four more times (plan: 10 scans of lineitem →
+    # 5 for the whole query; the union+distinct exchange dies too).
+    flags = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_discount") > 0.09).alias("_ina"),
+        F.max(F.col("l_tax") > 0.06).alias("_inb"),
+    )
+    ex = flags.agg(
+        F.sum(F.when(F.col("_ina") & F.col("_inb"), 1).otherwise(0)).alias(
+            "inter"
+        ),
+        F.sum(F.when(F.col("_ina") | F.col("_inb"), 1).otherwise(0)).alias(
+            "un"
+        ),
+        F.sum(F.when(F.col("_ina"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_inb"), 1).otherwise(0)).alias("n_b"),
     )
     return m.crossJoin(ex).select(
         F.col("matches").cast("bigint").alias("matches"),
