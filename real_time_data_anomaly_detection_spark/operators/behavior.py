@@ -31,29 +31,50 @@ def funnel(
     their earliest stage-k event is STRICTLY AFTER their conversion
     time for stage k-1 (first-touch semantics). Returns
     (stage_ord, stage, n_users)."""
-    ev = events.select(user_col, type_col, ts_col)
-    frontier = None
-    counts = []
+    ev = events.select(user_col, type_col, ts_col).filter(
+        F.col(type_col).isin(list(stages))
+    )
+    # Stage-k conversion time t_k = min ts of a stage-k event STRICTLY
+    # AFTER t_{k-1} — a per-user recurrence. One user-keyed exchange
+    # feeds a chain of same-partition window mins (each conditions on
+    # the previous window column), instead of re-inlining stage k-1's
+    # whole frontier subtree into every later stage (which cost one
+    # events scan + join PER (i, j<=i) pair — 6 scans for 3 stages).
+    w = Window.partitionBy(user_col)
+    cur = ev
+    tcols: list[str] = []
     for i, stage in enumerate(stages):
-        at_stage = ev.filter(F.col(type_col) == stage)
-        if frontier is not None:
-            at_stage = at_stage.join(frontier, user_col).filter(
-                F.col(ts_col) > F.col("_t_prev")
-            )
-        frontier = at_stage.groupBy(user_col).agg(
-            F.min(ts_col).alias("_t_prev")
-        )
-        counts.append(
-            frontier.agg(
+        qual = F.col(type_col) == stage
+        if tcols:
+            qual = qual & (F.col(ts_col) > F.col(tcols[-1]))
+        t = f"_t{i + 1}"
+        cur = cur.withColumn(t, F.min(F.when(qual, F.col(ts_col))).over(w))
+        tcols.append(t)
+    # Every row of a user carries identical _t* values; the user-keyed
+    # reduce reuses the window's hash partitioning (no new exchange),
+    # and ONE global aggregation yields every stage count (count(_tk)
+    # skips nulls = users that never reached stage k).
+    per_user = cur.groupBy(user_col).agg(
+        *[F.max(t).alias(t) for t in tcols]
+    )
+    totals = per_user.agg(
+        *[F.count(t).alias(f"_n{i + 1}") for i, t in enumerate(tcols)]
+    )
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(i + 1).alias("stage_ord"),
                 F.lit(stage).alias("stage"),
-                F.count(F.lit(1)).alias("n_users"),
+                F.col(f"_n{i + 1}").alias("n_users"),
             )
-        )
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out.orderBy("stage_ord")
+            for i, stage in enumerate(stages)
+        ]
+    )
+    return (
+        totals.select(F.explode(rows).alias("_r"))
+        .select("_r.stage_ord", "_r.stage", "_r.n_users")
+        .orderBy("stage_ord")
+    )
 
 
 @query(
@@ -519,41 +540,67 @@ def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     on engine-identical integer multisets and the rounded output is
     deterministic. All aggregates are user-rollup-sized — events are
     touched only by the three stage scans."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("event_type").isin(["view", "click", "purchase"]))
+    )
     ep = _epoch_s_tzfree("ts")
-    s1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min(ep).alias("_t1"), F.min("ts").alias("_ts1"))
+    # Same chained-window recurrence as funnel() — the join-per-stage
+    # form consumed s1/s2 twice each (next frontier + the diff
+    # relation), re-inlining 8 events scans / 9 exchanges. The epoch
+    # min rides each stage's qualifying set alongside the ts min
+    # (floor-epoch is non-decreasing in ts, so min commutes with it,
+    # exactly as the separate F.min(ep)/F.min(ts) pair did).
+    w = Window.partitionBy("user_id")
+    q1 = F.col("event_type") == "view"
+    cur = ev.withColumn("_ts1", F.min(F.when(q1, F.col("ts"))).over(w)).withColumn(
+        "_t1", F.min(F.when(q1, ep)).over(w)
     )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("_ts1"))
-        .groupBy("user_id")
-        .agg(F.min(ep).alias("_t2"), F.min("ts").alias("_ts2"))
+    q2 = (F.col("event_type") == "click") & (F.col("ts") > F.col("_ts1"))
+    cur = cur.withColumn("_ts2", F.min(F.when(q2, F.col("ts"))).over(w)).withColumn(
+        "_t2", F.min(F.when(q2, ep)).over(w)
     )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("_ts2"))
-        .groupBy("user_id")
-        .agg(F.min(ep).alias("_t3"))
+    q3 = (F.col("event_type") == "purchase") & (F.col("ts") > F.col("_ts2"))
+    cur = cur.withColumn("_t3", F.min(F.when(q3, ep)).over(w))
+    per_user = cur.groupBy("user_id").agg(
+        F.max("_t1").alias("_t1"),
+        F.max("_t2").alias("_t2"),
+        F.max("_t3").alias("_t3"),
     )
-    d12 = s2.join(s1, "user_id").select((F.col("_t2") - F.col("_t1")).alias("ds"))
-    d23 = s3.join(s2, "user_id").select((F.col("_t3") - F.col("_t2")).alias("ds"))
-
-    def agg(d, label):
-        return d.agg(
-            F.lit(label).alias("stage_pair"),
-            F.count(F.lit(1)).alias("n_users"),
-            F.round(F.expr("percentile(ds, 0.5)"), 4).alias("median_s"),
-            F.round(F.expr("percentile(ds, 0.9)"), 4).alias("p90_s"),
-        )
-
+    # ds12 is non-null exactly for s2's users, ds23 for s3's (each
+    # stage implies the previous), so count/percentile over the
+    # null-skipping aggregates reproduce the two join relations — and
+    # ONE aggregation computes both stage pairs (two consumers of
+    # per_user would re-inline the window chain).
+    totals = per_user.select(
+        (F.col("_t2") - F.col("_t1")).alias("_ds12"),
+        (F.col("_t3") - F.col("_t2")).alias("_ds23"),
+    ).agg(
+        F.count("_ds12").alias("_n12"),
+        F.round(F.expr("percentile(_ds12, 0.5)"), 4).alias("_m12"),
+        F.round(F.expr("percentile(_ds12, 0.9)"), 4).alias("_p12"),
+        F.count("_ds23").alias("_n23"),
+        F.round(F.expr("percentile(_ds23, 0.5)"), 4).alias("_m23"),
+        F.round(F.expr("percentile(_ds23, 0.9)"), 4).alias("_p23"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("view->click").alias("stage_pair"),
+            F.col("_n12").alias("n_users"),
+            F.col("_m12").alias("median_s"),
+            F.col("_p12").alias("p90_s"),
+        ),
+        F.struct(
+            F.lit("click->purchase").alias("stage_pair"),
+            F.col("_n23").alias("n_users"),
+            F.col("_m23").alias("median_s"),
+            F.col("_p23").alias("p90_s"),
+        ),
+    )
     return (
-        agg(d12, "view->click")
-        .unionByName(agg(d23, "click->purchase"))
+        totals.select(F.explode(rows).alias("_r"))
+        .select("_r.stage_pair", "_r.n_users", "_r.median_s", "_r.p90_s")
         .orderBy("stage_pair")
     )
 
