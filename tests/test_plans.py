@@ -509,3 +509,38 @@ def test_drift_report_single_scan(spark):
     df = REGISTRY["q_drift_report"].spark_fn(spark, SF_DIR)
     assert df.count() > 0
     assert executed_file_scans(df) == 1
+
+
+def _static_scans(df) -> int:
+    """Parquet-scan node count in the STATIC formatted plan (details
+    section lines only — '(n) Scan parquet'): structural, SF- and
+    execution-independent, so it pins consumer fan-out before AQE or
+    exchange reuse can mask a re-inlined subtree."""
+    return sum(
+        1
+        for ln in formatted_plan(df).splitlines()
+        if ln.startswith("(") and "Scan parquet" in ln
+    )
+
+
+def test_round13_single_consumer_scan_pins(spark):
+    """Round-13 restructures: every multi-consumer re-inlining fix
+    stays fixed. Catalyst re-inlines a DataFrame subtree once PER
+    CONSUMER, so an innocent second reference to an expensive relation
+    silently multiplies its scans — these exact counts are the pin
+    (before the restructures: psi_drift 22, ks_drift 2,
+    ks_drift_bucketed 14, kmv_jaccard 10, funnel 6, funnel_time 8;
+    see plans/r13/*_before.txt)."""
+    expected = {
+        "q_psi_drift": 7,
+        "q_ks_drift": 1,
+        "q_ks_drift_bucketed": 6,
+        "q_kmv_jaccard": 5,
+        "q_funnel": 1,
+        "q_funnel_time": 1,
+    }
+    got = {
+        name: _static_scans(REGISTRY[name].spark_fn(spark, SF_DIR))
+        for name in expected
+    }
+    assert got == expected
