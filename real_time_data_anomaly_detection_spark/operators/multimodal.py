@@ -766,10 +766,6 @@ def _jpeg_decode_scan(
     lw, lh = mcus_x * 8 * luma["h"], mcus_y * 8 * luma["v"]
     plane = np.zeros((lh, lw), dtype=np.float64)
 
-    seg_idx = 0
-    bits = _JpegBits(segments[0])
-    preds = {c["id"]: 0 for c in scan}
-    mcu = 0
     # Entropy-decode collects the luma blocks' NONZERO coefficients as
     # flat (block, slot, value) triples — RLE sparsity means a handful
     # per block — then dequant + inverse zigzag + IDCT run ONCE batched
@@ -778,71 +774,158 @@ def _jpeg_decode_scan(
     # matmul is verified bit-identical to the per-block product on
     # this BLAS, and everything upstream of the matmul is
     # integer-exact).
+    #
+    # The symbol loop is fully inlined (round-13, second pass): ONE
+    # 40-bit window read per symbol serves both the 16-bit LUT lookup
+    # and the value bits that follow the code — worst case
+    # 7 (byte offset) + 16 (code) + 15 (AC size) / 17 (DC category
+    # fast path) = 38/40 bits, so the fused extract never needs a
+    # second int.from_bytes. Failure semantics are the _JpegBits
+    # reader's exactly: abort (None) when a consumed bit would pass
+    # end-of-data, when no table entry prefixes the window, or when a
+    # run passes slot 63; DC categories past the fused window (only
+    # reachable via a malformed DHT's raw-byte symbol > 17) take the
+    # same per-bit walk read_bits kept for widths past ITS window.
     comp_tabs = [
         (ci, comp, huff[(0, comp["td"])], huff[(1, comp["ta"])])
         for ci, comp in enumerate(scan)
     ]
-    nzb: list[int] = []  # luma block ordinal
-    nzk: list[int] = []  # zigzag slot
+    # DPCM predictors keyed by component ID, as the dict version was —
+    # a malformed scan listing one id twice must SHARE its predictor
+    ids: list[int] = []
+    for c in scan:
+        if c["id"] not in ids:
+            ids.append(c["id"])
+    flat_tabs = [
+        (ci == 0, ids.index(comp["id"]), comp["h"] * comp["v"], dc, ac)
+        for ci, comp, dc, ac in comp_tabs
+    ]
+    npred = len(ids)
+    nzi: list[int] = []  # luma block ordinal << 6 | zigzag slot
     nzv: list[int] = []  # coefficient
-    lumapos: list[tuple[int, int]] = []
+    ai, av = nzi.append, nzv.append
+
+    def _windows(seg: bytes) -> tuple[bytes, list[int], int]:
+        # per-byte 40-bit big-endian windows, built once per segment
+        # with numpy: symbol decode then costs ONE list index instead
+        # of a bytes slice + int.from_bytes per symbol
+        buf = seg + b"\x00\x00\x00\x00\x00\x00"
+        u = np.frombuffer(buf, dtype=np.uint8).astype(np.uint64)
+        win = (
+            (u[:-4] << np.uint64(32))
+            | (u[1:-3] << np.uint64(24))
+            | (u[2:-2] << np.uint64(16))
+            | (u[3:-1] << np.uint64(8))
+            | u[4:]
+        )
+        return buf, win.tolist(), len(seg) << 3
+
+    buf, win, nbits = _windows(segments[0])
+    pos = 0
+    seg_idx = 0
+    preds = [0] * npred
+    nluma = 0
+    bi = 0
     try:
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if restart_interval and mcu and mcu % restart_interval == 0:
-                    seg_idx += 1
-                    bits = _JpegBits(segments[seg_idx])
-                    preds = {c["id"]: 0 for c in scan}
-                for ci, comp, dc_tab, ac_tab in comp_tabs:
-                    for by in range(comp["v"]):
-                        for bx in range(comp["h"]):
-                            luma_blk = ci == 0  # chroma advances bits only
-                            if luma_blk:
-                                bi = len(lumapos)
-                                lumapos.append(
-                                    (
-                                        (my * comp["v"] + by) * 8,
-                                        (mx * comp["h"] + bx) * 8,
-                                    )
-                                )
-                            t = bits.read_huff(dc_tab)
-                            diff = _jpeg_extend(bits.read_bits(t), t) if t else 0
-                            preds[comp["id"]] += diff
-                            if luma_blk and preds[comp["id"]]:
-                                nzb.append(bi)
-                                nzk.append(0)
-                                nzv.append(preds[comp["id"]])
-                            k = 1
-                            while k < 64:
-                                rs = bits.read_huff(ac_tab)
-                                r, s = rs >> 4, rs & 0xF
-                                if s == 0:
-                                    if r == 15:  # ZRL: 16 zeros
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
+        for mcu in range(mcus_x * mcus_y):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_idx += 1
+                buf, win, nbits = _windows(segments[seg_idx])
+                pos = 0
+                preds = [0] * npred
+            for luma_blk, pi, nblk, dc_tab, ac_tab in flat_tabs:
+                for _ in range(nblk):
+                    # ---- DC: code + category bits from one window
+                    shift = 40 - (pos & 7)
+                    window = win[pos >> 3]
+                    ent = dc_tab[(window >> (shift - 16)) & 0xFFFF]
+                    length = ent & 31
+                    if length == 0:
+                        return None  # no code prefixes the window
+                    t = ent >> 5
+                    pos += length
+                    if pos > nbits:
+                        return None  # code needed padding bits
+                    if t:
+                        if t <= 17:
+                            if pos + t > nbits:
+                                return None
+                            v = (window >> (shift - length - t)) & (
+                                (1 << t) - 1
+                            )
+                            pos += t
+                        else:  # hostile-DHT width: per-bit walk
+                            v = 0
+                            for _ in range(t):
+                                if pos >= nbits:
                                     return None
-                                v = _jpeg_extend(bits.read_bits(s), s)
-                                if luma_blk:
-                                    nzb.append(bi)
-                                    nzk.append(k)
-                                    nzv.append(v)
-                                k += 1
-                mcu += 1
+                                v = (v << 1) | (
+                                    (buf[pos >> 3] >> (7 - (pos & 7))) & 1
+                                )
+                                pos += 1
+                        if v < (1 << (t - 1)):  # EXTEND (T.81 F.2.2.1)
+                            v += 1 - (1 << t)
+                        preds[pi] += v
+                    if luma_blk:
+                        bi = nluma << 6
+                        nluma += 1
+                        if preds[pi]:
+                            ai(bi)
+                            av(preds[pi])
+                    # ---- AC: run of (runlength, size) symbols
+                    k = 1
+                    while k < 64:
+                        shift = 40 - (pos & 7)
+                        window = win[pos >> 3]
+                        ent = ac_tab[(window >> (shift - 16)) & 0xFFFF]
+                        length = ent & 31
+                        if length == 0:
+                            return None
+                        rs = ent >> 5
+                        pos += length
+                        if pos > nbits:
+                            return None
+                        s = rs & 15
+                        if s == 0:
+                            if rs == 0xF0:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            return None
+                        if pos + s > nbits:
+                            return None
+                        v = (window >> (shift - length - s)) & ((1 << s) - 1)
+                        pos += s
+                        if v < (1 << (s - 1)):  # EXTEND
+                            v += 1 - (1 << s)
+                        if luma_blk:
+                            ai(bi | k)
+                            av(v)
+                        k += 1
     except (EOFError, IndexError, KeyError, StopIteration, ValueError):
         return None
-    if lumapos:
-        deq = np.zeros((len(lumapos), 64), dtype=np.int32)
+    if nluma:
+        deq = np.zeros((nluma, 64), dtype=np.int32)
         if nzv:
-            deq[nzb, nzk] = np.array(nzv, dtype=np.int32)
+            deq.reshape(-1)[nzi] = np.array(nzv, dtype=np.int32)
         deq *= qt[luma["tq"]]
-        blks = np.zeros((len(lumapos), 64), dtype=np.float64)
+        blks = np.zeros((nluma, 64), dtype=np.float64)
         blks[:, _JPEG_ZIGZAG] = deq
         px = _DCT_C.T @ blks.reshape(-1, 8, 8) @ _DCT_C + 128.0
-        for bi, (y0, x0) in enumerate(lumapos):
-            plane[y0 : y0 + 8, x0 : x0 + 8] = px[bi]
+        # block ordinal → plane offset, vectorized: luma blocks were
+        # appended in (mcu row-major, by, bx) order
+        h_l, v_l = luma["h"], luma["v"]
+        mcu_i, within = np.divmod(np.arange(nluma), h_l * v_l)
+        my, mx = np.divmod(mcu_i, mcus_x)
+        by, bx = np.divmod(within, h_l)
+        y0 = (my * v_l + by) * 8
+        x0 = (mx * h_l + bx) * 8
+        plane[
+            y0[:, None, None] + np.arange(8)[None, :, None],
+            x0[:, None, None] + np.arange(8)[None, None, :],
+        ] = px
     # luma plane is stored at luma resolution; crop to image size scaled
     # by the luma sampling factor (luma h==hmax, v==vmax in practice)
     crop_w = -(-width * luma["h"] // hmax)

@@ -173,3 +173,89 @@ def test_read_bits_wide_reads_match_per_bit_walk():
     a.pos = len(data) * 8 - 10
     with pytest.raises(EOFError):
         a.read_bits(40)
+
+
+# ---------------------------------------------------------------------------
+# Baseline-scan inlined symbol loop (round-13 second pass): the DC/AC
+# decode no longer goes through _JpegBits — one fused 40-bit window
+# read per symbol serves the Huffman LUT lookup and the value bits.
+# The tests above no longer cover that path's edges, so these pin the
+# inlined loop's abort semantics directly at the _jpeg_gray_pixels
+# level: None (never an exception, never a wrong plane) on truncated
+# entropy data, on a window no code prefixes, and on a coefficient
+# run passing slot 63. Bit-VALUE parity of the inlined loop is pinned
+# by test_multimodal.test_builtin_progressive_jpeg_decode (the
+# baseline plane must equal the _JpegBits-driven progressive decode
+# of the same image, exactly).
+
+
+def _tiny_jpeg(dc_counts, dc_values, ac_counts, ac_values, entropy_bits):
+    """One-component 8×8 baseline JPEG with caller-chosen Huffman
+    tables and raw entropy BITS (padded with 1s, 0xFF-stuffed)."""
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes([8] + [1] * 63))
+    out += seg(0xC0, b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+               + b"\x01" + b"\x01\x11\x00")
+    out += seg(0xC4, b"\x00" + bytes(dc_counts) + dc_values)
+    out += seg(0xC4, b"\x10" + bytes(ac_counts) + ac_values)
+    out += seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+    bits = entropy_bits + "1" * ((-len(entropy_bits)) % 8)
+    ent = bytearray()
+    for i in range(0, len(bits), 8):
+        b = int(bits[i : i + 8], 2)
+        ent.append(b)
+        if b == 0xFF:
+            ent.append(0x00)
+    out += ent
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# 1-bit DC code "0" → category 0 (flat block); 1-bit AC code "0" → the
+# caller-chosen run/size symbol
+_ONE_DC = ([1] + [0] * 15, b"\x00")
+
+
+def test_baseline_scan_valid_and_truncated_entropy():
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _jpeg_gray_pixels,
+    )
+
+    # DC cat 0 + EOB: a flat-128 block
+    payload = _tiny_jpeg(*_ONE_DC, [1] + [0] * 15, b"\x00", "00")
+    plane = _jpeg_gray_pixels(payload)
+    assert plane is not None and plane.shape == (8, 8)
+    assert float(plane.min()) == float(plane.max()) == 128.0
+    # strip the entropy byte entirely (SOS marker 2 + segment 8): the
+    # DC code itself needs padding bits → abort, like
+    # _JpegBits.read_huff's EOFError
+    sos = payload.index(b"\xff\xda")
+    truncated = payload[: sos + 10] + b"\xff\xd9"
+    assert _jpeg_gray_pixels(truncated) is None
+
+
+def test_baseline_scan_invalid_code_returns_none():
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _jpeg_gray_pixels,
+    )
+
+    # the only DC code is "0"; entropy starts with a 1 bit → no table
+    # entry prefixes the window (ValueError in the _JpegBits reader)
+    payload = _tiny_jpeg(*_ONE_DC, [1] + [0] * 15, b"\x00", "11111111")
+    assert _jpeg_gray_pixels(payload) is None
+
+
+def test_baseline_scan_run_past_slot_63_returns_none():
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _jpeg_gray_pixels,
+    )
+
+    # AC code "0" → symbol 0xF1 (run 15, size 1): each occurrence
+    # consumes 16 slots; the fourth passes slot 63 → None, exactly the
+    # pre-rework k > 63 abort
+    payload = _tiny_jpeg(*_ONE_DC, [1] + [0] * 15, b"\xf1", "0" + "01" * 4)
+    assert _jpeg_gray_pixels(payload) is None
