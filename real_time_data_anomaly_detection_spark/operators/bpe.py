@@ -102,20 +102,36 @@ def bpe_train(
     # materializes the fused dict and counts pairs in ONE job — the
     # default eager=True paid a separate materialization job per merge
     # round (round-13; same job merge as connected_components).
-    sym = words.select(
-        F.split(F.col(word_col), "").alias("syms"),
-        F.col(count_col).alias("cnt"),
-    ).localCheckpoint(eager=False)
+    # Unmergeable words are dropped from the carried state (round-13
+    # second pass): a single-symbol word has no adjacent pair and can
+    # never match a future merge; it was already excluded from every
+    # count, so the learned merges are unchanged by construction, but
+    # the 10..32k rounds now checkpoint and scan a shrinking dict.
+    # Placement matters: at init the filter tests the RAW word length
+    # (pushable, no double-eval of the split); per round it sits ABOVE
+    # the checkpoint so it reads materialized rows — a filter on the
+    # un-checkpointed fold column would inline the whole fuse
+    # expression a second time per row (measured 2-3× slower).
+    sym = (
+        words.filter(F.length(word_col) >= 2)
+        .select(
+            F.split(F.col(word_col), "").alias("syms"),
+            F.col(count_col).alias("cnt"),
+        )
+        .localCheckpoint(eager=False)
+    )
     merges: list[tuple[int, str, str, int]] = []
     while len(merges) < n_merges:
         want = min(batch_size, n_merges - len(merges))
         # Over-collect (4x) so the disjointness filter usually still
         # fills the batch; an under-filled batch only costs an extra
         # round, never correctness.
-        # filter BEFORE sequence(1, size-1): Spark's sequence(1, 0)
-        # yields the DESCENDING [1, 0], not an empty array
+        # sym is pre-filtered to size >= 2 (see the checkpoint above),
+        # so sequence(1, size-1) is always ascending here — Spark's
+        # sequence(1, 0) would yield the DESCENDING [1, 0], never an
+        # empty array
         top = (
-            sym.filter(F.size("syms") >= 2)
+            sym
             .select(
                 F.explode(
                     F.expr(
@@ -156,7 +172,11 @@ def bpe_train(
         for left, right, n in batch:
             merges.append((len(merges), left, right, n))
             col = _fuse(col, left, right)
-        sym = sym.withColumn("syms", col).localCheckpoint(eager=False)
+        sym = (
+            sym.withColumn("syms", col)
+            .localCheckpoint(eager=False)
+            .filter(F.size("syms") >= 2)
+        )
     return merges
 
 

@@ -127,6 +127,22 @@ def test_greedy_overlap_semantics(spark):
     assert got == [(0, "a", "a", 9), (1, "aa", "aa", 3)]
 
 
+def test_unmergeable_words_dropped_from_carried_state(spark):
+    """Round-13: bpe_train's checkpointed dict drops words once they
+    have a single symbol (no adjacent pair can ever form again). The
+    learned merges must be unchanged vs the reference, which KEEPS
+    those words — here 'a' (huge count, never pairable) and 'to'
+    (fully fused by merge 1, then unmergeable) exercise both the
+    init-time and per-round drop paths; exhaustion after every word
+    fuses to one symbol must still terminate early, not raise."""
+    rows = [("a", 100), ("to", 30), ("tot", 5)]
+    words = spark.createDataFrame(rows, "word string, cnt long")
+    got = bpe_train(words, 10)
+    want, _ = bpe_reference(dict(rows), 10)
+    assert got == want
+    assert len(got) < 10  # exhausted: every word reached one symbol
+
+
 def test_partition_invariance(spark):
     rows = [(w, c) for c, w in enumerate(
         ["spark", "sparse", "sparrow", "part", "park", "parka", "artful"], start=1
