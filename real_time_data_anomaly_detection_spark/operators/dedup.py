@@ -1155,11 +1155,20 @@ def connected_components(
     # (propagation + convergence check), and without materialization
     # each round would recompute the edges' full upstream lineage —
     # for near-dup pairs that is the entire minhash pipeline per round.
-    sym = (
-        edges.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
-        .union(edges.select(F.col(col_b).alias("src"), F.col(col_a).alias("dst")))
-        .persist()
-    )
+    # Symmetrize with ONE consumer of `edges` — explode both directions
+    # out of each input row. The union-of-two-selects formulation gave
+    # `edges` two consumers, and Catalyst re-inlines the upstream
+    # subtree per consumer: the cache-fill job ran the ENTIRE pair
+    # pipeline (minhash chain / per-cell GEMM) twice before this
+    # operator's first round even started.
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(col_a).alias("src"), F.col(col_b).alias("dst")),
+                F.struct(F.col(col_b).alias("src"), F.col(col_a).alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst").persist()
     # Seed comp = min(self, direct neighbors), not comp = self: the
     # node set needs a groupBy-shaped shuffle either way (the old code
     # paid it as distinct), and folding the first neighbor-min into it

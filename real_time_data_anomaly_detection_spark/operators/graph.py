@@ -163,17 +163,26 @@ def _interaction_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     |V|-sized output only."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("cust"),
-            (F.col("l_suppkey") * 2 + 1).alias("supp"),
-        )
-        .distinct()
+    pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("cust"),
+        (F.col("l_suppkey") * 2 + 1).alias("supp"),
     )
-    return pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
-        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
-    )
+    # Symmetrize with ONE consumer of the join subtree (explode both
+    # directions per row) — the union-of-two-selects formulation made
+    # Catalyst re-inline the orders⋈lineitem join per union branch.
+    # No .distinct() here: pagerank's own dropDuplicates([_src,_dst])
+    # runs AFTER its repartition(_src) — hash(_src) satisfies the
+    # (_src,_dst) clustered distribution, so the dedup adds no
+    # exchange there, while a distinct here would pay one more
+    # edge-sized shuffle for rows the downstream dedup drops anyway.
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("cust").alias("src"), F.col("supp").alias("dst")),
+                F.struct(F.col("supp").alias("src"), F.col("cust").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
 
 
 def _node_label(col):
