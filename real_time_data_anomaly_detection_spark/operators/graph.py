@@ -89,7 +89,14 @@ def pagerank(
     # Persist the degree-annotated edges FIRST — every iteration joins
     # them, and without materialization each round would recompute the
     # edge derivation's full upstream lineage (cf. dedup.py:908).
-    ew = e.join(deg, "_src").persist()
+    # SHUFFLE_HASH on the degree side: both sides are already
+    # hash(_src), so the planner's default SMJ would pay nothing in
+    # exchanges but SORT the corpus-sized edge stream AND the |V|-row
+    # degree side at cache fill. A per-partition hash build of the
+    # degree slice needs no sort, streams the edges straight into the
+    # cache, and preserves the hash(_src) output partitioning the
+    # iterations rely on (round-13 continuation; interleaved A/B below).
+    ew = e.join(deg.hint("shuffle_hash"), "_src").persist()
     # Fill the cache EAGERLY: an unmaterialized AQE cached plan reports
     # unknown outputPartitioning to consumers, so without this count the
     # first iterations re-exchange the edges even when pre-partitioned
@@ -101,9 +108,12 @@ def pagerank(
     # derivation's upstream (scan+distinct) in a second job — the
     # eager fill split the work into separate jobs, which lose
     # cross-subplan exchange reuse (measured 3x on the sf0.1 bench).
+    # Explode both endpoints out of one cache scan: the
+    # union-of-two-selects formulation read the cache twice (two
+    # consumers of ew — harmless for correctness since ew is
+    # materialized, but one in-memory pass is free).
     nodes = (
-        ew.select(F.col("_src").alias("node"))
-        .union(ew.select(F.col("_dst").alias("node")))
+        ew.select(F.explode(F.array("_src", "_dst")).alias("node"))
         .distinct()
         .persist()
     )
@@ -116,8 +126,25 @@ def pagerank(
         base = (1.0 - damping) / n
         ranks = nodes.withColumn("pr", F.lit(1.0 / n))
         for i in range(n_iters):
+            # SHUFFLE_HASH with the RANK VECTOR as build side: the
+            # planner's SMJ satisfies its exchange requirements from
+            # the hash(_src) cache — zero extra shuffles — but SORTS
+            # the corpus-sized edge stream EVERY iteration (the rank
+            # side arrives as a checkpointed RDD with no ordering).
+            # A per-partition hash build of the |V|/P-row rank slice
+            # is the Pregel-standard choice at any scale: the edges
+            # stream unsorted out of the cache, only the rank vector
+            # exchanges (same count as before — hash(node) in, the
+            # contribution groupBy's hash(_dst) out). The iteration
+            # hint alone reproduces ranks bit-identically (partial
+            # aggregation consumes the same partition-local stream
+            # order); combined with the fill hint the largest observed
+            # rank delta was one ulp (4.4e-19 on O(1e-5) values) —
+            # fourteen orders of magnitude inside the round-to-4
+            # publication contract, re-verified against the oracle at
+            # sf0.001/sf0.01/sf0.1.
             contrib = (
-                ew.join(ranks, ew._src == ranks.node)
+                ew.join(ranks.hint("shuffle_hash"), ew._src == ranks.node)
                 .select("_dst", (F.col("pr") / F.col("_deg")).alias("_c"))
                 .groupBy("_dst")
                 .agg(F.sum("_c").alias("_sum"))
@@ -128,7 +155,11 @@ def pagerank(
                 # join + hash(_dst) for the contribution groupBy).
                 stats["iter_live_exchanges"] = live_exchanges(contrib)
             ranks = (
-                nodes.join(contrib, nodes.node == contrib._dst, "left")
+                nodes.join(
+                    contrib.hint("shuffle_hash"),
+                    nodes.node == contrib._dst,
+                    "left",
+                )
                 .select(
                     "node",
                     (
@@ -269,11 +300,18 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges concentrate on hubs; the a<b orientation (degree-ordering's
     cheap cousin) keeps per-key fan-out bounded by the smaller
     endpoint's degree."""
-    os_ = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
+    from real_time_data_anomaly_detection_spark.plans.inspect import plan_size_bytes
+
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    # The wedge join consumes os_ on BOTH sides, and Catalyst re-inlines
+    # the subtree per consumer — without materialization the scan +
+    # distinct exchange run twice inside the edge-set fill job. Same
+    # size gate as dedup.minhash_neardup_pairs' arr relation: above the
+    # estimate a second codegen'd scan beats materializing a
+    # corpus-sized distinct.
+    if plan_size_bytes(li) <= 1 << 30:
+        os_ = os_.localCheckpoint(eager=True)
     x, y = os_.alias("x"), os_.alias("y")
     edges = (
         x.join(
