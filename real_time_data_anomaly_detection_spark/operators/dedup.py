@@ -1130,6 +1130,7 @@ def connected_components(
     col_b: str = "doc_b",
     max_iter: int = 25,
     stats: dict | None = None,
+    pre_partition: bool = False,
 ) -> DataFrame:
     """(node, component) labeling over an undirected edge list via
     iterative min-label propagation.
@@ -1150,7 +1151,18 @@ def connected_components(
 
     Pass ``stats`` (a dict) to get ``stats["rounds"]`` back — the
     O(log n) round claim is pinned, not assumed, by
-    tests/test_dedup.py::test_connected_components_round_scaling."""
+    tests/test_dedup.py::test_connected_components_round_scaling.
+
+    ``pre_partition=True`` caches ``sym`` hash-partitioned by ``src``
+    (pagerank's contractual-co-partitioning move): the per-round
+    propagation join then never re-exchanges the edge side. Default
+    False: the near-dup callers' edge lists are PAIR-sized (orders
+    below the corpus), where the one-off fill exchange measurably
+    costs more than log(n) rounds of pair-sized exchanges save
+    (interleaved A/B at sf0.1: 2.60 vs 2.72 s on q_cluster_stats_md5).
+    Set True when the edge list itself is corpus-scale (e.g. a raw
+    interaction graph), where the regime flips — label equality under
+    both settings is pinned in tests/test_dedup.py."""
     # Persist the edge list FIRST: every round references it twice
     # (propagation + convergence check), and without materialization
     # each round would recompute the edges' full upstream lineage —
@@ -1168,7 +1180,10 @@ def connected_components(
                 F.struct(F.col(col_b).alias("src"), F.col(col_a).alias("dst")),
             )
         ).alias("_e")
-    ).select("_e.src", "_e.dst").persist()
+    ).select("_e.src", "_e.dst")
+    if pre_partition:
+        sym = sym.repartition("src")
+    sym = sym.persist()
     # Seed comp = min(self, direct neighbors), not comp = self: the
     # node set needs a groupBy-shaped shuffle either way (the old code
     # paid it as distinct), and folding the first neighbor-min into it
