@@ -3260,37 +3260,40 @@ def _dc_only_jpeg(dcs: list[int], blocks_w: int, blocks_h: int) -> bytes:
     out += seg(0xC4, b"\x10" + bytes(_VID_AC_COUNTS) + _VID_AC_VALUES)
     out += seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
 
-    acc = nbits = 0
-    ent = bytearray()
-
-    def put(value: int, length: int) -> None:
-        nonlocal acc, nbits
-        for i in range(length - 1, -1, -1):
-            acc = (acc << 1) | ((value >> i) & 1)
-            nbits += 1
-            if nbits == 8:
-                ent.append(acc)
-                if acc == 0xFF:
-                    ent.append(0x00)
-                acc = 0
-                nbits = 0
-
+    # Entropy stream as ONE arbitrary-precision accumulator, not a
+    # per-bit loop: each block appends its (DC code | value bits | EOB)
+    # group with two shifts, the final 1-padding closes the last byte,
+    # and 0xFF byte-stuffing is a single bytes.replace — stuffing the
+    # finished stream inserts 0x00 after every literal 0xFF exactly
+    # like stuffing at write time did. Byte-identical output (pinned
+    # by tests/test_multimodal.py), ~5x faster per frame; this
+    # synthesis runs inside every video-family query invocation, so
+    # its per-task Python cost is real bench/oracle time (guide §4.2).
+    acc = 0
+    nbits = 0
+    ac_len, ac_code = _VID_AC_CODES[0x00]
     pred = 0
     for dc in dcs:
         diff = dc - pred
         pred = dc
         t = abs(diff).bit_length()
-        put(*reversed(_VID_DC_CODES[t]))
+        dlen, dcode = _VID_DC_CODES[t]
         if t:
-            put(diff if diff > 0 else diff + (1 << t) - 1, t)
-        put(*reversed(_VID_AC_CODES[0x00]))
-    if nbits:
-        pad = 8 - nbits
-        acc = (acc << pad) | ((1 << pad) - 1)
-        ent.append(acc)
-        if acc == 0xFF:
-            ent.append(0x00)
-    out += ent
+            acc = (
+                (acc << (dlen + t))
+                | (dcode << t)
+                | (diff if diff > 0 else diff + (1 << t) - 1)
+            )
+            nbits += dlen + t
+        else:
+            acc = (acc << dlen) | dcode
+            nbits += dlen
+        acc = (acc << ac_len) | ac_code
+        nbits += ac_len
+    pad = (-nbits) % 8
+    acc = (acc << pad) | ((1 << pad) - 1)
+    nbits += pad
+    out += acc.to_bytes(nbits // 8, "big").replace(b"\xff", b"\xff\x00")
     out += b"\xff\xd9"
     return bytes(out)
 

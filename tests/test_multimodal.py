@@ -2445,6 +2445,37 @@ def test_video_admit_rejects_exactly_half_covered_even_n(spark):
     assert admitted == []  # covered=1 of n=2: exactly-half -> rejected
 
 
+def test_dc_only_jpeg_entropy_pack_golden():
+    """Round-13: _dc_only_jpeg's per-bit put() loop was replaced by a
+    single big-int bit accumulator + one bytes.replace for 0xFF
+    stuffing. The rewrite must be BYTE-identical — these goldens were
+    generated from the pre-rewrite encoder (verified equal over 5000+
+    random frames at the change), and the video md5 oracle gate pins
+    the decoded dHashes cross-engine on top."""
+    import hashlib
+
+    from real_time_data_anomaly_detection_spark.operators.multimodal import (
+        _dc_only_jpeg,
+        _synth_video_payload,
+    )
+
+    cases = [
+        ([(i % 16) * 8 - 64 for i in range(63)],
+         "8a047bdf726b4e1ec45ee5a8fe23c64b", 228),
+        ([0] * 63, "a34f10e5a39329c92f58c8f4f2fb46b8", 195),
+        # max-magnitude first diff (+56) then the widest swing (-120):
+        # exercises category-7 value bits and the 0xFF-stuffing path
+        ([56, -64] + [8] * 61, "d997543af27650e642b2e5cb1f41644a", 197),
+    ]
+    for dcs, md5, n in cases:
+        jpg = _dc_only_jpeg(dcs, 9, 7)
+        assert (hashlib.md5(jpg).hexdigest(), len(jpg)) == (md5, n)
+    # full payloads (frames + container) for one AVI and one MOV doc
+    p0, p1 = _synth_video_payload(0), _synth_video_payload(1)
+    assert hashlib.md5(p0).hexdigest() == "8997a8d30f8ac88a37303a9165b7617a"
+    assert hashlib.md5(p1).hexdigest() == "3a393d006813498f3823b22e794dd157"
+
+
 def test_bucket_ref_counts_drops_zero_count_key():
     """Round-12 review #5 regression: a reference key whose counts sum
     to zero has no bucket grid; _bucket_ref_counts must drop it (the
