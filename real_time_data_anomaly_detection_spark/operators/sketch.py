@@ -81,6 +81,31 @@ def countmin_build(
     return rows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def countmin_build_from_counts(
+    counts: DataFrame,
+    item_col: str,
+    count_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Identical sketch to :func:`countmin_build` over the expanded
+    stream, built from pre-aggregated (item, count) rows: counter
+    cnt(row, bucket) = Σ counts of the items mapping there — the same
+    sum by associativity, with ONE md5 per DISTINCT item instead of
+    one per occurrence. The pre-aggregation is the partial-aggregation
+    move of guide §2.3 pushed all the way into the sketch build: when
+    a caller already has (or also needs) exact counts, reusing them
+    makes the sketch a vocab-sized, not corpus-sized, pass."""
+    _cms_check_depth(depth)
+    rows = counts.select(
+        F.col(count_col).alias("_w"),
+        F.posexplode(_cms_buckets(F.col(item_col), depth, width)).alias(
+            "row", "bucket"
+        ),
+    )
+    return rows.groupBy("row", "bucket").agg(F.sum("_w").alias("cnt"))
+
+
 def countmin_merge(*sketches: DataFrame) -> DataFrame:
     """Merge CMS sketches built with the same (depth, width): counters
     add. This is the property that makes the sketch a 100 TB citizen —
@@ -150,9 +175,21 @@ def q_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load_table(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("token")
     )
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    # One tokenize+count pass feeds EVERYTHING downstream: the exact
+    # relation is vocab-sized, and the sketch counters are the same
+    # sums whether accumulated per occurrence or per (token, count)
+    # (countmin_build_from_counts — associativity). Without the
+    # checkpoint Catalyst re-inlined the corpus tokenize/explode under
+    # every consumer (6 parquet scans: sketch build, probe ranking,
+    # probe-side estimate, final join); now the corpus is scanned
+    # ONCE and md5 runs per distinct token, not per occurrence.
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .localCheckpoint(eager=True)
+    )
     probes = exact.orderBy(F.desc("exact_n"), "token").limit(20)
-    sketch = countmin_build(toks, "token", depth=4, width=256)
+    sketch = countmin_build_from_counts(exact, "token", "exact_n", depth=4, width=256)
     est = countmin_estimate(sketch, probes, "token", depth=4, width=256)
     return (
         probes.join(est, "token")
@@ -289,9 +326,18 @@ def q_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count — the oracle replays the full register algebra, and
     tests pin the relative error within the HLL accuracy bound."""
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
-    est = hll_estimate(li, "l_partkey", ["l_returnflag"], p=6)
-    exact = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_nd")
+    # ONE distinct-(flag, partkey) pass feeds both sides: HLL register
+    # maxima are duplicate-insensitive (max of rho per bucket), so
+    # registers over the distinct pairs are IDENTICAL to registers
+    # over the raw rows — with md5 evaluated once per distinct key
+    # (~10x fewer at sf0.1) — and the exact side becomes a plain count
+    # of the same relation (countDistinct is distinct-then-count
+    # anyway). The checkpoint stops Catalyst re-inlining the scan +
+    # distinct under every consumer (6 parquet scans before).
+    dist = li.distinct().localCheckpoint(eager=True)
+    est = hll_estimate(dist, "l_partkey", ["l_returnflag"], p=6)
+    exact = dist.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("exact_nd")
     )
     return est.join(exact, "l_returnflag").orderBy("l_returnflag")
 

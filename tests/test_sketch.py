@@ -53,6 +53,42 @@ def test_cms_absent_item_estimates_zero_or_collision(spark):
     assert est[0].cms_est == 0
 
 
+def test_cms_build_from_counts_equals_stream_build(spark):
+    """countmin_build_from_counts over pre-aggregated (item, count)
+    rows must produce the IDENTICAL sparse counter relation as
+    countmin_build over the expanded occurrence stream (associativity
+    of the bucket sums) — the equivalence q_countmin_freq's round-14
+    single-pass restructure rests on."""
+    from real_time_data_anomaly_detection_spark.operators.sketch import (
+        countmin_build_from_counts,
+    )
+
+    items = _zipf_items(spark)
+    counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = sorted(
+        (r.row, r.bucket, r.cnt)
+        for r in countmin_build(items, "item", depth=4, width=32).collect()
+    )
+    b = sorted(
+        (r.row, r.bucket, r.cnt)
+        for r in countmin_build_from_counts(
+            counts, "item", "n", depth=4, width=32
+        ).collect()
+    )
+    assert a == b
+
+
+def test_hll_over_distinct_equals_over_raw(spark):
+    """HLL registers are duplicate-insensitive (max of rho per bucket),
+    so the estimate over the DISTINCT key relation must equal the
+    estimate over the raw stream bit-for-bit — the equivalence
+    q_hll_md5's round-14 shared-distinct restructure rests on."""
+    items = _zipf_items(spark).withColumn("g", F.lit("x"))
+    raw = hll_estimate(items, "item", ["g"], p=6).collect()
+    dis = hll_estimate(items.distinct(), "item", ["g"], p=6).collect()
+    assert [(r.g, r.hll_est) for r in raw] == [(r.g, r.hll_est) for r in dis]
+
+
 def test_cms_partition_invariance(spark):
     items = _zipf_items(spark)
     probes = items.select("item").distinct()
