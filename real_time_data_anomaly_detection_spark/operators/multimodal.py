@@ -3039,11 +3039,13 @@ def q_audio_fingerprint_md5(spark, sf_dir: str) -> DataFrame:
         "doc_id",
         F.unhex(F.concat(F.lit(_WAV128_HEADER_HEX), hx)).alias("payload"),
     )
-    return (
-        audio_fingerprints(wav, "payload", "doc_id")
-        .select("doc_id", F.col("fingerprint").cast("bigint").alias("fingerprint"))
-        .orderBy("doc_id")
+    out = audio_fingerprints(wav, "payload", "doc_id").select(
+        "doc_id", F.col("fingerprint").cast("bigint").alias("fingerprint")
     )
+    # Same range-sampling fix as q_video_dhash_md5: materialize the
+    # tiny hash relation so the orderBy's sampling job doesn't re-run
+    # the WAV decode pass (round-14).
+    return out.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 @query(
@@ -3082,11 +3084,13 @@ def q_image_ahash_md5(spark, sf_dir: str) -> DataFrame:
     perceptual-hash toolbox is decoder-to-bits oracle-verified."""
     d = load_table(spark, sf_dir, "documents")
     img = _synth_doc_images(d)
-    return (
-        image_ahash(img, "payload", "doc_id", hash_w=9, hash_h=7)
-        .select("doc_id", F.col("ahash").cast("bigint").alias("ahash"))
-        .orderBy("doc_id")
+    out = image_ahash(img, "payload", "doc_id", hash_w=9, hash_h=7).select(
+        "doc_id", F.col("ahash").cast("bigint").alias("ahash")
     )
+    # Same range-sampling fix as q_video_dhash_md5: without a
+    # materialization boundary the global orderBy's sampling job
+    # re-ran the PPM decode for the whole corpus (round-14).
+    return out.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def _image_index_path(sf_dir: str) -> str:
@@ -3487,11 +3491,21 @@ def q_video_dhash_md5(spark, sf_dir: str) -> DataFrame:
     fps = video_frame_dhash(
         vids, "payload", "doc_id", hash_w=8, hash_h=7
     )
-    return fps.select(
+    out = fps.select(
         "doc_id",
         F.col("frame_idx").cast("bigint").alias("frame_idx"),
         F.col("dhash").cast("bigint").alias("dhash"),
-    ).orderBy("doc_id", "frame_idx")
+    )
+    # Materialize the (tiny) hash relation before the global sort:
+    # a range-partitioned orderBy first runs a SAMPLING job over its
+    # child, and with no shuffle/materialization boundary between the
+    # decode mapInPandas and the sort that sampling re-executed the
+    # ENTIRE synth+decode chain — the whole query paid the decode
+    # TWICE (measured 2.14 s vs 0.98 s for one synth+decode pass at
+    # sf0.1; round-14, guide §2.4 "Exchange nodes you did not
+    # expect"). The checkpoint is ~24 bytes/frame, within-invocation
+    # only — decode still runs (once) on every invocation.
+    return out.localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")
 
 
 def _video_index_path(sf_dir: str) -> str:
@@ -3514,9 +3528,13 @@ def _vid_index_seed(spark, sf_dir: str) -> tuple[str, DataFrame]:
     from real_time_data_anomaly_detection_spark import fs as _fs
 
     d = load_table(spark, sf_dir, "documents")
-    vids = _synth_doc_videos(d)
-    corpus = vids.filter(F.col("doc_id") % 10 <= 1)
-    batch = vids.filter(F.col("doc_id") % 10 >= 2)
+    # Filter the halves BEFORE synthesis: mapInPandas is opaque to
+    # Catalyst, so a filter above it cannot push down and every
+    # invocation synthesized ALL docs' videos only to drop the corpus
+    # half (round-14; synthesis is per-doc row-wise, so filtering the
+    # id relation first yields the identical payload rows).
+    corpus = _synth_doc_videos(d.filter(F.col("doc_id") % 10 <= 1))
+    batch = _synth_doc_videos(d.filter(F.col("doc_id") % 10 >= 2))
     path = _video_index_path(sf_dir)
     if not _fs.exists(path + "/seed/_SUCCESS", spark):
         build_video_index(
