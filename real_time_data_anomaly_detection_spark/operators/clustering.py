@@ -524,7 +524,7 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     mu, comp, ev = pca_fit(e, r=8)
     proj = pca_project(e.select("vec_id", "embedding"), mu, comp)
-    return proj.select(
+    out = proj.select(
         "vec_id",
         F.lit(8).alias("r"),
         F.round(
@@ -533,7 +533,11 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("norm2"),
-    ).orderBy("vec_id")
+    )
+    # Materialize before the global sort so the range partitioner's
+    # sampling job doesn't re-run the Arrow projection pass (the
+    # q_video_dhash_md5 range-sampling fix, round-14).
+    return out.localCheckpoint(eager=False).orderBy("vec_id")
 
 
 @query("q_kmeans")  # iterative + float-boundary sensitive → rows-only

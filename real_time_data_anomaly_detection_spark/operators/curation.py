@@ -995,11 +995,13 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = featurize_hashed(d, dim=256)
     w, b, _ = logreg_fit(feats, "y", dim=256, n_iters=15)
-    return (
-        logreg_score(feats, w, b)
-        .select("doc_id", (F.col("p") > 0.5).cast("int").alias("pred"))
-        .orderBy("doc_id")
+    out = logreg_score(feats, w, b).select(
+        "doc_id", (F.col("p") > 0.5).cast("int").alias("pred")
     )
+    # Materialize before the global sort so the range partitioner's
+    # sampling job doesn't re-run the Arrow scoring pass (the
+    # q_video_dhash_md5 range-sampling fix, round-14).
+    return out.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
