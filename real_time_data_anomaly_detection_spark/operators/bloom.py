@@ -116,7 +116,9 @@ def bloom_semi_join(
     build, the broadcast row ~10 ms — and the plan stays O(1) in m."""
     keys = small.select(key_col).distinct()
     words = bloom_build(keys, key_col, num_bits, k)
-    bmp_df = big.sparkSession.createDataFrame([(words,)], "_bmp array<bigint>")
+    from real_time_data_anomaly_detection_spark.io import local_df
+
+    bmp_df = local_df(big.sparkSession, [(words,)], "_bmp array<bigint>")
     pruned = (
         big.crossJoin(F.broadcast(bmp_df))
         .filter(_bitmap_tests(F.col(key_col), F.col("_bmp"), num_bits, k))

@@ -200,8 +200,10 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariance are pinned in tests/test_bpe.py."""
     d = load_table(spark, sf_dir, "documents")
     merges = bpe_train(word_counts(d), n_merges=10)
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_count long"
+    from real_time_data_anomaly_detection_spark.io import local_df
+
+    return local_df(
+        spark, merges, "rank int, left string, right string, pair_count long"
     ).orderBy("rank")
 
 

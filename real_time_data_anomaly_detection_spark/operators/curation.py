@@ -646,8 +646,10 @@ def index_phrase_search(
     equi-key adjacency join as phrase_search."""
     terms = sorted({w for p in phrases for w in p})
     post = term_postings(spark, path, terms, buckets)
+    from real_time_data_anomaly_detection_spark.io import local_df
+
     q = F.broadcast(
-        spark.createDataFrame(phrases, "w1 string, w2 string").select(
+        local_df(spark, phrases, "w1 string, w2 string").select(
             "w1", "w2", F.concat_ws(" ", "w1", "w2").alias("phrase")
         )
     )

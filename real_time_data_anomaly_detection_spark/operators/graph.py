@@ -338,8 +338,10 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Both actions are done; the result is two scalars — release
         # the cached edge blocks (round-6 advice).
         edges.unpersist()
-    return spark.createDataFrame(
-        [(n_edges, tri)], "n_edges long, n_triangles long"
+    from real_time_data_anomaly_detection_spark.io import local_df
+
+    return local_df(
+        spark, [(n_edges, tri)], "n_edges long, n_triangles long"
     )
 
 

@@ -356,7 +356,10 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Feed the rates into hash_sample for the actual deterministic cut.
     Aggregates are per-domain (5 rows); the budget is a one-row
     broadcast — nothing corpus-sized moves."""
-    targets = spark.createDataFrame(
+    from real_time_data_anomaly_detection_spark.io import local_df
+
+    targets = local_df(
+        spark,
         [("en", 0.4), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15)],
         "lang string, share double",
     )

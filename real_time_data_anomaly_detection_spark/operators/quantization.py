@@ -287,11 +287,15 @@ def build_ivfpq_index(
         .partitionBy("cell")
         .parquet(path + "/vectors")
     )
-    spark.createDataFrame(
+    from real_time_data_anomaly_detection_spark.io import local_df
+
+    local_df(
+        spark,
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
-    spark.createDataFrame(
+    local_df(
+        spark,
         [
             (int(j), int(c), [float(x) for x in books[j, c]])
             for j in range(m)

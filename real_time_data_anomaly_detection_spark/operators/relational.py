@@ -1088,7 +1088,10 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from real_time_data_anomaly_detection_spark.functions.skew import salted_join
 
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
-    dim = spark.createDataFrame(
+    from real_time_data_anomaly_detection_spark.io import local_df
+
+    dim = local_df(
+        spark,
         [("A", "accepted"), ("N", "new"), ("R", "returned")],
         "l_returnflag string, flag_label string",
     )

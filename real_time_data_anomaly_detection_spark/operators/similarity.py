@@ -245,7 +245,10 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(path + "/vectors")
     )
-    cdf = df.sparkSession.createDataFrame(
+    from real_time_data_anomaly_detection_spark.io import local_df
+
+    cdf = local_df(
+        df.sparkSession,
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
     )
