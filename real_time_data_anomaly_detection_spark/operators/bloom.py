@@ -55,16 +55,17 @@ def bloom_build(
     words. Only distinct bit positions reach the driver."""
     if num_bits <= 0 or num_bits % 64:
         raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
-    pos = (
-        df.select(
-            F.explode(F.array(*_bit_positions(F.col(key_col), num_bits, k))).alias("p")
-        )
-        .distinct()
-        .collect()
-    )
+    # One collect_set row instead of distinct().collect(): the partial
+    # aggregate dedups map-side, the exchange carries one set per task
+    # and the driver fetches a single array cell — same distinct
+    # position set (bounded by m via pmod), measured 2.5x cheaper on
+    # the equivalent video-band fetch (round-14, cf. _bk_prune_inlist).
+    row = df.select(
+        F.explode(F.array(*_bit_positions(F.col(key_col), num_bits, k))).alias("p")
+    ).agg(F.collect_set("p").alias("ps")).head()
     words = np.zeros(num_bits // 64, dtype=np.uint64)
-    for r in pos:
-        words[r.p // 64] |= np.uint64(1) << np.uint64(r.p % 64)
+    for p in row.ps or []:
+        words[p // 64] |= np.uint64(1) << np.uint64(p % 64)
     return [int(w) for w in words.view(np.int64)]
 
 

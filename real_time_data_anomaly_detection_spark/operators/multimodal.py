@@ -1653,14 +1653,19 @@ def _bk_prune_inlist(
     row-group pruning on the bk-sorted index layout is unchanged.
     Batches holding more than ``prune_keys_max`` distinct keys skip
     the filter — at that size the batch touches most of the index's
-    band-key domain and the full scan is the cheaper plan."""
-    keys = [
-        int(r.bk)
-        for r in bands.select("bk")
-        .distinct()
-        .limit(prune_keys_max + 1)
-        .collect()
-    ]
+    band-key domain and the full scan is the cheaper plan.
+
+    The keys come back as ONE collect_set row, capped with slice so
+    the driver fetch stays bounded at prune_keys_max+1 values: the
+    previous distinct().limit().collect() paid a 32-partition distinct
+    exchange plus the two-stage limit for the same key set (round-14,
+    interleaved probe 0.44 -> 0.16 s on the sf0.1 video batch; the
+    partial collect_set dedups map-side, so the exchange carries one
+    set per task)."""
+    row = bands.agg(
+        F.slice(F.collect_set("bk"), 1, prune_keys_max + 1).alias("ks")
+    ).head()
+    keys = [int(x) for x in (row.ks or [])]
     if len(keys) > prune_keys_max:
         return idx
     if not keys:
