@@ -1036,6 +1036,14 @@ def merge_upsert(
         raise ValueError(
             f"schema mismatch: target {cols} vs updates {updates.columns}"
         )
+    # NOTE (round-14): ``updates`` has two consumers (key set + union
+    # branch) and its derivation re-inlines under each, but a
+    # size-gated localCheckpoint here measured a WASH at sf0.1
+    # (0.451 vs 0.483 s min, interleaved) — a change batch is
+    # typically a cheap scan+filter, and the materialization job costs
+    # what the second inline pass does. cdc_apply checkpoints its
+    # ``latest`` instead, where the re-inlined work includes the
+    # latest-wins window (measured win there).
     keys = updates.select(key_col).distinct()
     untouched = target.join(
         F.broadcast(keys) if broadcast_keys else keys, key_col, "left_anti"
@@ -1360,6 +1368,15 @@ def cdc_apply(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # ``latest`` feeds TWO consumers (changed-key set + the upsert
+    # branch) and each re-inlined the whole change derivation AND its
+    # latest-wins window (q_cdc_apply: 13 snapshot scans). Below the
+    # house 1 GB estimate, materialize the compacted batch once —
+    # it is change-batch-sized by construction (round-14).
+    from real_time_data_anomaly_detection_spark.plans.inspect import plan_size_bytes
+
+    if plan_size_bytes(changes) <= 1 << 30:
+        latest = latest.localCheckpoint(eager=True)
     changed_keys = latest.select(key_col)
     untouched = target.join(
         F.broadcast(changed_keys) if broadcast_keys else changed_keys,
@@ -1425,36 +1442,34 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_cents"),
     )
+    # ONE snapshot scan builds the whole change log: each row emits its
+    # k%7-class change structs from an exploded array — the previous
+    # 6-branch filter/union re-scanned the snapshot per branch (and
+    # Catalyst re-inlined the union under every consumer of the
+    # compacted batch: 13 orders scans for this query before round-14).
+    # Row set is IDENTICAL: same (k, payload, op, seq) tuples per class.
     m = F.col("k") % 7
-    nulls = [F.lit(None).cast("bigint").alias(c) for c in ("custkey", "total_cents")]
-    changes = (
-        target.filter(m == 0)
-        .select("k", "custkey", (F.col("total_cents") + 111).alias("total_cents"),
-                F.lit("upsert").alias("op"), F.lit(1).alias("seq"))
-        .unionByName(
-            target.filter(m == 0).select(
-                "k", *nulls, F.lit("delete").alias("op"), F.lit(2).alias("seq"))
+    nul = F.lit(None).cast("bigint")
+
+    def ch(kk, ck, tc, op, seq):
+        return F.struct(
+            kk.cast("bigint").alias("k"),
+            ck.cast("bigint").alias("custkey"),
+            tc.cast("bigint").alias("total_cents"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("int").alias("seq"),
         )
-        .unionByName(
-            target.filter(m == 1).select(
-                "k", *nulls, F.lit("delete").alias("op"), F.lit(1).alias("seq"))
-        )
-        .unionByName(
-            target.filter(m == 1).select(
-                "k", "custkey", (F.col("total_cents") * 2).alias("total_cents"),
-                F.lit("upsert").alias("op"), F.lit(2).alias("seq"))
-        )
-        .unionByName(
-            target.filter(m == 2).select(
-                "k", "custkey", (F.col("total_cents") + 555).alias("total_cents"),
-                F.lit("upsert").alias("op"), F.lit(1).alias("seq"))
-        )
-        .unionByName(
-            target.filter(m == 3).select(
-                (-F.col("k")).alias("k"), "custkey", "total_cents",
-                F.lit("upsert").alias("op"), F.lit(1).alias("seq"))
-        )
+
+    k, cust, tc = F.col("k"), F.col("custkey"), F.col("total_cents")
+    arr = (
+        F.when(m == 0, F.array(ch(k, cust, tc + 111, "upsert", 1),
+                               ch(k, nul, nul, "delete", 2)))
+        .when(m == 1, F.array(ch(k, nul, nul, "delete", 1),
+                              ch(k, cust, tc * 2, "upsert", 2)))
+        .when(m == 2, F.array(ch(k, cust, tc + 555, "upsert", 1)))
+        .when(m == 3, F.array(ch(-k, cust, tc, "upsert", 1)))
     )
+    changes = target.select(F.explode(arr).alias("_ch")).select("_ch.*")
     return cdc_apply(target, changes, "k").orderBy("k")
 
 

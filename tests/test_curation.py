@@ -418,6 +418,67 @@ def test_cdc_apply_latest_wins_and_deletes(spark):
         cdc_apply(target, changes.drop("v"), "k")
 
 
+def test_cdc_fixture_exploded_log_equals_union_branches(spark):
+    """q_cdc_apply's round-14 single-scan change log (per-row exploded
+    change structs) must emit the IDENTICAL row multiset as the
+    original 6-branch filter/union construction it replaced."""
+    from pyspark.sql import functions as F
+
+    from real_time_data_anomaly_detection_spark.io import load_table
+    from real_time_data_anomaly_detection_spark.operators import REGISTRY  # noqa: F401
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    target = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("custkey"),
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    m = F.col("k") % 7
+    nulls = [
+        F.lit(None).cast("bigint").alias(c) for c in ("custkey", "total_cents")
+    ]
+    old = (
+        target.filter(m == 0)
+        .select("k", "custkey", (F.col("total_cents") + 111).alias("total_cents"),
+                F.lit("upsert").alias("op"), F.lit(1).alias("seq"))
+        .unionByName(target.filter(m == 0).select(
+            "k", *nulls, F.lit("delete").alias("op"), F.lit(2).alias("seq")))
+        .unionByName(target.filter(m == 1).select(
+            "k", *nulls, F.lit("delete").alias("op"), F.lit(1).alias("seq")))
+        .unionByName(target.filter(m == 1).select(
+            "k", "custkey", (F.col("total_cents") * 2).alias("total_cents"),
+            F.lit("upsert").alias("op"), F.lit(2).alias("seq")))
+        .unionByName(target.filter(m == 2).select(
+            "k", "custkey", (F.col("total_cents") + 555).alias("total_cents"),
+            F.lit("upsert").alias("op"), F.lit(1).alias("seq")))
+        .unionByName(target.filter(m == 3).select(
+            (-F.col("k")).alias("k"), "custkey", "total_cents",
+            F.lit("upsert").alias("op"), F.lit(1).alias("seq")))
+    )
+    nul = F.lit(None).cast("bigint")
+
+    def ch(kk, ck, tc, op, seq):
+        return F.struct(
+            kk.cast("bigint").alias("k"), ck.cast("bigint").alias("custkey"),
+            tc.cast("bigint").alias("total_cents"), F.lit(op).alias("op"),
+            F.lit(seq).cast("int").alias("seq"),
+        )
+
+    k, cust, tc = F.col("k"), F.col("custkey"), F.col("total_cents")
+    arr = (
+        F.when(m == 0, F.array(ch(k, cust, tc + 111, "upsert", 1),
+                               ch(k, nul, nul, "delete", 2)))
+        .when(m == 1, F.array(ch(k, nul, nul, "delete", 1),
+                              ch(k, cust, tc * 2, "upsert", 2)))
+        .when(m == 2, F.array(ch(k, cust, tc + 555, "upsert", 1)))
+        .when(m == 3, F.array(ch(-k, cust, tc, "upsert", 1)))
+    )
+    new = target.select(F.explode(arr).alias("_ch")).select("_ch.*")
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+
+
 def test_text_index_pruned_lookup_matches_scan(spark, tmp_path):
     """A persisted-index term lookup must (a) return exactly the
     postings a direct scan computes and (b) READ ONLY the term's
