@@ -476,7 +476,9 @@ def test_cdc_fixture_exploded_log_equals_union_branches(spark):
         .when(m == 3, F.array(ch(-k, cust, tc, "upsert", 1)))
     )
     new = target.select(F.explode(arr).alias("_ch")).select("_ch.*")
-    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+    from collections import Counter
+
+    assert Counter(map(tuple, old.collect())) == Counter(map(tuple, new.collect()))
 
 
 def test_text_index_pruned_lookup_matches_scan(spark, tmp_path):
