@@ -311,6 +311,14 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the df aggregation AND the score join; Catalyst
+    # re-inlines the tokenize+explode+groupBy per consumer (3 corpus
+    # scans for this query). House size gate, as in
+    # minhash_neardup_pairs (round-14: 0.885 -> 0.770 s interleaved).
+    from real_time_data_anomaly_detection_spark.plans.inspect import plan_size_bytes
+
+    if plan_size_bytes(d) <= 1 << 30:
+        tf = tf.localCheckpoint(eager=True)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
